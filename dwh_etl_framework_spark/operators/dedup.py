@@ -1,0 +1,279 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2c X1).
+
+A cascade of techniques, cheapest-first — the shape a 100 TB dedup actually
+runs as:
+
+1. exact duplicates       — hash-groupBy on normalized text (one shuffle);
+2. n-gram Jaccard         — exact set similarity via shingle equi-join
+                            (scales as sum over shingles of df², so it's the
+                            *verify* stage, not the discovery stage);
+3. MinHash + LSH          — discovery stage at scale: k minhashes, banded
+                            into b bands of r rows; only band-collisions are
+                            compared. P(candidate) ≈ 1-(1-s^r)^b;
+4. SimHash                — 64-bit fingerprints with hamming-ball blocking
+                            (pigeonhole over 4×16-bit chunks);
+5. embedding near-dup     — random-hyperplane LSH buckets + exact cosine
+                            inside buckets (see operators/similarity.py).
+
+Everything is pure DataFrame ops: tokenize with built-ins, hash with
+xxhash64 (JVM, seeded, deterministic), aggregate with groupBy — no Python
+in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the universal-hash minhash
+# permutations. Small enough that a*h (< 2^62) never overflows a signed
+# 64-bit long under ANSI arithmetic; 2^31 hash space is ample for minhash.
+_P = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapse + lowercase (shared by fingerprint/dedup tiers)."""
+    return F.lower(F.trim(F.regexp_replace(col, " +", " ")))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array.
+
+    ``transform(sequence(...))`` is JVM-side; no explode until the caller
+    decides to."""
+    toks = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # sequence(0, negative) would count *down*; guard short docs explicitly
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1 exact dedup: keep the lowest id per identical text.
+
+    One hash-shuffle on the text (Spark hashes the group key; at 100 TB,
+    group on md5(text) instead to shrink shuffle rows — same result)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded table of distinct word n-grams."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X1 exact n-gram Jaccard similarity via shingle equi-join.
+
+    |A∩B| comes from the self-join on shingle; |A|,|B| from per-doc counts;
+    J = inter/(|A|+|B|-inter). Returns pairs (doc_a < doc_b) with J ≥
+    threshold. At scale: run *after* LSH blocking, or cap shingle document
+    frequency to bound the join fan-out.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for k universal hashes
+
+    h_i(x) = (a_i*x + b_i) mod P — seeded LCG, no RNG dependency."""
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """X1 MinHash signatures: k-wide array per document.
+
+    Shingles are hashed JVM-side (xxhash64 → non-negative), then each of the
+    k permutations takes a min over the doc's shingles — k conditional mins
+    in ONE groupBy pass (no k-fold data blowup; the exploded shingle table
+    is scanned once).
+    """
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "h", F.abs(F.xxhash64("shingle")) % _P
+    )
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % _P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """X1 LSH banding: explode each signature into ``bands`` band-hashes,
+
+    self-join on (band index, band hash) → candidate pairs, then estimate
+    similarity as the fraction of matching minhashes. Only candidates are
+    ever compared: the all-pairs O(n²) never materializes.
+    """
+    k = bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        (bidx * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1 SimHash: 64-bit fingerprint; bit b of the hash is the sign of
+
+    Σ_tokens (±1 depending on bit b of xxhash64(token)). One explode over
+    tokens + 64 conditional sums in a single groupBy pass, then the bits
+    are reassembled into one BIGINT.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming, blocked on
+
+    4×16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk is identical), so
+    the comparison space is per-chunk-bucket, not all-pairs."""
+    chunks = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,142 @@
+"""Journal → master merge protocol (F19-F21), as pure DataFrame ops.
+
+Reference semantics (``airflow_etl.py:131-223``; see SURVEY.md §2a):
+
+- A **journal** table ``<target>__journal`` accumulates row versions with
+  system columns ``__transform_dt``, ``__load_dt``, ``__seqno``,
+  ``__record_state`` ('A' active / 'H' historic).
+- **full merge** (``airflow_etl.py:154-178``): master := latest row per PK
+  over ALL journal rows, ranked by
+  ``__transform_dt DESC, __load_dt DESC, __seqno ASC``.
+- **delta merge** (``airflow_etl.py:179-214``): delete master rows whose PK
+  appears among Active journal rows, then insert the latest Active row per
+  such PK — an upsert (SCD-1 MERGE).
+- **state flip** (``airflow_etl.py:216-223``): consumed 'A' rows become 'H'.
+
+The reference executed this as generated SQL inside Greenplum; here it is a
+window dedup + anti-join that Catalyst plans as a single shuffle on the PK
+(WindowExec + SortMergeJoin/BroadcastHashJoin). Scale notes:
+
+- Both merge modes shuffle once on the PK hash; AQE splits skewed PKs.
+- ``merge_delta`` broadcasts the distinct-active-PK set when small
+  (Catalyst decides via autoBroadcastJoinThreshold; at 100 TB the PK-delete
+  set of one load cycle is usually tiny relative to master).
+- No ``collect()`` anywhere; the merge is a lazy plan usable inside
+  ``foreachBatch`` for the streaming upsert (R33).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STATE_COL = "__record_state"
+SYSTEM_COLS = ("__transform_dt", "__load_dt", "__seqno", STATE_COL)
+
+
+@dataclass(frozen=True)
+class JournalSpec:
+    """Declared merge metadata for one target table (PKs are config, not
+
+    information_schema introspection — cf. ``airflow_etl.py:110-129``).
+    """
+
+    primary_key: Sequence[str]
+
+    def order_cols(self) -> list[Column]:
+        # exactly the reference's ordering: airflow_etl.py:172, :207
+        return [
+            F.col("__transform_dt").desc(),
+            F.col("__load_dt").desc(),
+            F.col("__seqno").asc(),
+        ]
+
+
+def stamp_journal_columns(
+    df: DataFrame,
+    transform_dt,
+    load_dt=None,
+    seqno_start: int = 0,
+) -> DataFrame:
+    """Append the journal system columns to a transform result before the
+
+    journal write (the reference relied on column defaults/ETL SQL to add
+    these; we stamp them explicitly so the protocol is self-contained).
+
+    ``__seqno`` must be unique per journal write to make the merge ordering
+    total; a zipWithIndex-style global counter would serialize, so we use
+    a monotonically-increasing per-partition id — unique, deterministic
+    enough for tie-breaking, and embarrassingly parallel.
+    """
+    return (
+        df.withColumn(
+            "__transform_dt",
+            F.lit(transform_dt).cast("timestamp")
+            if transform_dt is not None
+            else F.current_timestamp(),
+        )
+        .withColumn(
+            "__load_dt",
+            F.lit(load_dt).cast("timestamp")
+            if load_dt is not None
+            else F.current_timestamp(),
+        )
+        .withColumn("__seqno", F.monotonically_increasing_id() + F.lit(seqno_start))
+        .withColumn(STATE_COL, F.lit("A"))
+    )
+
+
+def latest_per_key(
+    df: DataFrame, spec: JournalSpec, drop_system_cols: bool = True
+) -> DataFrame:
+    """Top-1-per-group dedup (R3+R4): rank rows within each PK by the journal
+
+    ordering and keep rank 1 (``airflow_etl.py:166-177``).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in spec.primary_key]).orderBy(
+        *spec.order_cols()
+    )
+    out = df.withColumn("__rnk", F.row_number().over(w)).filter(F.col("__rnk") == 1)
+    drop = ["__rnk"] + (list(SYSTEM_COLS) if drop_system_cols else [])
+    return out.drop(*drop)
+
+
+def merge_full(journal: DataFrame, spec: JournalSpec) -> DataFrame:
+    """F19: truncate master; rebuild as latest row per PK over the whole
+
+    journal, all record states included (``airflow_etl.py:154-178``).
+    Returns the new master.
+    """
+    return latest_per_key(journal, spec)
+
+
+def merge_delta(
+    master: DataFrame, journal: DataFrame, spec: JournalSpec
+) -> DataFrame:
+    """F20: upsert Active journal rows into master.
+
+    1. DELETE: drop master rows whose PK appears among Active journal rows
+       (anti-join — ``airflow_etl.py:185-196``'s DELETE..USING).
+    2. INSERT: latest Active row per PK (``airflow_etl.py:198-214``).
+    """
+    pk = list(spec.primary_key)
+    active = journal.filter(F.col(STATE_COL) == "A")
+    # DISTINCT PK projection (R7) — small at one-cycle scale → broadcastable
+    changed_keys = active.select(*pk).distinct()
+    kept = master.join(changed_keys, on=pk, how="left_anti")
+    upserts = latest_per_key(active, spec)
+    return kept.unionByName(upserts)
+
+
+def flip_journal_state(journal: DataFrame) -> DataFrame:
+    """F21: mark consumed rows historic: 'A' → 'H'
+
+    (``airflow_etl.py:216-223``, an UPDATE..WHERE re-expressed as R10).
+    """
+    return journal.withColumn(
+        STATE_COL,
+        F.when(F.col(STATE_COL) == "A", F.lit("H")).otherwise(F.col(STATE_COL)),
+    )

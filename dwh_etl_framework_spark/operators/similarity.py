@@ -1,0 +1,228 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2c X2).
+
+Two tiers, mirroring what a 100 TB embedding store needs:
+
+- **Brute-force top-k** — exact cosine against a query vector, computed
+  JVM-side with zip_with/aggregate (no Python, no shuffle until the final
+  top-k, which plans as TakeOrderedAndProject). Linear scan; the right
+  baseline and the verifier for the ANN tier.
+- **Random-hyperplane LSH (SimHash-for-vectors)** — deterministic
+  hyperplanes → sign-bit signatures → bucket join. Only vectors sharing a
+  bucket are compared: sublinear candidate generation for near-duplicate
+  mining and ANN with tunable recall (more tables ⇒ higher recall).
+  An IVF variant (coarse quantizer = seed vectors) is in ``ivf_topk``.
+
+Exact-arithmetic variants (`*_exact`) push every reduction through DECIMAL
+so results are bit-reproducible across engines/partitionings — used by the
+DuckDB-oracle checks; the double variants are the fast path for bench.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in double (fast path; JVM fold, deterministic in-order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+#: fixed-point scale for engine-portable exact reductions: each double term
+#: is floored to an integer number of 1e-12 units (the double multiply and
+#: floor are IEEE-identical everywhere), then summed in exact int64.
+#: Double→DECIMAL casts are NOT portable (Spark rounds the shortest decimal
+#: repr, DuckDB the binary value), hence fixed-point instead of decimal.
+FIXED_POINT_SCALE = 1e12
+
+
+def _dot_fixed(a: Column, b: Column) -> Column:
+    """Σ floor(a_i*b_i * 1e12) as int64 — bit-reproducible across engines
+
+    and reduction orders; ~12 significant digits, plenty for cosine."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(FIXED_POINT_SCALE)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column, exact: bool = False) -> Column:
+    """Cosine similarity; ``exact=True`` uses the fixed-point reduction so
+
+    the value is identical under any partitioning/engine (oracle path)."""
+    dot = _dot_fixed if exact else _dot_double
+    num = dot(a, b).cast("double")
+    den_a = F.sqrt(dot(a, a).cast("double"))
+    den_b = F.sqrt(dot(b, b).cast("double"))
+    return num / (den_a * den_b)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine. ``query_vec`` is a 1-row DataFrame with the
+
+    vector under ``vec_col`` — broadcast-cross-joined (1 row ⇒ no blowup),
+    then scored JVM-side and TakeOrderedAndProject'd. Ties broken by id for
+    a total order."""
+    q = F.broadcast(query_vec.select(F.col(vec_col).alias("__qvec")))
+    scored = embeddings.crossJoin(q).withColumn(
+        "cosine_sim", cosine(F.col(vec_col), F.col("__qvec"), exact=exact)
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__qvec")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box-Muller over an LCG) —
+
+    no numpy/RNG state, reproducible everywhere."""
+    state = seed
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return (state >> 11) / float(1 << 52)  # uniform in [0,1)
+
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        while len(row) < dim:
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            mag = math.sqrt(-2.0 * math.log(u1))
+            row.append(mag * math.cos(2 * math.pi * u2))
+            if len(row) < dim:
+                row.append(mag * math.sin(2 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 7
+) -> Column:
+    """n_planes sign bits packed into a BIGINT bucket id (JVM-side only)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = _dot_double(vec_col, F.array(*[F.lit(w) for w in plane]))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """X1/X2 embedding near-dup mining: bucket by hyperplane signature
+
+    (n_tables independent tables to boost recall), exact cosine only inside
+    buckets, keep pairs ≥ threshold."""
+    with_buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col(vec_col), dim, n_planes, seed=7 + t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table_idx", "bucket"),
+    )
+    a = with_buckets.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "table_idx", "bucket",
+    )
+    b = with_buckets.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "table_idx", "bucket",
+    )
+    return (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2 IVF-style ANN: vectors are pre-assigned to their nearest centroid
+
+    (inverted lists = partitions); the query scores only the ``n_probe``
+    nearest lists. ``centroids`` is (centroid_id, centroid_vec) — small,
+    broadcast everywhere. At scale the assignment is computed once at
+    ingest and the table is *partitioned by centroid_id* so a query reads
+    only n_probe partitions (partition pruning does the index lookup).
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid_vec")
+        )
+    )
+    # assign each vector to nearest centroid (one pass, JVM-side)
+    assigned = (
+        embeddings.crossJoin(cent)
+        .withColumn("sim_c", cosine(F.col(vec_col), F.col("centroid_vec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("sim_c").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    q = F.broadcast(query_vec.select(F.col(vec_col).alias("__qvec")))
+    probe = (
+        centroids.crossJoin(q)
+        .withColumn("sim_q", cosine(F.col("centroid_vec"), F.col("__qvec")))
+        .orderBy(F.col("sim_q").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), on="centroid_id")
+        .crossJoin(q)
+        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qvec")))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "centroid_id", "cosine_sim")
+    )

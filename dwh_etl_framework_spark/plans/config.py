@@ -1,0 +1,196 @@
+"""Pipeline configuration model (YAML spec from reference README.md:86-195).
+
+The reference drives everything from ``{table_folder}/config.yaml`` parsed
+into raw dicts (``airflow_etl.py:680-685``). Here the same shape is typed
+dataclasses with validation up-front, and two deliberate fixes of latent
+reference defects (SURVEY.md §0):
+
+- ``migration`` is optional (reference KeyError, ``airflow_etl.py:694``),
+- primary keys are *declared* per table instead of introspected from
+  ``information_schema`` (``airflow_etl.py:110-129``) — Spark's catalog has
+  no PK metadata, and declared keys work for any source.
+
+Config shape (YAML):
+
+.. code-block:: yaml
+
+    tables:
+      - target: dwh.dm_saldo
+        primary_key: [account_id, balance_date]
+        dependencies:
+          - alias: lineitem
+            format: parquet
+            path: /data/lineitem
+        parameters:
+          - {name: report_date, value: "1998-09-01"}
+        transform:
+          full:
+            - type: select
+              sql: "SELECT ... WHERE l_shipdate <= '{report_date}'"
+              cache: true
+              alias: step1
+          delta:
+            - type: select
+              sql_file: steps/delta.sql
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Mapping, Sequence
+
+from dwh_etl_framework_spark.sources.registry import SourceSpec
+
+VALID_READ_MODES = ("full", "delta", "manual")
+VALID_WRITE_MODES = ("append", "overwrite")
+VALID_MERGE_MODES = ("full", "delta", "none")
+VALID_STEP_TYPES = ("select", "sql script", "python")
+
+
+@dataclass(frozen=True)
+class DependencyConfig:
+    """One pipeline input; thin wrapper that lowers to a SourceSpec."""
+
+    alias: str
+    format: str = "parquet"
+    path: str | None = None
+    options: Mapping[str, str] = field(default_factory=dict)
+    url: str | None = None
+    query: str | None = None
+    dbtable: str | None = None
+
+    def to_source_spec(self) -> SourceSpec:
+        return SourceSpec(
+            alias=self.alias,
+            format=self.format,
+            path=self.path,
+            options=dict(self.options),
+            url=self.url,
+            query=self.query,
+            dbtable=self.dbtable,
+        )
+
+
+@dataclass(frozen=True)
+class TransformStep:
+    """One pipeline stage (F11-F13, ``airflow_etl.py:540-667``).
+
+    ``type='select'``     — SQL executed on Spark; result threads forward.
+    ``type='sql script'`` — side-effecting SQL (DDL/DML), no result.
+    ``type='python'``     — a registered callable
+                            ``(spark, dfs: dict[str, DataFrame]) -> DataFrame``;
+                            replaces the reference's ``compile()+exec()`` of
+                            arbitrary files (``airflow_etl.py:627-641``) with
+                            a typed registry — same capability, testable, no
+                            code injection.
+    """
+
+    type: str = "select"
+    sql: str | None = None
+    sql_file: str | None = None
+    python: str | None = None  # registry key for python steps
+    cache: bool = False
+    cache_dir: str | None = None
+    alias: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.type not in VALID_STEP_TYPES:
+            raise ValueError(
+                f"invalid step type {self.type!r}; expected one of {VALID_STEP_TYPES}"
+            )
+        if self.type in ("select", "sql script") and not (self.sql or self.sql_file):
+            raise ValueError(f"{self.type} step needs sql or sql_file")
+        if self.type == "python" and not self.python:
+            raise ValueError("python step needs a registry key in 'python'")
+
+    def resolve_sql(self, base_dir: str | Path | None = None) -> str:
+        if self.sql is not None:
+            return self.sql
+        path = Path(self.sql_file)
+        if base_dir is not None and not path.is_absolute():
+            path = Path(base_dir) / path
+        return path.read_text()
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Config for one target table (README.md:86-195)."""
+
+    target: str
+    primary_key: Sequence[str] = ()
+    dependencies: Sequence[DependencyConfig] = ()
+    parameters: Sequence[Mapping] = ()
+    migration: Sequence[str] = ()  # optional DDL, run once before steps (F22)
+    transform: Mapping[str, Sequence[TransformStep]] = field(default_factory=dict)
+
+    def steps_for(self, read_mode: str) -> Sequence[TransformStep]:
+        if read_mode not in VALID_READ_MODES:
+            raise ValueError(
+                f"invalid read_mode {read_mode!r}; expected one of {VALID_READ_MODES}"
+            )
+        if read_mode not in self.transform:
+            raise ValueError(
+                f"table {self.target!r} defines no {read_mode!r} transform steps"
+            )
+        return self.transform[read_mode]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    tables: Sequence[TableConfig] = ()
+
+
+def _parse_step(raw: Mapping) -> TransformStep:
+    return TransformStep(
+        type=raw.get("type", "select"),
+        sql=raw.get("sql"),
+        sql_file=raw.get("sql_file") or raw.get("sql-file"),
+        python=raw.get("python") or raw.get("python-file"),
+        cache=bool(raw.get("cache", False)),
+        cache_dir=raw.get("cache_dir"),
+        alias=raw.get("alias"),
+    )
+
+
+def _parse_table(raw: Mapping) -> TableConfig:
+    deps = [
+        DependencyConfig(
+            alias=d["alias"],
+            format=d.get("format", "parquet"),
+            path=d.get("path"),
+            options=d.get("options", {}),
+            url=d.get("url"),
+            query=d.get("query"),
+            dbtable=d.get("dbtable"),
+        )
+        for d in raw.get("dependencies", [])
+    ]
+    transform = {
+        mode: [_parse_step(s) for s in steps]
+        for mode, steps in raw.get("transform", {}).items()
+    }
+    for mode in transform:
+        if mode not in VALID_READ_MODES:
+            raise ValueError(f"invalid transform mode {mode!r}")
+    return TableConfig(
+        target=raw["target"],
+        primary_key=tuple(raw.get("primary_key", raw.get("pk", ()))),
+        dependencies=tuple(deps),
+        parameters=tuple(raw.get("parameters", ())),
+        migration=tuple(raw.get("migration", ())),
+        transform=transform,
+    )
+
+
+def parse_pipeline_config(raw: Mapping) -> PipelineConfig:
+    tables = raw.get("tables", raw.get("config", []))
+    return PipelineConfig(tables=tuple(_parse_table(t) for t in tables))
+
+
+def load_pipeline_config(path: str | Path) -> PipelineConfig:
+    """Load ``config.yaml`` (reference loader: ``airflow_etl.py:680-685``)."""
+    import yaml
+
+    with open(path) as fh:
+        return parse_pipeline_config(yaml.safe_load(fh))

@@ -1,0 +1,140 @@
+"""Pipeline orchestration (F22-F24) — the reference's Airflow task factories
+
+(``airflow_etl.py:486-538``, ``:736-774``) re-expressed as a plain Python
+API. Orchestration contributes no query semantics (SURVEY.md §3), so a
+pipeline is just: register sources → run steps → write journal → merge.
+An Airflow/cron wrapper can call these methods 1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dwh_etl_framework_spark.operators.merge import (
+    JournalSpec,
+    flip_journal_state,
+    merge_delta,
+    merge_full,
+    stamp_journal_columns,
+)
+from dwh_etl_framework_spark.plans.config import (
+    TableConfig,
+    VALID_MERGE_MODES,
+    VALID_WRITE_MODES,
+)
+from dwh_etl_framework_spark.plans.params import resolve_parameters
+from dwh_etl_framework_spark.plans.steps import StepContext, run_transform_steps
+from dwh_etl_framework_spark.sources.registry import register_sources
+
+
+@dataclass
+class Pipeline:
+    """One target table's ETL run (transform_db parity, F24).
+
+    In-memory journal/master state doubles as the storage layer for tests;
+    production would back these with parquet/Delta paths via
+    ``sources.sinks`` — the merge plans are identical either way.
+    """
+
+    spark: SparkSession
+    table: TableConfig
+    variable_resolver: object = None
+    checkpoint_mode: str = "persist"
+    journal: DataFrame | None = None
+    master: DataFrame | None = None
+    _seqno: int = field(default=0)
+
+    def spec(self) -> JournalSpec:
+        if not self.table.primary_key:
+            raise ValueError(f"table {self.table.target!r} declares no primary_key")
+        return JournalSpec(primary_key=tuple(self.table.primary_key))
+
+    # -- stage 1: sources ---------------------------------------------------
+    def register_dependencies(self) -> dict[str, DataFrame]:
+        """load_dependencies parity (``airflow_etl.py:299-375``)."""
+        specs = [d.to_source_spec() for d in self.table.dependencies]
+        return register_sources(self.spark, specs)
+
+    # -- stage 2: migration + transform ------------------------------------
+    def run_migration(self) -> None:
+        """F22 — optional one-off DDL (``airflow_etl.py:694-700``; optional,
+
+        fixing the reference's unconditional KeyError)."""
+        for ddl in self.table.migration:
+            self.spark.sql(ddl)
+
+    def transform(self, read_mode: str = "full") -> DataFrame:
+        """F14/F24: run the configured steps; last select result wins."""
+        ctx = StepContext(
+            spark=self.spark,
+            parameters=resolve_parameters(
+                self.table.parameters, self.variable_resolver
+            ),
+            dataframes=dict(),
+            checkpoint_mode=self.checkpoint_mode,
+        )
+        result = run_transform_steps(ctx, list(self.table.steps_for(read_mode)))
+        if result is None:
+            raise ValueError(
+                f"{read_mode!r} steps for {self.table.target!r} produced no DataFrame"
+            )
+        return result
+
+    # -- stage 3: journal write + merge -------------------------------------
+    def write_journal(
+        self, df: DataFrame, transform_dt, write_mode: str = "append"
+    ) -> DataFrame:
+        """Journal write (``airflow_etl.py:719-726``): stamp system columns,
+
+        then append to (or truncate-overwrite) ``<target>__journal``.
+        """
+        if write_mode not in VALID_WRITE_MODES:
+            raise ValueError(f"invalid write_mode {write_mode!r}")
+        stamped = stamp_journal_columns(df, transform_dt, seqno_start=self._seqno)
+        self._seqno += 1 << 33  # disjoint seqno ranges across writes
+        if write_mode == "overwrite" or self.journal is None:
+            self.journal = stamped
+        else:
+            self.journal = self.journal.unionByName(stamped)
+        return self.journal
+
+    def merge(self, merge_mode: str = "full") -> DataFrame | None:
+        """F19/F20 + F21 (``airflow_etl.py:131-223``)."""
+        if merge_mode not in VALID_MERGE_MODES:
+            raise ValueError(f"invalid merge_mode {merge_mode!r}")
+        if merge_mode == "none" or self.journal is None:
+            return self.master
+        spec = self.spec()
+        if merge_mode == "full":
+            self.master = merge_full(self.journal, spec)
+        else:
+            base = (
+                self.master
+                if self.master is not None
+                else self.journal.limit(0).drop("__rnk", *_system_cols())
+            )
+            self.master = merge_delta(base, self.journal, spec)
+        self.journal = flip_journal_state(self.journal)
+        return self.master
+
+    def run(
+        self,
+        read_mode: str = "full",
+        write_mode: str = "append",
+        merge_mode: str = "full",
+        transform_dt=None,
+    ) -> DataFrame | None:
+        """Full lifecycle, mirroring EP2 of the reference (SURVEY.md §3)."""
+        self.register_dependencies()
+        self.run_migration()
+        result = self.transform(read_mode)
+        self.write_journal(result, transform_dt, write_mode)
+        return self.merge(merge_mode)
+
+
+def _system_cols() -> list[str]:
+    from dwh_etl_framework_spark.operators.merge import SYSTEM_COLS
+
+    return list(SYSTEM_COLS)

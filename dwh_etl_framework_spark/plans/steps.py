@@ -1,0 +1,131 @@
+"""Step execution + sequencing (F7, F9-F14; ``airflow_etl.py:234-270,540-667``).
+
+The reference's inner engine call is ``spark.sql(script)`` — ours too. Its
+checkpoint-cache (F9) wrote each cached step to ORC and re-read it
+(``airflow_etl.py:263-269``); here checkpointing is pluggable:
+
+- ``persist``  — ``df.persist(MEMORY_AND_DISK)`` (no lineage cut, cheapest),
+- ``local``    — ``df.localCheckpoint(eager=True)`` (lineage cut, in-memory),
+- ``parquet``  — write+re-read like the reference (lineage cut, survives the
+  session; the right choice for very long pipelines at 100 TB where
+  recomputation on executor loss would be catastrophic).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from dwh_etl_framework_spark.plans.config import TransformStep
+from dwh_etl_framework_spark.plans.params import fill_sql_parameters
+
+#: Registry for python steps (typed replacement of the reference's
+#: ``compile()+exec()`` of arbitrary files, ``airflow_etl.py:627-641``).
+PythonStep = Callable[[SparkSession, Mapping[str, DataFrame]], DataFrame]
+PYTHON_STEPS: dict[str, PythonStep] = {}
+
+
+def register_python_step(name: str) -> Callable[[PythonStep], PythonStep]:
+    def deco(fn: PythonStep) -> PythonStep:
+        PYTHON_STEPS[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclass
+class StepContext:
+    """Everything a step needs; threads the named-DataFrame environment."""
+
+    spark: SparkSession
+    parameters: Mapping[str, object] = field(default_factory=dict)
+    dataframes: dict[str, DataFrame] = field(default_factory=dict)
+    sql_base_dir: str | Path | None = None
+    checkpoint_mode: str = "persist"  # persist | local | parquet
+    checkpoint_dir: str | None = None
+
+
+def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataFrame:
+    """Materialize a step result (F9)."""
+    mode = ctx.checkpoint_mode
+    if mode == "persist":
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "parquet":
+        base = ctx.checkpoint_dir or "/tmp/dwh_etl_framework_spark/checkpoints"
+        path = f"{base}/{step_alias or uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(path)
+        return ctx.spark.read.parquet(path)
+    raise ValueError(f"unknown checkpoint mode {mode!r}")
+
+
+def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
+    """F11: fill params → ``spark.sql`` → optional cache+view."""
+    sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
+    df = ctx.spark.sql(sql)
+    if step.cache or step.cache_dir:
+        if step.cache_dir:
+            # explicit cache_dir forces a durable parquet checkpoint, like the
+            # reference's ORC dump dir (airflow_etl.py:573-575)
+            local = replace(ctx, checkpoint_mode="parquet", checkpoint_dir=step.cache_dir)
+            df = checkpoint(df, local, step.alias)
+        else:
+            df = checkpoint(df, ctx, step.alias)
+    if step.alias:
+        df.createOrReplaceTempView(step.alias)
+        ctx.dataframes[step.alias] = df
+    return df
+
+
+def run_sql_script_step(ctx: StepContext, step: TransformStep) -> None:
+    """F12: side-effecting SQL (DDL/DML) against the Spark catalog.
+
+    The reference shipped these to Greenplum over psycopg2
+    (``airflow_etl.py:593-625``); Spark-native, the catalog is the warehouse.
+    Multiple statements are ';'-separated like a psql script.
+    """
+    sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
+    for statement in filter(None, (s.strip() for s in sql.split(";"))):
+        ctx.spark.sql(statement)
+
+
+def run_python_step(ctx: StepContext, step: TransformStep) -> DataFrame:
+    """F13: run a registered python callable as a pipeline stage."""
+    try:
+        fn = PYTHON_STEPS[step.python]
+    except KeyError:
+        raise KeyError(
+            f"python step {step.python!r} is not registered; "
+            f"known: {sorted(PYTHON_STEPS)}"
+        ) from None
+    df = fn(ctx.spark, dict(ctx.dataframes))
+    if step.alias:
+        df.createOrReplaceTempView(step.alias)
+        ctx.dataframes[step.alias] = df
+    return df
+
+
+def run_transform_steps(
+    ctx: StepContext, steps: list[TransformStep]
+) -> DataFrame | None:
+    """F14: run steps in order; the last select/python result is the pipeline
+
+    output (``airflow_etl.py:643-667``).
+    """
+    result: DataFrame | None = None
+    for step in steps:
+        if step.type == "select":
+            result = run_select_step(ctx, step)
+        elif step.type == "sql script":
+            run_sql_script_step(ctx, step)
+        elif step.type == "python":
+            result = run_python_step(ctx, step)
+        else:  # pragma: no cover - validated at config parse
+            raise ValueError(f"unknown step type {step.type!r}")
+    return result

@@ -1,0 +1,119 @@
+"""Journal→master merge protocol as oracle-checked queries (F19-F21).
+
+The fixtures carry no journal table, so one is derived deterministically
+from ``lineitem``: each line row is a "version" of its order —
+PK = l_orderkey, __transform_dt = l_shipdate, __load_dt = l_shipdate,
+__seqno = l_linenumber, __record_state = 'A' unless l_returnflag='R' (→'H').
+That reproduces the exact shape the reference merges
+(``airflow_etl.py:154-223``) including tie-breaking on colliding
+__transform_dt (many lines share a ship date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.merge import (
+    JournalSpec,
+    flip_journal_state,
+    merge_delta,
+    merge_full,
+)
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+_SPEC = JournalSpec(primary_key=("account_id",))
+
+_JOURNAL_SQL = """
+    SELECT l_orderkey AS account_id,
+           l_extendedprice AS balance,
+           l_shipdate AS __transform_dt,
+           l_shipdate AS __load_dt,
+           CAST(l_linenumber AS BIGINT) AS __seqno,
+           CASE WHEN l_returnflag = 'R' THEN 'H' ELSE 'A' END AS __record_state
+    FROM lineitem
+"""
+
+
+def _journal(spark: SparkSession) -> DataFrame:
+    return spark.sql(_JOURNAL_SQL)
+
+
+@query(
+    "f19_merge_full",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    ranked AS (
+        SELECT account_id, balance,
+               row_number() OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt DESC, __load_dt DESC, __seqno ASC
+               ) AS rnk
+        FROM journal
+    )
+    SELECT account_id, balance FROM ranked WHERE rnk = 1
+    """,
+)
+def f19_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 full merge (airflow_etl.py:154-178): master := latest version per
+
+    PK over ALL journal states, ordered __transform_dt DESC, __load_dt DESC,
+    __seqno ASC. One shuffle on the PK; AQE splits skewed keys."""
+    fixtures(spark, sf_dir)
+    return merge_full(_journal(spark), _SPEC)
+
+
+@query(
+    "f20_merge_delta",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    master AS (
+        SELECT o_orderkey AS account_id, o_totalprice AS balance FROM orders
+    ),
+    active AS (SELECT * FROM journal WHERE __record_state = 'A'),
+    kept AS (
+        SELECT m.* FROM master m
+        WHERE NOT EXISTS (SELECT 1 FROM active a WHERE a.account_id = m.account_id)
+    ),
+    upserts AS (
+        SELECT account_id, balance FROM (
+            SELECT account_id, balance,
+                   row_number() OVER (
+                       PARTITION BY account_id
+                       ORDER BY __transform_dt DESC, __load_dt DESC, __seqno ASC
+                   ) AS rnk
+            FROM active
+        ) WHERE rnk = 1
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM upserts
+    """,
+)
+def f20_merge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 delta merge / upsert (airflow_etl.py:179-214): delete master rows
+
+    whose PK has Active journal rows (anti-join), insert latest Active per
+    PK. Master here = orders (same key domain). The distinct-changed-keys
+    side is one load cycle — broadcastable at any realistic scale."""
+    fixtures(spark, sf_dir)
+    master = spark.sql(
+        "SELECT o_orderkey AS account_id, o_totalprice AS balance FROM orders"
+    )
+    return merge_delta(master, _journal(spark), _SPEC)
+
+
+@query(
+    "f21_state_flip",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL})
+    SELECT account_id, __seqno,
+           CASE WHEN __record_state = 'A' THEN 'H' ELSE __record_state END
+               AS __record_state
+    FROM journal
+    """,
+)
+def f21_state_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 journal state flip 'A'→'H' after merge (airflow_etl.py:216-223)."""
+    fixtures(spark, sf_dir)
+    return flip_journal_state(_journal(spark)).select(
+        "account_id", "__seqno", "__record_state"
+    )

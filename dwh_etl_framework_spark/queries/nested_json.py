@@ -1,0 +1,220 @@
+"""Nested/JSON/UDF/as-of/incremental operators R25-R29 (SURVEY.md §2b)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dwh_etl_framework_spark.operators.asof import asof_join
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+
+@query(
+    "r25_array_explode",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INTEGER) AS n_dims,
+               unnest(embedding) AS dim_value
+        FROM embeddings
+    )
+    SELECT vec_id, label, n_dims,
+           SUM(CAST(floor(CAST(dim_value AS DOUBLE) * CAST(dim_value AS DOUBLE)
+                          * 1e12) AS BIGINT)) AS sq_norm_fp
+    FROM dims
+    GROUP BY vec_id, label, n_dims
+    """,
+)
+def r25_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 array functions + explode over the ArrayType(FloatType) embedding
+
+    column: per-vector dimension count and fixed-point squared L2 norm. The
+    per-element square is double (IEEE-deterministic); the *reduction* is
+    exact int64 fixed-point (floor(x²·1e12)) so grouping order and engine
+    can't change the result (double→DECIMAL casts are not cross-engine
+    portable; see operators/similarity.FIXED_POINT_SCALE)."""
+    t = fixtures(spark, sf_dir)
+    exploded = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.explode("embedding").alias("dim_value"),
+    )
+    sq = F.col("dim_value").cast("double") * F.col("dim_value").cast("double")
+    return exploded.groupBy("vec_id", "label", "n_dims").agg(
+        F.sum(F.floor(sq * F.lit(1e12))).alias("sq_norm_fp")
+    )
+
+
+@query(
+    "r25b_array_transform",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_dim,
+           CAST(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1]
+                AS DOUBLE) AS first_dim_doubled,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def r25b_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 higher-order array functions (transform/filter) — JVM-side
+
+    lambda evaluation, no UDF."""
+    t = fixtures(spark, sf_dir)
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.col("embedding").getItem(0).cast("double").alias("first_dim"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0)
+        .getItem(0)
+        .cast("double")
+        .alias("first_dim_doubled"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "r26_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26 JSON extraction from the events.props payload
+
+    (get_json_object; from_json is exercised in streaming tests)."""
+    t = fixtures(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return t.events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "r27_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_now,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def r27_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R27 UDF surface (python-step generalization, airflow_etl.py:627-641):
+
+    an Arrow-batched pandas_udf computing token stats. The oracle proves the
+    UDF agrees with the equivalent SQL — the point is the UDF *plumbing*
+    (vectorized, not row-at-a-time). Document text is single-space-separated
+    so Python split(' ') ≡ SQL string_split."""
+    t = fixtures(spark, sf_dir)
+
+    @pandas_udf("n_chars_now int, n_tokens int, avg_token_len double")
+    def token_stats(text: pd.Series) -> pd.DataFrame:
+        toks = text.str.split(" ")
+        n_tokens = toks.str.len().astype("int32")
+        n_chars = text.str.len().astype("int32")
+        nonspace = text.str.replace(" ", "", regex=False).str.len()
+        return pd.DataFrame(
+            {
+                "n_chars_now": n_chars,
+                "n_tokens": n_tokens,
+                "avg_token_len": nonspace.astype("float64") / n_tokens,
+            }
+        )
+
+    return t.documents.select(
+        "doc_id", token_stats(F.col("text")).alias("s")
+    ).select("doc_id", "s.n_chars_now", "s.n_tokens", "s.avg_token_len")
+
+
+@query(
+    "r28_asof_join",
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_totalprice) AS day_max_price,
+               MAX(o_orderkey)   AS day_max_orderkey
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.o_orderdate AS asof_orderdate,
+           d.day_max_price, d.day_max_orderkey
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def r28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R28 as-of join (journal latest-before semantics generalized to event
+
+    time, airflow_etl.py:172): each event joins the latest order-day of the
+    same user at-or-before its timestamp. Right side is pre-aggregated to
+    unique (key, time) so the as-of pick is total-ordered. Implemented as a
+    single-shuffle union+window (operators/asof.py), matched against
+    DuckDB's native ASOF JOIN."""
+    t = fixtures(spark, sf_dir)
+    daily = t.orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_totalprice").alias("day_max_price"),
+        F.max("o_orderkey").alias("day_max_orderkey"),
+    )
+    left = t.events.select(
+        "event_id", "user_id", "ts", F.col("user_id").alias("o_custkey")
+    )
+    joined = asof_join(
+        left,
+        # carry the matched right time itself as payload too
+        daily.withColumn("asof_orderdate", F.col("o_orderdate")),
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["asof_orderdate", "day_max_price", "day_max_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "asof_orderdate", "day_max_price",
+        "day_max_orderkey",
+    )
+
+
+@query(
+    "r29_incremental_watermark",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate > (
+        SELECT MAX(l_shipdate) - INTERVAL 60 DAY FROM lineitem
+    )
+    """,
+)
+def r29_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R29 incremental "delta" slice by watermark (the reference declares
+
+    but never implements delta extract, airflow_etl.py:452-463): read only
+    rows newer than high-water-mark − 60 days. The scalar subquery computes
+    the watermark without any driver-side collect; on a date-partitioned
+    datalake table this prunes partitions."""
+    fixtures(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate > (
+            SELECT MAX(l_shipdate) - INTERVAL 60 DAY FROM lineitem
+        )
+        """
+    )

@@ -1,0 +1,102 @@
+"""Spark session lifecycle (reference parity: F26, connector.py:63-68).
+
+The reference wraps ``SparkSession.builder.getOrCreate()`` in a context
+manager and stops the session on exit. We keep that shape but bake in the
+scale-oriented defaults the reference silently inherits from Spark:
+
+- **AQE on** — runtime partition coalescing + skew-join splitting, the main
+  defense against skewed shuffle keys at 100 TB.
+- **UTC session timezone** — deterministic timestamp semantics regardless of
+  host tz (fixtures carry naive parquet timestamps).
+- **shuffle.partitions sized to the environment** — local runs use the core
+  count; a real cluster run would size this to ~2-3× total cores (AQE
+  coalesces the excess).
+- **Arrow enabled** — pandas_udf / mapInPandas batches move via Arrow.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs that every query in this engine assumes. Applied both when
+#: we build the session ourselves and (where settable at runtime) when the
+#: driver hands us an existing session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet columns outright; read them as
+    # ns-since-epoch longs instead (sources.registry converts to µs
+    # timestamps, matching DuckDB's ns→µs cast semantics).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The correctness driver owns its own SparkSession; timestamp/adaptive
+    semantics must not depend on how it was built.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
+
+
+class SessionFactory:
+    """Builder for engine sessions (F26)."""
+
+    def __init__(
+        self,
+        app_name: str = "dwh-etl-framework-spark",
+        master: str | None = None,
+        shuffle_partitions: int | None = None,
+        extra_confs: dict[str, str] | None = None,
+    ) -> None:
+        self.app_name = app_name
+        self.master = master or f"local[{_default_parallelism()}]"
+        self.shuffle_partitions = shuffle_partitions or _default_parallelism()
+        self.extra_confs = dict(extra_confs or {})
+
+    def build(self) -> SparkSession:
+        builder = (
+            SparkSession.builder.appName(self.app_name)
+            .master(self.master)
+            .config("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # Small local driver defaults; on a cluster these come from
+            # spark-submit. 128 MiB scan splits keep task counts sane at TB
+            # scale while still parallelizing local[32] over the fixtures.
+            .config("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        for key, value in RUNTIME_CONFS.items():
+            builder = builder.config(key, value)
+        for key, value in self.extra_confs.items():
+            builder = builder.config(key, value)
+        spark = builder.getOrCreate()
+        return apply_runtime_confs(spark)
+
+
+@contextmanager
+def get_session(**kwargs) -> Iterator[SparkSession]:
+    """Context-managed session, mirroring the reference's SparkConnector
+
+    (``connector.py:63-68``): ``getOrCreate`` on enter, ``stop()`` on exit.
+    """
+    spark = SessionFactory(**kwargs).build()
+    try:
+        yield spark
+    finally:
+        spark.stop()

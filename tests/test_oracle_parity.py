@@ -1,0 +1,78 @@
+"""Differential testing against DuckDB — the local mirror of the driver's
+
+correctness gate (SURVEY.md §5.1): for every registry query with an oracle,
+run the Spark plan and the DuckDB SQL on the same parquet and compare
+row-count + column names + values (order-insensitive, exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dwh_etl_framework_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+def _canon(value):
+    """Canonicalize one cell for comparison."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    if isinstance(value, bytes):
+        return value.hex()
+    if isinstance(value, list):
+        return tuple(_canon(v) for v in value)
+    return value
+
+
+def _rows(schema_names, rows):
+    order = sorted(range(len(schema_names)), key=lambda i: schema_names[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t),
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_oracle(spark, ddb, name):
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(qd.oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_rows = _rows(spark_cols, spark_rows)
+    d_rows = _rows(duck_cols, duck_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    """Queries without an oracle must still execute and return a stable schema."""
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_DIR)
+    assert sdf.columns
+    assert sdf.count() >= 0

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL plan through Spark's noop sink (no
+driver-side collect, no Python transfer — pure engine time). One untimed
+warm-up of a trivial query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dwh_etl_framework_spark.queries import QUERIES  # noqa: E402
+from dwh_etl_framework_spark.session import SessionFactory  # noqa: E402
+
+#: Headline set: one representative per operator family (SURVEY.md §2).
+HEADLINE = [
+    "r16_agg_pricing_summary",   # scan+filter+groupBy agg (flagship)
+    "r14_inner_join_agg",        # multi-join + agg
+    "r04_top1_per_group",        # window dedup (journal-merge core)
+    "r19_window_analytics",      # 5 window fns, shared shuffle
+    "f19_merge_full",            # journal full merge
+    "f20_merge_delta",           # journal delta merge (upsert)
+    "r28_asof_join",             # as-of join
+    "r30_tumbling_window",       # time-window agg
+    "r17_count_distinct",        # distinct agg
+    "r26_json_extract",          # JSON path extraction
+    "x01_exact_dedup",           # exact dedup
+    "x03_minhash_lsh",           # minhash+LSH near-dup discovery
+    "x05b_cosine_topk_fast",     # vector top-k (double fast path)
+    "x07_lang_id",               # text analysis map pass
+    "x10_fingerprint",           # md5 fingerprint + group
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = SessionFactory(app_name="dwh-etl-framework-spark-bench").build()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        df = QUERIES[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm-up: JVM + codegen + parquet footer caches (untimed)
+    QUERIES["r01_projection"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings = {name: round(run(name), 4) for name in HEADLINE}
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,13 +71,15 @@ def stamp_journal_columns(
     a monotonically-increasing per-partition id — unique, deterministic
     enough for tie-breaking, and embarrassingly parallel.
     """
+    if transform_dt is not None:
+        tdt = F.lit(transform_dt).cast("timestamp")
+    elif "__transform_dt" in df.columns:
+        # caller supplied per-row event time (e.g. streaming merge) — keep it
+        tdt = F.col("__transform_dt")
+    else:
+        tdt = F.current_timestamp()
     return (
-        df.withColumn(
-            "__transform_dt",
-            F.lit(transform_dt).cast("timestamp")
-            if transform_dt is not None
-            else F.current_timestamp(),
-        )
+        df.withColumn("__transform_dt", tdt)
         .withColumn(
             "__load_dt",
             F.lit(load_dt).cast("timestamp")

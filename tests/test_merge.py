@@ -1,0 +1,159 @@
+"""Journal-merge semantics (F19-F21) — property-style tests per SURVEY.md
+
+§5.2/§5.4: random journal histories vs a hand-computed Python oracle, plus
+edge cases (tie-breaking, all-historic, delta/full agreement).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.merge import (
+    JournalSpec,
+    flip_journal_state,
+    merge_delta,
+    merge_full,
+    stamp_journal_columns,
+)
+
+SPEC = JournalSpec(primary_key=("account_id", "balance_date"))
+T0 = datetime(2024, 1, 1)
+
+
+def make_journal(seed: int, n_keys: int = 40, max_versions: int = 5):
+    """Random history per FIXTURES.md §B: colliding __transform_dt on ~10%
+
+    of keys to exercise the __load_dt/__seqno tie-breakers."""
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+    for key in range(n_keys):
+        n_ver = rng.randint(1, max_versions)
+        collide = rng.random() < 0.3
+        for v in range(n_ver):
+            tdt = T0 + timedelta(hours=0 if collide else rng.randint(0, 100))
+            rows.append(
+                Row(
+                    account_id=key,
+                    balance_date=f"2024-01-{1 + key % 28:02d}",
+                    balance=float(rng.randint(0, 10_000)),
+                    __transform_dt=tdt,
+                    __load_dt=T0 + timedelta(minutes=rng.randint(0, 1000)),
+                    __seqno=(seq := seq + 1),
+                    __record_state=rng.choice(["A", "A", "A", "H"]),
+                )
+            )
+    return rows
+
+
+def python_latest(rows, states=None):
+    """Oracle: latest row per PK under (transform DESC, load DESC, seqno ASC)."""
+    best = {}
+    for r in rows:
+        if states is not None and r["__record_state"] not in states:
+            continue
+        k = (r.account_id, r.balance_date)
+        cand = (-r["__transform_dt"].timestamp(), -r["__load_dt"].timestamp(), r["__seqno"])
+        if k not in best or cand < best[k][0]:
+            best[k] = (cand, r)
+    return {k: v[1].balance for k, v in best.items()}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_merge_full_matches_python_oracle(spark, seed):
+    rows = make_journal(seed)
+    journal = spark.createDataFrame(rows)
+    got = {
+        (r.account_id, r.balance_date): r.balance
+        for r in merge_full(journal, SPEC).collect()
+    }
+    assert got == python_latest(rows)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_merge_delta_upserts_only_active(spark, seed):
+    rows = make_journal(seed)
+    journal = spark.createDataFrame(rows)
+    # master: stale value -1 for every key 0..19, plus key 999 untouched
+    master_rows = [
+        Row(account_id=k, balance_date=f"2024-01-{1 + k % 28:02d}", balance=-1.0)
+        for k in range(20)
+    ] + [Row(account_id=999, balance_date="2024-01-01", balance=-1.0)]
+    master = spark.createDataFrame(master_rows)
+    got = {
+        (r.account_id, r.balance_date): r.balance
+        for r in merge_delta(master, journal, SPEC).collect()
+    }
+    expected = {
+        (r.account_id, r.balance_date): r.balance for r in master_rows
+    }  # start from master…
+    expected.update(python_latest(rows, states={"A"}))  # …upsert latest Active
+    assert got == expected
+    assert got[(999, "2024-01-01")] == -1.0  # untouched key survives
+
+
+def test_full_and_delta_agree_from_empty_master(spark):
+    """On an all-Active journal, delta merge from empty master ≡ full merge."""
+    rows = [r for r in make_journal(7) ]
+    all_active = [
+        Row(**{**r.asDict(), "__record_state": "A"}) for r in rows
+    ]
+    journal = spark.createDataFrame(all_active)
+    empty_master = spark.createDataFrame([], merge_full(journal, SPEC).schema)
+    full = {(r.account_id, r.balance_date): r.balance
+            for r in merge_full(journal, SPEC).collect()}
+    delta = {(r.account_id, r.balance_date): r.balance
+             for r in merge_delta(empty_master, journal, SPEC).collect()}
+    assert full == delta
+
+
+def test_tie_breaking_exact_order(spark):
+    """Equal transform_dt → higher load_dt wins; equal both → LOWER seqno wins
+
+    (__seqno ASC — the reference's exact ordering, airflow_etl.py:172)."""
+    rows = [
+        Row(account_id=1, balance_date="d", balance=10.0,
+            __transform_dt=T0, __load_dt=T0, __seqno=5, __record_state="A"),
+        Row(account_id=1, balance_date="d", balance=20.0,
+            __transform_dt=T0, __load_dt=T0, __seqno=2, __record_state="A"),
+        Row(account_id=1, balance_date="d", balance=30.0,
+            __transform_dt=T0, __load_dt=T0 + timedelta(hours=1), __seqno=9,
+            __record_state="A"),
+        Row(account_id=2, balance_date="d", balance=40.0,
+            __transform_dt=T0, __load_dt=T0, __seqno=1, __record_state="H"),
+    ]
+    journal = spark.createDataFrame(rows)
+    got = {r.account_id: r.balance for r in merge_full(journal, SPEC).collect()}
+    # key 1: load_dt tie-break → balance 30; key 2: 'H' still counts in full
+    assert got == {1: 30.0, 2: 40.0}
+
+
+def test_state_flip(spark):
+    rows = [
+        Row(account_id=1, balance_date="d", balance=1.0,
+            __transform_dt=T0, __load_dt=T0, __seqno=1, __record_state="A"),
+        Row(account_id=2, balance_date="d", balance=2.0,
+            __transform_dt=T0, __load_dt=T0, __seqno=2, __record_state="H"),
+    ]
+    flipped = flip_journal_state(spark.createDataFrame(rows))
+    states = {r.account_id: r["__record_state"] for r in flipped.collect()}
+    assert states == {1: "H", 2: "H"}
+
+
+def test_stamp_journal_columns(spark):
+    df = spark.createDataFrame([Row(account_id=1, balance=5.0)])
+    stamped = stamp_journal_columns(df, datetime(2024, 6, 1), load_dt=T0)
+    row = stamped.collect()[0]
+    assert row["__record_state"] == "A"
+    assert row["__transform_dt"] == datetime(2024, 6, 1)
+    assert row["__load_dt"] == T0
+    assert isinstance(row["__seqno"], int)
+    # distinct seqnos across rows of one write
+    df2 = spark.createDataFrame([Row(account_id=i, balance=0.0) for i in range(50)])
+    seqnos = [r["__seqno"] for r in stamp_journal_columns(df2, T0, load_dt=T0).collect()]
+    assert len(set(seqnos)) == len(seqnos)

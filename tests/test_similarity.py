@@ -1,0 +1,96 @@
+"""Similarity search (X2): fast path ≡ exact path, LSH recall vs brute
+
+force, IVF recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators import similarity
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(embeddings):
+    return embeddings.filter(F.col("vec_id") == 0)
+
+
+def test_fast_and_exact_topk_agree(spark, embeddings, query_vec):
+    others = embeddings.filter(F.col("vec_id") != 0)
+    fast = [r.vec_id for r in similarity.brute_force_topk(others, query_vec, k=10).collect()]
+    exact = [r.vec_id for r in
+             similarity.brute_force_topk(others, query_vec, k=10, exact=True).collect()]
+    assert fast == exact
+
+
+def test_brute_force_self_similarity(spark, embeddings):
+    """cosine(v, v) = 1 — the query vector itself ranks first when included."""
+    q = embeddings.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(embeddings, q, k=1).collect()[0]
+    assert top.vec_id == 0
+    assert top.cosine_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def _brute_force_pairs(embeddings, threshold):
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cs", similarity.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cs") >= threshold)
+            .collect()
+        )
+    }
+
+
+@pytest.fixture(scope="module")
+def near_dup_vectors(spark):
+    """The fixture embeddings have no near-dups (max pair cosine ≈ 0.5), so
+
+    synthesize: 150 seeded random base vectors + 40 perturbed copies with
+    cosine ≥ ~0.99 to their base."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(150, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(150)]
+    for j in range(40):
+        noisy = base[j] + rng.normal(scale=0.03, size=64).astype("float32")
+        rows.append((1000 + j, noisy.astype("float32").tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_near_dup_recall(spark, near_dup_vectors):
+    truth = _brute_force_pairs(near_dup_vectors, 0.9)
+    assert len(truth) >= 35  # the 40 planted pairs (minus any noise outliers)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_near_dup_pairs(
+            near_dup_vectors, dim=64, n_planes=12, n_tables=3, threshold=0.9
+        ).collect()
+    }
+    assert not (got - truth), "bucketed pairs are exact-verified: no false positives"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8 ({len(got)}/{len(truth)})"
+
+
+def test_ivf_topk_overlaps_brute_force(spark, embeddings, query_vec):
+    others = embeddings.filter(F.col("vec_id") != 0)
+    truth = [r.vec_id for r in similarity.brute_force_topk(others, query_vec, k=10).collect()]
+    centroids = embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    got = [r.vec_id for r in
+           similarity.ivf_topk(others, query_vec, centroids, k=10, n_probe=4).collect()]
+    overlap = len(set(got) & set(truth))
+    assert overlap >= 3, f"IVF(4/16 probes) overlap with exact top-10 too low: {overlap}"

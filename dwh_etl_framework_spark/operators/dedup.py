@@ -166,9 +166,12 @@ def lsh_candidate_pairs(
     ever compared: the all-pairs O(n²) never materializes.
     """
     k = bands * rows_per_band
+    # Band table WITHOUT the signature payload: the 16× band explode and the
+    # band self-join shuffle only (id, band_idx, band_hash) — 24 bytes/row —
+    # instead of dragging the k-wide signature array through both (the
+    # difference between shuffling ~100 B/doc and ~8 KB/doc at corpus scale).
     banded = signatures.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -182,23 +185,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("signature").alias("sig_a"),
-        "band_idx",
-        "band_hash",
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("signature").alias("sig_b"),
-        "band_idx",
-        "band_hash",
-    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     cands = (
         a.join(b, on=["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # signatures joined back once per side, only for surviving candidates
+    sig_a = signatures.select(
+        F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b")
     )
     est = F.size(
         F.filter(
@@ -207,7 +207,9 @@ def lsh_candidate_pairs(
         )
     ).cast("double") / F.lit(float(k))
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -11,6 +11,9 @@ from dwh_etl_framework_spark.queries.registry import QUERIES, QueryDef, fixtures
 from dwh_etl_framework_spark.queries import relational_core  # noqa: F401
 from dwh_etl_framework_spark.queries import relational_agg  # noqa: F401
 from dwh_etl_framework_spark.queries import relational_fns  # noqa: F401
+from dwh_etl_framework_spark.queries import relational_more  # noqa: F401
+from dwh_etl_framework_spark.queries import relational_fns2  # noqa: F401
+from dwh_etl_framework_spark.queries import python_exec  # noqa: F401
 from dwh_etl_framework_spark.queries import nested_json  # noqa: F401
 from dwh_etl_framework_spark.queries import merge_protocol  # noqa: F401
 from dwh_etl_framework_spark.queries import windows_batch  # noqa: F401

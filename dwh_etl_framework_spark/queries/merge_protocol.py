@@ -29,7 +29,11 @@ _JOURNAL_SQL = """
            l_extendedprice AS balance,
            l_shipdate AS __transform_dt,
            l_shipdate AS __load_dt,
-           CAST(l_linenumber AS BIGINT) AS __seqno,
+           -- (orderkey, linenumber, shipdate) is NOT unique in the synthetic
+           -- fixture; fold the payload into the seqno so the merge ordering
+           -- is total (floor(price*100) is IEEE-identical in both engines)
+           CAST(l_linenumber AS BIGINT) * 10000000000
+               + CAST(floor(l_extendedprice * 100) AS BIGINT) AS __seqno,
            CASE WHEN l_returnflag = 'R' THEN 'H' ELSE 'A' END AS __record_state
     FROM lineitem
 """

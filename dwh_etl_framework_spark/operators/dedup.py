@@ -36,12 +36,27 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, " +", " ")))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-partition-count input up to the session's core
+
+    count. Fixture-scale single-file inputs otherwise run every downstream
+    explode/agg on one task; at corpus scale inputs already arrive in many
+    splits and this is a no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def word_shingles(col: Column, n: int = 3, tokens_precomputed: bool = False) -> Column:
     """Distinct word n-gram shingles of a text column, as an array.
 
-    ``transform(sequence(...))`` is JVM-side; no explode until the caller
-    decides to."""
-    toks = F.split(col, " ")
+    ``col`` is the raw text (split here) or an already-split token array
+    (``tokens_precomputed=True`` — IMPORTANT for cost: a lambda over a
+    split() expression re-evaluates the split per element_at; callers that
+    explode should materialize the token array as a column first, as
+    shingle_table does)."""
+    toks = col if tokens_precomputed else F.split(col, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
@@ -69,9 +84,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded table of distinct word n-grams."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) exploded table of distinct word n-grams.
+
+    Tokens are materialized as a column before the shingle lambda so the
+    split() runs once per document, not once per element_at."""
+    toks = _spread(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col("__toks"), n, tokens_precomputed=True)
+        ).alias("shingle"),
     ).filter(F.col("shingle") != "")
 
 
@@ -222,7 +246,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tokens + 64 conditional sums in a single groupBy pass, then the bits
     are reassembled into one BIGINT.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [

@@ -76,9 +76,10 @@ class SessionFactory:
             .master(self.master)
             .config("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            # Small local driver defaults; on a cluster these come from
-            # spark-submit. 128 MiB scan splits keep task counts sane at TB
-            # scale while still parallelizing local[32] over the fixtures.
+            # 128 MiB scan splits (Spark default, made explicit): measured at
+            # sf0.1 that smaller splits don't move wall-clock — the per-query
+            # constant is codegen, not scan parallelism — while at TB scale
+            # small splits would only add task-scheduling overhead.
             .config("spark.sql.files.maxPartitionBytes", "134217728")
         )
         for key, value in RUNTIME_CONFS.items():

@@ -1,0 +1,61 @@
+"""Custom stateful streaming operator (R33 "custom stateful operators"):
+
+a per-key running aggregator via ``applyInPandasWithState`` — the escape
+hatch for stateful semantics Spark's built-in windowed aggs can't express
+(running counters with custom merge logic, decaying scores, per-entity
+sessionization with business rules...).
+
+State model: one (count, total) pair per user_id, updated per micro-batch,
+emitted as an update row each time the key appears. GroupStateTimeout can
+evict idle keys; at 100 TB/day the state store shards by key hash across
+executors, so the operator scales with the cluster like any keyed agg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_running_totals(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_per_user(events: DataFrame) -> DataFrame:
+    """Continuously-updated (count, total) per user. Works only on streaming
+
+    DataFrames; the batch equivalent is a plain groupBy (tests compare the
+    two — stream/batch unification again)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

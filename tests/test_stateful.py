@@ -1,0 +1,51 @@
+"""applyInPandasWithState custom stateful operator: the final per-key state
+
+after replaying the fixture must equal the batch groupBy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.streaming.stateful import running_totals_per_user
+from dwh_etl_framework_spark.streaming.windows import events_file_stream
+
+from conftest import SF_DIR
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    # stream: capture the LAST update per user across micro-batches
+    latest: dict[int, tuple[int, float]] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    stream = events_file_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        running_totals_per_user(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, total) in batch.items():
+        sn, stotal = latest[uid]
+        assert sn == n
+        assert stotal == pytest.approx(total, rel=1e-9)

@@ -37,10 +37,12 @@ HEADLINE = [
     "r17_count_distinct",        # distinct agg
     "r26_json_extract",          # JSON path extraction
     "x01_exact_dedup",           # exact dedup
+    "x02_ngram_jaccard",         # exact shingle-join Jaccard (verify tier)
     "x03_minhash_lsh",           # minhash+LSH near-dup discovery
     "x05b_cosine_topk_fast",     # vector top-k (double fast path)
     "x07_lang_id",               # text analysis map pass
     "x10_fingerprint",           # md5 fingerprint + group
+    "x15_tfidf",                 # tf-idf scoring (explode + 3 joins)
 ]
 
 

@@ -258,3 +258,29 @@ def r02b_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      AS DOUBLE) / COUNT(*) AS DOUBLE) FROM orders)
         """
     )
+
+
+@query(
+    "r18c_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def r18c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18 explicit GROUPING SETS (neither pure ROLLUP nor CUBE) through the
+
+    SQL-step surface."""
+    fixtures(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -78,17 +78,17 @@ def load_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """Materialize a SourceSpec as a (lazy) DataFrame scan."""
     fmt = spec.format.lower()
     if fmt == "jdbc":
+        if spec.partition_column is not None and spec.query:
+            raise ValueError(
+                "partitioned jdbc reads require dbtable (Spark restriction); "
+                "wrap the query as a subquery alias in dbtable"
+            )
         reader = spark.read.format("jdbc").option("url", spec.url)
         if spec.query:
             reader = reader.option("query", spec.query)
         else:
             reader = reader.option("dbtable", spec.dbtable)
         if spec.partition_column is not None:
-            if spec.query:
-                raise ValueError(
-                    "partitioned jdbc reads require dbtable (Spark restriction); "
-                    "wrap the query as a subquery alias in dbtable"
-                )
             reader = (
                 reader.option("partitionColumn", spec.partition_column)
                 .option("lowerBound", str(spec.lower_bound))

@@ -42,6 +42,7 @@ class Pipeline:
     table: TableConfig
     variable_resolver: object = None
     checkpoint_mode: str = "persist"
+    sql_base_dir: str | None = None  # sql_file step paths resolve against this
     journal: DataFrame | None = None
     master: DataFrame | None = None
     _seqno: int = field(default=0)
@@ -73,6 +74,7 @@ class Pipeline:
                 self.table.parameters, self.variable_resolver
             ),
             dataframes=dict(),
+            sql_base_dir=self.sql_base_dir,
             checkpoint_mode=self.checkpoint_mode,
         )
         result = run_transform_steps(ctx, list(self.table.steps_for(read_mode)))

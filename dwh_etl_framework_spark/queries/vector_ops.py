@@ -84,7 +84,11 @@ def x06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     random-hyperplane LSH buckets — exact cosine only inside buckets.
     No oracle (bucket assignment is implementation-defined);
-    tests/test_similarity.py checks recall against brute force."""
+    tests/test_similarity.py checks recall ≥ 0.8 against brute force on
+    planted near-duplicates. NOTE: on the driver fixtures this returns 0
+    rows BY DESIGN — the synthetic embeddings' max pairwise cosine is ≈0.5,
+    i.e. the corpus genuinely has no near-dups; the operator's behavior is
+    proven by the planted-duplicate test."""
     t = fixtures(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
         t.embeddings, dim=_DIM, n_planes=12, n_tables=3, threshold=0.9

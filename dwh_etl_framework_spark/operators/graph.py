@@ -1,0 +1,98 @@
+"""Connected components over a pair graph (dedup clustering).
+
+Near-dup detection yields PAIRS; deletion policy needs CLUSTERS (keep one
+doc per component). This is iterative min-label propagation on DataFrames —
+the standard Pregel-style pattern:
+
+    label(v) ← min(label(v), min over neighbors' labels); repeat to fixpoint
+
+Each iteration is one join + one aggregation (all distributed); the driver
+only checks a scalar convergence count. Iterations are bounded by the
+graph diameter — for dedup graphs (small dense clusters) that's tiny.
+``localCheckpoint`` per iteration truncates lineage so plans don't grow
+exponentially.
+
+At 100 TB: edges ≪ corpus (only near-dup pairs), so each iteration shuffles
+the edge list + current labels — the classic large-graph CC on Spark
+(alternating large-star/small-star would cut iterations further if
+diameters ever get large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is an undirected pair list; isolated nodes of the corpus are
+    not included (callers union them back with label=their own id).
+    """
+    # undirected: materialize both directions once
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    both = fwd.unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbor's current label, pulled across each edge
+        neighbor_labels = (
+            both.join(labels, both.v == labels.node)
+            .select(F.col("u").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Full clustering for dedup: every id gets a cluster (= min reachable
+
+    id; singletons map to themselves) plus a keep/drop flag (keep the
+    cluster's minimum id — the survivor policy exact_dedup uses)."""
+    cc = connected_components(pairs, src, dst)
+    out = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(cc, on="node", how="left")
+        .withColumn("cluster", F.coalesce("component", F.col("node")))
+        .select(
+            F.col("node").alias(id_col),
+            "cluster",
+            (F.col("node") == F.col("cluster")).alias("is_survivor"),
+        )
+    )
+    return out

@@ -133,6 +133,28 @@ def merge_delta(
     return kept.unionByName(upserts)
 
 
+def compact_journal(
+    journal: DataFrame, spec: JournalSpec, keep_versions: int = 1
+) -> DataFrame:
+    """Journal maintenance: keep only the newest ``keep_versions`` rows per
+
+    PK, dropping consumed history. The reference's journal grows without
+    bound (nothing ever deletes 'H' rows, ``airflow_etl.py:154-223``); at
+    100 TB the periodic rewrite journal → compact(journal) is what keeps
+    merge input proportional to the key count, not to all history. Same
+    single PK-shuffle plan shape as the merges; a full merge over the
+    compacted journal equals one over the original by construction (rank
+    order is preserved)."""
+    w = Window.partitionBy(*[F.col(c) for c in spec.primary_key]).orderBy(
+        *spec.order_cols()
+    )
+    return (
+        journal.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= keep_versions)
+        .drop("__rnk")
+    )
+
+
 def flip_journal_state(journal: DataFrame) -> DataFrame:
     """F21: mark consumed rows historic: 'A' → 'H'
 

@@ -121,3 +121,33 @@ def f21_state_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flip_journal_state(_journal(spark)).select(
         "account_id", "__seqno", "__record_state"
     )
+
+
+@query(
+    "f22_journal_compaction",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    ranked AS (
+        SELECT account_id, balance, __seqno, __record_state,
+               row_number() OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt DESC, __load_dt DESC, __seqno ASC
+               ) AS rnk
+        FROM journal
+    )
+    SELECT account_id, balance, __seqno, __record_state
+    FROM ranked WHERE rnk <= 2
+    """,
+)
+def f22_journal_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journal compaction (operators/merge.compact_journal): retain the 2
+
+    newest versions per PK, dropping older history — the maintenance pass
+    that bounds merge input at scale (the reference never deletes journal
+    rows)."""
+    from dwh_etl_framework_spark.operators.merge import compact_journal
+
+    fixtures(spark, sf_dir)
+    return compact_journal(_journal(spark), _SPEC, keep_versions=2).select(
+        "account_id", "balance", "__seqno", "__record_state"
+    )

@@ -108,3 +108,54 @@ def x18_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(left, right, on=["c_custkey"], num_salts=8).select(
         "event_id", "user_id", "value", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "r25d_array_set_ops",
+    oracle="""
+    WITH pairs AS (
+        SELECT p1.p_partkey AS k1, p2.p_partkey AS k2,
+               string_split(p1.p_name, ' ') AS w1,
+               string_split(p2.p_name, ' ') AS w2
+        FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+        WHERE p1.p_partkey < 100
+    )
+    SELECT k1, k2,
+           -- empty set-op results surface as NULL in this DuckDB build where
+           -- Spark's array_join gives '' — coalesce to match
+           COALESCE(array_to_string(list_sort(list_intersect(w1, w2)), ','), '')
+               AS common_words,
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(w1, w2))),
+               ','), '') AS all_words,
+           COALESCE(array_to_string(list_sort(list_filter(w1,
+               x -> NOT list_contains(w2, x))), ','), '') AS only_in_first
+    FROM pairs
+    """,
+)
+def r25d_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 array set operations (intersect/union/except) on token arrays of
+
+    adjacent parts. Results are sorted then joined to strings: Spark and
+    DuckDB order set-op outputs differently, so raw arrays would
+    hash-mismatch even with equal contents."""
+    t = fixtures(spark, sf_dir)
+    p1 = t.part.filter(F.col("p_partkey") < 100).select(
+        F.col("p_partkey").alias("k1"), F.split("p_name", " ").alias("w1")
+    )
+    p2 = t.part.select(
+        F.col("p_partkey").alias("k2"), F.split("p_name", " ").alias("w2")
+    )
+    pairs = p1.join(p2, F.col("k2") == F.col("k1") + 1)
+    return pairs.select(
+        "k1",
+        "k2",
+        F.array_join(F.array_sort(F.array_intersect("w1", "w2")), ",").alias(
+            "common_words"
+        ),
+        F.array_join(F.array_sort(F.array_union("w1", "w2")), ",").alias(
+            "all_words"
+        ),
+        F.array_join(F.array_sort(F.array_except("w1", "w2")), ",").alias(
+            "only_in_first"
+        ),
+    )

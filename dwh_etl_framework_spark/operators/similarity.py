@@ -143,7 +143,8 @@ def lsh_near_dup_pairs(
 
     (n_tables independent tables to boost recall), exact cosine only inside
     buckets, keep pairs ≥ threshold."""
-    with_buckets = embeddings.select(
+    with_buckets_src = embeddings
+    with_buckets = with_buckets_src.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(
@@ -154,7 +155,7 @@ def lsh_near_dup_pairs(
                 ]
             )
         ).alias("table_idx", "bucket"),
-    )
+    ).localCheckpoint(eager=True)  # referenced by both join sides
     a = with_buckets.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         "table_idx", "bucket",

@@ -90,6 +90,12 @@ class TransformStep:
     sql: str | None = None
     sql_file: str | None = None
     python: str | None = None  # registry key for python steps
+    #: 'spark' executes in the session (F7); 'pushdown' ships the SQL to an
+    #: external engine over JDBC and pulls the result (F8 — the reference's
+    #: engine='greenplum', airflow_etl.py:252-260). pushdown needs
+    #: ``connection`` = a key into StepContext.connections.
+    engine: str = "spark"
+    connection: str | None = None
     cache: bool = False
     cache_dir: str | None = None
     alias: str | None = None
@@ -99,6 +105,10 @@ class TransformStep:
             raise ValueError(
                 f"invalid step type {self.type!r}; expected one of {VALID_STEP_TYPES}"
             )
+        if self.engine not in ("spark", "pushdown"):
+            raise ValueError(f"invalid step engine {self.engine!r}")
+        if self.engine == "pushdown" and not self.connection:
+            raise ValueError("pushdown step needs a 'connection' key")
         if self.type in ("select", "sql script") and not (self.sql or self.sql_file):
             raise ValueError(f"{self.type} step needs sql or sql_file")
         if self.type == "python" and not self.python:
@@ -147,6 +157,8 @@ def _parse_step(raw: Mapping) -> TransformStep:
         sql=raw.get("sql"),
         sql_file=raw.get("sql_file") or raw.get("sql-file"),
         python=raw.get("python") or raw.get("python-file"),
+        engine=raw.get("engine", "spark"),
+        connection=raw.get("connection"),
         cache=bool(raw.get("cache", False)),
         cache_dir=raw.get("cache_dir"),
         alias=raw.get("alias"),

@@ -43,6 +43,7 @@ class Pipeline:
     variable_resolver: object = None
     checkpoint_mode: str = "persist"
     sql_base_dir: str | None = None  # sql_file step paths resolve against this
+    connections: dict = field(default_factory=dict)  # F8/F25 jdbc registry
     journal: DataFrame | None = None
     master: DataFrame | None = None
     _seqno: int = field(default=0)
@@ -76,6 +77,7 @@ class Pipeline:
             dataframes=dict(),
             sql_base_dir=self.sql_base_dir,
             checkpoint_mode=self.checkpoint_mode,
+            connections=self.connections,
         )
         result = run_transform_steps(ctx, list(self.table.steps_for(read_mode)))
         if result is None:
@@ -140,3 +142,43 @@ def _system_cols() -> list[str]:
     from dwh_etl_framework_spark.operators.merge import SYSTEM_COLS
 
     return list(SYSTEM_COLS)
+
+
+def run_pipeline_config(
+    spark: SparkSession,
+    config,
+    read_mode: str = "full",
+    write_mode: str = "append",
+    merge_mode: str = "full",
+    transform_dt=None,
+    variable_resolver=None,
+    sql_base_dir: str | None = None,
+    connections: dict | None = None,
+) -> dict[str, "Pipeline"]:
+    """Run every table of a PipelineConfig in declaration order — the
+
+    reference's table-config loop (``airflow_etl.py:687``). Each table's
+    master is registered as a temp view named after its target (dots →
+    underscores), so later tables can depend on earlier ones' outputs —
+    the multi-table DWH layering (staging → marts) the reference's
+    config.yaml encodes.
+    """
+    pipelines: dict[str, Pipeline] = {}
+    for table in config.tables:
+        pipe = Pipeline(
+            spark=spark,
+            table=table,
+            variable_resolver=variable_resolver,
+            sql_base_dir=sql_base_dir,
+            connections=dict(connections or {}),
+        )
+        master = pipe.run(
+            read_mode=read_mode,
+            write_mode=write_mode,
+            merge_mode=merge_mode,
+            transform_dt=transform_dt,
+        )
+        if master is not None:
+            master.createOrReplaceTempView(table.target.replace(".", "_"))
+        pipelines[table.target] = pipe
+    return pipelines

@@ -48,6 +48,10 @@ class StepContext:
     sql_base_dir: str | Path | None = None
     checkpoint_mode: str = "persist"  # persist | local | parquet
     checkpoint_dir: str | None = None
+    #: named JDBC connections for engine='pushdown' steps (F8): key →
+    #: {"url": ..., "options": {...}} — the Spark-native form of the
+    #: reference's Airflow connection Variables (connector.py:6-17)
+    connections: Mapping[str, Mapping] = field(default_factory=dict)
 
 
 def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataFrame:
@@ -66,9 +70,34 @@ def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataF
 
 
 def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
-    """F11: fill params → ``spark.sql`` → optional cache+view."""
+    """F11: fill params → execute → optional cache+view.
+
+    engine='spark' runs in the session (F7); engine='pushdown' ships the
+    SQL to the named JDBC connection and pulls the result (F8, the
+    reference's engine='greenplum' branch, airflow_etl.py:252-260)."""
     sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
-    df = ctx.spark.sql(sql)
+    if step.engine == "pushdown":
+        try:
+            conn = ctx.connections[step.connection]
+        except KeyError:
+            raise KeyError(
+                f"pushdown step references unknown connection "
+                f"{step.connection!r}; known: {sorted(ctx.connections)}"
+            ) from None
+        from dwh_etl_framework_spark.sources.registry import SourceSpec, load_source
+
+        df = load_source(
+            ctx.spark,
+            SourceSpec(
+                alias=step.alias or "__pushdown",
+                format="jdbc",
+                url=conn["url"],
+                query=sql,
+                options=dict(conn.get("options", {})),
+            ),
+        )
+    else:
+        df = ctx.spark.sql(sql)
     if step.cache or step.cache_dir:
         if step.cache_dir:
             # explicit cache_dir forces a durable parquet checkpoint, like the

@@ -164,3 +164,23 @@ def flip_journal_state(journal: DataFrame) -> DataFrame:
         STATE_COL,
         F.when(F.col(STATE_COL) == "A", F.lit("H")).otherwise(F.col(STATE_COL)),
     )
+
+
+def scd2_intervals(journal: DataFrame, spec: JournalSpec) -> DataFrame:
+    """Type-2 slowly-changing-dimension view of the journal: each version
+
+    becomes a validity interval [valid_from, valid_to) with an is_current
+    flag — the history table the reference's journal *almost* is (it keeps
+    versions but never derives intervals; SURVEY §2a F19 note). One window
+    over the PK ordered by the merge ordering ASCENDING: valid_from =
+    version's __transform_dt, valid_to = next version's (NULL when open).
+    Same single PK-shuffle shape as the merges."""
+    w = Window.partitionBy(*[F.col(c) for c in spec.primary_key]).orderBy(
+        F.col("__transform_dt").asc(), F.col("__load_dt").asc(), F.col("__seqno").desc()
+    )
+    return (
+        journal.withColumn("valid_from", F.col("__transform_dt"))
+        .withColumn("valid_to", F.lead("__transform_dt").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(*SYSTEM_COLS)
+    )

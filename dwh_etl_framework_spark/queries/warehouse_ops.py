@@ -1,0 +1,87 @@
+"""Warehouse maintenance queries: SCD2 history intervals (f23) and the
+
+data-quality report (x23) — both oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.merge import scd2_intervals
+from dwh_etl_framework_spark.operators import quality
+from dwh_etl_framework_spark.queries.merge_protocol import _JOURNAL_SQL, _SPEC, _journal
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+
+@query(
+    "f23_scd2_intervals",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL})
+    SELECT account_id, balance,
+           __transform_dt AS valid_from,
+           lead(__transform_dt) OVER (
+               PARTITION BY account_id
+               ORDER BY __transform_dt ASC, __load_dt ASC, __seqno DESC
+           ) AS valid_to,
+           lead(__transform_dt) OVER (
+               PARTITION BY account_id
+               ORDER BY __transform_dt ASC, __load_dt ASC, __seqno DESC
+           ) IS NULL AS is_current
+    FROM journal
+    """,
+)
+def f23_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: every journal version becomes a validity interval
+
+    [valid_from, valid_to) with is_current on the open one
+    (operators/merge.scd2_intervals) — the history table the reference's
+    journal implies but never derives."""
+    fixtures(spark, sf_dir)
+    return scd2_intervals(_journal(spark), _SPEC).select(
+        "account_id", "balance", "valid_from", "valid_to", "is_current"
+    )
+
+
+@query(
+    "x23_quality_report",
+    oracle="""
+    SELECT 'not_null' AS check, 'o_custkey' AS column,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+           COUNT(*) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'not_null', 'o_orderdate',
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_key', 'o_orderkey',
+           COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+           )), 0),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'referential', 'o_custkey->c_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'range', 'o_totalprice',
+           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+               THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+    """,
+)
+def x23_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): not-null, unique-key,
+
+    referential-integrity and range checks over orders, one report row per
+    check — the pre-merge guardrail a production DWH runs every load."""
+    t = fixtures(spark, sf_dir)
+    return quality.quality_report(
+        quality.not_null_check(t.orders, ["o_custkey", "o_orderdate"]),
+        quality.unique_key_check(t.orders, ["o_orderkey"]),
+        quality.referential_check(t.orders, t.customer, "o_custkey", "c_custkey"),
+        quality.range_check(t.orders, "o_totalprice", 0, 1_000_000),
+    )

@@ -1,0 +1,67 @@
+"""Range (interval) join without a theta join (SURVEY §2b R28-adjacent).
+
+Joining facts to interval dimensions (``lo <= x < hi``) is a classic Spark
+pain point: the naive formulation is a BroadcastNestedLoopJoin (O(n·m))
+because there's no equality key. This operator manufactures one: intervals
+are exploded into fixed-width buckets, facts hash to their bucket, and the
+join becomes an equi-join on bucket + a residual BETWEEN filter.
+
+Cost: |intervals| × (width/bucket) replicated rows (small — dimension side)
+buys an O(n) shuffle-hash join on the fact side. Bucket width should be
+chosen ≈ median interval length; wider intervals just replicate a few more
+rows. This is the standard banding trick (same family as the LSH bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__range_bucket"
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to interval rows with ``lo <= value < hi``.
+
+    Both sides may have arbitrary payload columns; the bucket key is
+    internal. ``how='left'`` keeps unmatched facts (NULL interval payload).
+    """
+    f_b = facts.withColumn(
+        _BUCKET, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    i_b = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                # hi is exclusive: a hi exactly on a bucket boundary does not
+                # reach into that bucket
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
+                ).cast("long"),
+            )
+        ),
+    )
+    joined = f_b.join(i_b, on=_BUCKET, how="inner").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    if how == "inner":
+        return joined.drop(_BUCKET)
+    if how == "left":
+        matched = joined.drop(_BUCKET)
+        missing = facts.join(
+            matched.select(*facts.columns).distinct(), on=facts.columns, how="left_anti"
+        )
+        for c in intervals.columns:
+            if c not in missing.columns:
+                missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+        return matched.unionByName(missing.select(*matched.columns))
+    raise ValueError(f"unsupported how={how!r}")

@@ -20,6 +20,7 @@ from dwh_etl_framework_spark.queries import curation  # noqa: F401
 from dwh_etl_framework_spark.queries import clustering  # noqa: F401
 from dwh_etl_framework_spark.queries import event_analytics  # noqa: F401
 from dwh_etl_framework_spark.queries import warehouse_ops  # noqa: F401
+from dwh_etl_framework_spark.queries import wave5  # noqa: F401
 from dwh_etl_framework_spark.queries import nested_json  # noqa: F401
 from dwh_etl_framework_spark.queries import merge_protocol  # noqa: F401
 from dwh_etl_framework_spark.queries import windows_batch  # noqa: F401

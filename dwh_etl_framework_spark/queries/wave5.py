@@ -107,3 +107,54 @@ def r24e_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p50_p90_p99"
         )
     )
+
+
+@query(
+    "x26_date_dimension",
+    oracle="""
+    SELECT CAST(d AS DATE) AS date_key,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(dayofmonth(d) AS INTEGER) AS day,
+           CAST(quarter(d) AS INTEGER) AS quarter,
+           CAST(weekofyear(d) AS INTEGER) AS iso_week,
+           CAST(dayofweek(d) + 1 AS INTEGER) AS dow_sunday1,
+           dayofweek(d) IN (0, 6) AS is_weekend,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           last_day(CAST(d AS DATE)) AS month_end
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    """,
+)
+def x26_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension (calendar spine) — the conformed dimension
+
+    every DWH needs and the reference never builds: sequence() + explode
+    generates it *in-engine* (no source table), with the standard calendar
+    attributes. At scale this materializes once and broadcasts everywhere."""
+    fixtures(spark, sf_dir)
+    d = F.col("date_key")
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1996-12-31").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("date_key")
+        )
+        .select(
+            "date_key",
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"),
+            F.quarter(d).alias("quarter"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofweek(d).alias("dow_sunday1"),
+            F.dayofweek(d).isin(1, 7).alias("is_weekend"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+        )
+    )

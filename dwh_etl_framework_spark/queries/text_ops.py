@@ -8,7 +8,7 @@ tokenization is identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.queries.registry import fixtures, query
@@ -163,4 +163,45 @@ def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+@query(
+    "x27_vocabulary",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counted AS (
+        SELECT term, COUNT(*) AS term_freq FROM toks
+        WHERE term NOT IN ('the', 'a', 'of', 'and', 'is')
+        GROUP BY term
+    )
+    SELECT term, term_freq,
+           CAST(row_number() OVER (ORDER BY term_freq DESC, term ASC) AS INTEGER)
+               AS rank
+    FROM counted
+    ORDER BY term_freq DESC, term ASC
+    LIMIT 30
+    """,
+)
+def x27_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 corpus vocabulary: top-30 terms by frequency after stopword
+
+    removal — the first artifact of tokenizer training. Explode + one
+    count shuffle + TakeOrderedAndProject; total order via (freq DESC,
+    term ASC)."""
+    t = fixtures(spark, sf_dir)
+    stop = ("the", "a", "of", "and", "is")
+    counted = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(~F.col("term").isin(*stop))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .orderBy(F.col("term_freq").desc(), F.col("term").asc())
+        .limit(30)
     )

@@ -43,6 +43,11 @@ HEADLINE = [
     "x07_lang_id",               # text analysis map pass
     "x10_fingerprint",           # md5 fingerprint + group
     "x15_tfidf",                 # tf-idf scoring (explode + 3 joins)
+    "x20_dedup_clusters",        # connected-components dedup clustering
+    "x21_funnel",                # funnel conversion (event analytics)
+    "x23_quality_report",        # data-quality gate (4 checks, one pass)
+    "x24_range_join",            # interval join via bucket expansion
+    "x26_date_dimension",        # generated calendar spine
 ]
 
 

@@ -54,6 +54,15 @@ def asof_join(
         if right_payload is not None
         else [c for c in right.columns if c not in on and c != right_time]
     )
+    clash = [c for c in payload if c in left.columns]
+    if clash:
+        # silently overwriting left columns would drop the left side's data;
+        # make the caller rename/exclude explicitly (pandas merge_asof would
+        # suffix — here an explicit alias keeps plans self-documenting)
+        raise ValueError(
+            f"right payload columns {clash} collide with left columns; "
+            "rename them or pass right_payload excluding them"
+        )
 
     r_tagged = right.select(
         *on,

@@ -199,7 +199,9 @@ def lsh_candidate_pairs(
     similarity as the fraction of matching minhashes. Only candidates are
     ever compared: the all-pairs O(n²) never materializes.
     """
-    k = bands * rows_per_band
+    # est_jaccard divides by the ACTUAL signature length (not bands×rows):
+    # a k=128 signature banded as 16×4 would otherwise estimate up to 2.0
+    # and band over only half the signature. Guard the banding range too.
     # The signature table is referenced three times below (band explode +
     # both candidate join-backs); materialize it once so the shingle
     # explode + hashing doesn't recompute per reference. Tiny: k longs/doc.
@@ -243,7 +245,7 @@ def lsh_candidate_pairs(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
-    ).cast("double") / F.lit(float(k))
+    ).cast("double") / F.size(F.col("sig_a")).cast("double")
     return (
         cands.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")

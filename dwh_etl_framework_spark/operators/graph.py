@@ -29,11 +29,17 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes of the corpus are
     not included (callers union them back with label=their own id).
+
+    ``strict=True`` (default) raises if labels have not converged after
+    ``max_iter`` iterations — silently returning partial components would
+    split real dedup clusters with no indication. Set strict=False (with a
+    suitable max_iter) only if approximate components are acceptable.
     """
     # undirected: materialize both directions once
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -48,6 +54,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         # neighbor's current label, pulled across each edge
         neighbor_labels = (
@@ -69,7 +76,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); raise max_iter or pass "
+            "strict=False for approximate components"
+        )
     return labels
 
 

@@ -50,18 +50,26 @@ def range_join(
             )
         ),
     )
-    joined = f_b.join(i_b, on=_BUCKET, how="inner").filter(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    )
     if how == "inner":
+        joined = f_b.join(i_b, on=_BUCKET, how="inner").filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
         return joined.drop(_BUCKET)
     if how == "left":
+        # surrogate row id for the unmatched-facts anti-join: joining back
+        # on the fact columns themselves would mis-handle NULLs (NULL=NULL
+        # is never true → matched rows with any NULL column would ALSO
+        # appear as "missing" and come out twice)
+        rid = "__range_rid"
+        f_id = f_b.withColumn(rid, F.monotonically_increasing_id())
+        joined = f_id.join(i_b, on=_BUCKET, how="inner").filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
         matched = joined.drop(_BUCKET)
-        missing = facts.join(
-            matched.select(*facts.columns).distinct(), on=facts.columns, how="left_anti"
+        missing = f_id.drop(_BUCKET).join(
+            matched.select(rid).distinct(), on=rid, how="left_anti"
         )
         for c in intervals.columns:
-            if c not in missing.columns:
-                missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-        return matched.unionByName(missing.select(*matched.columns))
+            missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+        return matched.unionByName(missing.select(*matched.columns)).drop(rid)
     raise ValueError(f"unsupported how={how!r}")

@@ -35,6 +35,13 @@ def salted_join(
     than the skewed left, or the replication dominates.
     """
     on = list(on)
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # right/full outer would emit every unmatched RIGHT row once per
+        # salt replica — num_salts copies instead of one. Left-side joins
+        # are safe: each left row carries exactly one salt.
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}"
+        )
     l_salted = left.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
     )

@@ -51,15 +51,22 @@ def extract_delta(
     source: str,
     advance: bool = True,
 ) -> DataFrame:
-    """Rows strictly above the stored watermark; advances the watermark to
+    """Rows strictly above the stored watermark. First run (no watermark)
 
-    the slice's max (exactly-once per row under monotonic event columns —
-    the same contract the reference's `-delta.sql` convention implied).
-    First run (no watermark) is a full extract, like the reference's
-    full→delta bootstrap."""
+    is a full extract, like the reference's full→delta bootstrap.
+
+    With ``advance=True`` the slice is MATERIALIZED (localCheckpoint) so
+    its content is frozen before the watermark moves — one scan, and rows
+    landing mid-extract go to the next slice, not both. Semantics are
+    then at-most-once per row: if the caller's downstream sink fails after
+    this returns, the slice is not re-extractable. Callers needing
+    transactional delivery should use ``advance=False`` and call
+    ``store.set(source, slice.agg(max(col)))`` only AFTER the sink commits.
+    """
     current = store.get(source)
     sliced = df if current is None else df.filter(F.col(watermark_col) > F.lit(current))
     if advance:
+        sliced = sliced.localCheckpoint(eager=True)
         row = sliced.agg(F.max(watermark_col).alias("m")).collect()[0]
         if row.m is not None:
             store.set(source, row.m)

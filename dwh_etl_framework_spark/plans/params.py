@@ -46,11 +46,26 @@ def resolve_parameters(
 
 
 def fill_sql_parameters(sql: str, parameters: Mapping[str, object]) -> str:
-    """Substitute ``{name}`` placeholders (F10, ``airflow_etl.py:378-399``)."""
-    needed = {
-        field for _, field, _, _ in Formatter().parse(sql) if field is not None
-    }
+    """Substitute ``{name}`` placeholders (F10, ``airflow_etl.py:378-399``).
+
+    str.format semantics (same as the reference): literal braces in SQL —
+    JSON literals, ``map{...}`` syntax — must be escaped as ``{{`` / ``}}``.
+    Unbound placeholders and unescaped braces raise with a hint instead of
+    the bare str.format error.
+    """
+    try:
+        needed = {
+            field for _, field, _, _ in Formatter().parse(sql) if field is not None
+        }
+    except ValueError as e:
+        raise ValueError(
+            f"malformed placeholder braces in SQL ({e}); escape literal "
+            "braces as '{{' and '}}'"
+        ) from None
     missing = sorted(f for f in needed if f.split(".")[0].split("[")[0] not in parameters)
     if missing:
-        raise KeyError(f"unbound SQL parameters: {missing}")
+        raise KeyError(
+            f"unbound SQL parameters: {missing} (literal braces in SQL must "
+            "be escaped as '{{' / '}}')"
+        )
     return sql.format(**parameters)

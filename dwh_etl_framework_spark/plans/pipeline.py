@@ -93,11 +93,22 @@ class Pipeline:
         """Journal write (``airflow_etl.py:719-726``): stamp system columns,
 
         then append to (or truncate-overwrite) ``<target>__journal``.
+
+        Each write gets a distinct driver-captured ``__load_dt`` (micro-
+        second-bumped per write): within the unioned journal plan,
+        ``current_timestamp()`` would evaluate to ONE value for all writes,
+        and ``monotonically_increasing_id`` puts the partition id in bits
+        ≥33, so no seqno stride can disambiguate writes — the load
+        timestamp is the write-order tiebreaker, exactly as the reference's
+        protocol intends (__load_dt DESC before __seqno).
         """
+        from datetime import datetime, timedelta
+
         if write_mode not in VALID_WRITE_MODES:
             raise ValueError(f"invalid write_mode {write_mode!r}")
-        stamped = stamp_journal_columns(df, transform_dt, seqno_start=self._seqno)
-        self._seqno += 1 << 33  # disjoint seqno ranges across writes
+        load_dt = datetime.now() + timedelta(microseconds=self._seqno)
+        self._seqno += 1  # per-write counter; uniquifies load_dt
+        stamped = stamp_journal_columns(df, transform_dt, load_dt=load_dt)
         if write_mode == "overwrite" or self.journal is None:
             self.journal = stamped
         else:

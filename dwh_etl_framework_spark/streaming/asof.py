@@ -80,11 +80,17 @@ def _asof_update(
     else:
         right_ts, right_val = None, None
     out_rows = []
-    for pdf in pdfs:
+    # applyInPandasWithState may deliver one group as SEVERAL Arrow chunks
+    # with no cross-chunk ordering — concatenate before sorting, or a right
+    # update in a later chunk could apply to an earlier-time event.
+    # Memory = one key's rows for one micro-batch (bounded by batch size).
+    all_chunks = [pdf for pdf in pdfs if len(pdf)]
+    if all_chunks:
+        merged = pd.concat(all_chunks, ignore_index=True)
         # event-time order; rights sort before lefts on ties so an
         # exact-tie update is visible to the event (asof_join parity)
-        pdf = pdf.sort_values(["ts", _SIDE])
-        for row in pdf.itertuples():
+        merged = merged.sort_values(["ts", _SIDE])
+        for row in merged.itertuples():
             if getattr(row, _SIDE) == 0:
                 right_ts, right_val = row.ts, row.right_val
             else:

@@ -25,24 +25,33 @@ from dwh_etl_framework_spark.operators.merge import (
 
 
 class StreamMasterState:
-    """Parquet-backed master table state for the streaming upsert."""
+    """Parquet-backed master table state for the streaming upsert.
+
+    Existence is determined from DISK, not an in-memory flag: the stream's
+    checkpoint is durable across restarts, so the master must be too — a
+    fresh StreamMasterState over an existing path resumes from the stored
+    master instead of silently rebuilding from one batch.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self._initialized = False
 
     def read(self) -> DataFrame | None:
-        if not self._initialized:
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(self.path)
+            df.schema  # force path resolution now
+            return df
+        except AnalysisException:
             return None
-        return self.spark.read.parquet(self.path)
 
     def write(self, df: DataFrame) -> None:
         # materialize BEFORE overwriting the path we may have just read
         # (parquet has no atomic swap; Delta would. localCheckpoint breaks
         # the read-your-own-input cycle.)
         df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
-        self._initialized = True
 
 
 def stream_merge_to_master(

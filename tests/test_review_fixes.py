@@ -139,3 +139,56 @@ def test_connected_components_convergence_error(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=2, strict=False)
     assert ok.count() == 11  # approximate labels still returned when opted in
+
+
+def test_stream_asof_multi_chunk_groups(spark, tmp_path):
+    """Finding 4: groups spanning several Arrow chunks must still process in
+
+    global event-time order (right updates can't apply 'backwards'). Forced
+    by shrinking the Arrow batch size below the group size."""
+    from dwh_etl_framework_spark.streaming.asof import stream_asof_join
+    from dwh_etl_framework_spark.operators.asof import asof_join
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # one key, 60 interleaved rows -> ~9 chunks at batch size 7
+        rows = []
+        for i in range(30):
+            rows.append((1, datetime(2024, 1, 1, 0, 2 * i), 1, float(i), None))      # left
+            rows.append((1, datetime(2024, 1, 1, 0, 2 * i + 1), 0, None, float(i)))  # right
+        schema = "key bigint, ts timestamp, side int, left_val double, right_val double"
+        tagged = spark.createDataFrame(rows, schema)
+        src = str(tmp_path / "src")
+        tagged.coalesce(1).write.parquet(src)
+
+        got_rows = []
+
+        def cap(bdf, bid):
+            got_rows.extend(bdf.collect())
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_asof_join(stream).writeStream.outputMode("append")
+             .foreachBatch(cap).option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        # invariant: never joined to a right update from the future
+        assert got_rows and all(
+            r.asof_right_ts is None or r.asof_right_ts <= r.ts for r in got_rows
+        )
+        # full parity with the batch as-of on the same data
+        left = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 0, 2 * i), float(i)) for i in range(30)],
+            "key bigint, ts timestamp, left_val double")
+        right = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 0, 2 * i + 1), float(i)) for i in range(30)],
+            "key bigint, rts timestamp, rv double")
+        expected = {(r.key, r.ts): r.rv for r in asof_join(
+            left, right, on=["key"], left_time="ts", right_time="rts",
+            right_payload=["rv"]).collect()}
+        got = {(r.key, r.ts): r.asof_right for r in got_rows}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -210,6 +210,20 @@ def lsh_candidate_pairs(
     # band self-join shuffle only (id, band_idx, band_hash) — 24 bytes/row —
     # instead of dragging the k-wide signature array through both (the
     # difference between shuffling ~100 B/doc and ~8 KB/doc at corpus scale).
+    # runtime guard: slicing past the signature end would hash an EMPTY
+    # slice to one constant for every document — those bands degenerate to
+    # an all-pairs join. raise_error fires on the first row instead.
+    k_needed = bands * rows_per_band
+    checked_sig = F.when(
+        F.size(F.col("signature")) >= F.lit(k_needed), F.col("signature")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"signature shorter than bands*rows_per_band={k_needed}; "
+                "generate minhash_signatures with k >= that"
+            )
+        )
+    )
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -217,7 +231,7 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bidx: F.xxhash64(
                     F.slice(
-                        F.col("signature"),
+                        checked_sig,
                         (bidx * rows_per_band + 1).cast("int"),
                         rows_per_band,
                     )

@@ -93,12 +93,17 @@ def dedup_clusters(
     id_col: str,
     src: str = "doc_a",
     dst: str = "doc_b",
+    max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Full clustering for dedup: every id gets a cluster (= min reachable
 
     id; singletons map to themselves) plus a keep/drop flag (keep the
-    cluster's minimum id — the survivor policy exact_dedup uses)."""
-    cc = connected_components(pairs, src, dst)
+    cluster's minimum id — the survivor policy exact_dedup uses).
+    ``max_iter``/``strict`` pass through to connected_components so callers
+    of long-chain graphs can actually use the escape hatch its error
+    message offers."""
+    cc = connected_components(pairs, src, dst, max_iter=max_iter, strict=strict)
     out = (
         all_ids.select(F.col(id_col).alias("node"))
         .join(cc, on="node", how="left")

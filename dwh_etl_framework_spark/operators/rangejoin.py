@@ -61,7 +61,13 @@ def range_join(
         # is never true → matched rows with any NULL column would ALSO
         # appear as "missing" and come out twice)
         rid = "__range_rid"
-        f_id = f_b.withColumn(rid, F.monotonically_increasing_id())
+        # materialize the id assignment: both the matched and missing
+        # branches consume f_id, and monotonically_increasing_id is only
+        # stable if the two branches don't independently recompute it
+        # (nondeterministic upstream order would assign different ids)
+        f_id = f_b.withColumn(rid, F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
         joined = f_id.join(i_b, on=_BUCKET, how="inner").filter(
             (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
         )

@@ -64,8 +64,22 @@ def extract_delta(
     ``store.set(source, slice.agg(max(col)))`` only AFTER the sink commits.
     """
     current = store.get(source)
-    sliced = df if current is None else df.filter(F.col(watermark_col) > F.lit(current))
+    if current is None:
+        # bootstrap: the slice is the WHOLE source — materializing it would
+        # copy the full table into executor storage (fatal at 100 TB scale).
+        # Compute the watermark with a separate scan instead; rows landing
+        # between the two scans are delivered again next cycle
+        # (at-least-once on bootstrap only).
+        sliced = df
+        if advance:
+            row = df.agg(F.max(watermark_col).alias("m")).collect()[0]
+            if row.m is not None:
+                store.set(source, row.m)
+        return sliced
+    sliced = df.filter(F.col(watermark_col) > F.lit(current))
     if advance:
+        # delta slices are bounded (one cycle of new rows) — materialize so
+        # the content is frozen before the watermark moves
         sliced = sliced.localCheckpoint(eager=True)
         row = sliced.agg(F.max(watermark_col).alias("m")).collect()[0]
         if row.m is not None:

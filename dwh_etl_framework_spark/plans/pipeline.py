@@ -106,9 +106,16 @@ class Pipeline:
 
         if write_mode not in VALID_WRITE_MODES:
             raise ValueError(f"invalid write_mode {write_mode!r}")
-        load_dt = datetime.now() + timedelta(microseconds=self._seqno)
-        self._seqno += 1  # per-write counter; uniquifies load_dt
-        stamped = stamp_journal_columns(df, transform_dt, load_dt=load_dt)
+        # monotonic per-write stamp: a backwards wall-clock step (NTP, VM
+        # migration) must not reorder writes, so never go below the
+        # previous write's stamp + 1µs
+        now = datetime.now()
+        prev = getattr(self, "_last_load_dt", None)
+        if prev is not None and now <= prev:
+            now = prev + timedelta(microseconds=1)
+        self._last_load_dt = now
+        self._seqno += 1  # write counter (kept for observability)
+        stamped = stamp_journal_columns(df, transform_dt, load_dt=now)
         if write_mode == "overwrite" or self.journal is None:
             self.journal = stamped
         else:

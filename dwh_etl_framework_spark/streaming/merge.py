@@ -44,8 +44,14 @@ class StreamMasterState:
             df = self.spark.read.parquet(self.path)
             df.schema  # force path resolution now
             return df
-        except AnalysisException:
-            return None
+        except AnalysisException as e:
+            # ONLY a missing path means "first run". Any other analysis
+            # error (e.g. UNABLE_TO_INFER_SCHEMA from a half-written
+            # overwrite) must propagate — treating it as first-run would
+            # silently rebuild the master from one batch and destroy it.
+            if "PATH_NOT_FOUND" in str(e):
+                return None
+            raise
 
     def write(self, df: DataFrame) -> None:
         # materialize BEFORE overwriting the path we may have just read
@@ -68,9 +74,13 @@ def stream_merge_to_master(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        stamped = stamp_journal_columns(
-            batch_df, transform_dt, seqno_start=batch_id << 33
-        )
+        # No seqno stride: monotonically_increasing_id's partition bits
+        # (≥33) would alias any stride anyway, and cross-batch ordering is
+        # irrelevant here — each batch upserts sequentially into master.
+        # Within a batch, duplicate-PK rows are ordered by __transform_dt;
+        # supply per-row event time in the stream (as the tests do) for a
+        # meaningful within-batch winner.
+        stamped = stamp_journal_columns(batch_df, transform_dt)
         master = state.read()
         if master is None:
             master = stamped.limit(0).drop(

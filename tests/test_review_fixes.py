@@ -192,3 +192,69 @@ def test_stream_asof_multi_chunk_groups(spark, tmp_path):
         assert got == expected
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_lsh_banding_guard_raises_on_short_signature(spark):
+    """Review-2: bands*rows_per_band > len(signature) must error, not
+
+    degenerate to an all-pairs join via constant empty-slice hashes."""
+    from dwh_etl_framework_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="f g h i j")]
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3, k=64)
+    with pytest.raises(Exception, match="signature shorter"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", bands=16, rows_per_band=8).collect()
+
+
+def test_dedup_clusters_forwards_convergence_params(spark):
+    """Review-2: dedup_clusters exposes max_iter/strict so the escape hatch
+
+    in the convergence error is actually reachable."""
+    from dwh_etl_framework_spark.operators.graph import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(11)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(ids, chain, "doc_id", max_iter=2)
+    ok = dedup_clusters(ids, chain, "doc_id", max_iter=2, strict=False)
+    assert ok.count() == 11
+    full = dedup_clusters(ids, chain, "doc_id", max_iter=30)
+    assert {r.cluster for r in full.collect()} == {0}
+
+
+def test_stream_master_state_raises_on_corrupt_path(spark, tmp_path):
+    """Review-2: an existing-but-unreadable master path must raise, not be
+
+    treated as first-run (which would silently rebuild from one batch)."""
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    path = tmp_path / "master"
+    path.mkdir()  # exists but contains no parquet: simulates torn overwrite
+    st = StreamMasterState(spark, str(path))
+    with pytest.raises(Exception):
+        st.read()
+
+
+def test_write_journal_monotonic_under_clock_skew(spark, monkeypatch):
+    """Review-2: a backwards clock step between writes must not reorder
+
+    merges (load_dt stamps are forced monotonic)."""
+    from datetime import datetime, timedelta
+
+    from dwh_etl_framework_spark.plans.config import TableConfig
+    from dwh_etl_framework_spark.plans.pipeline import Pipeline
+    import dwh_etl_framework_spark.plans.pipeline as pipeline_mod
+
+    pipe = Pipeline(spark=spark, table=TableConfig(target="t", primary_key=("k",)))
+    w1 = spark.createDataFrame([(k, "first") for k in range(10)], "k long, v string")
+    w2 = spark.createDataFrame([(k, "second") for k in range(10)], "k long, v string")
+    pipe.write_journal(w1, transform_dt=None)
+    # simulate the clock stepping BACK 1 hour before the second write
+    pipe._last_load_dt = pipe._last_load_dt + timedelta(hours=1)
+    pipe.write_journal(w2, transform_dt=None)
+    m = {r.k: r.v for r in pipe.merge("full").collect()}
+    assert all(v == "second" for v in m.values())

@@ -37,17 +37,22 @@ def range_join(
     f_b = facts.withColumn(
         _BUCKET, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
     )
+    lo_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
+    # hi is exclusive: a hi exactly on a bucket boundary does not reach into
+    # that bucket
+    hi_bucket = F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast(
+        "long"
+    )
     i_b = intervals.withColumn(
         _BUCKET,
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
-                # hi is exclusive: a hi exactly on a bucket boundary does not
-                # reach into that bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
-                ).cast("long"),
-            )
+            # sequence(start, stop) runs DESCENDING when stop < start, so a
+            # degenerate interval (hi <= lo, or NULL bounds) would fan out
+            # spurious bucket rows proportional to the inversion gap — the
+            # residual BETWEEN discards them, but only after paying the
+            # shuffle. Drop such intervals before the explode instead.
+            F.when(F.col(hi_col) > F.col(lo_col), F.sequence(lo_bucket, hi_bucket))
+            .otherwise(F.array().cast("array<long>"))
         ),
     )
     if how == "inner":

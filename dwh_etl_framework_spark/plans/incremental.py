@@ -16,11 +16,44 @@ the contract, not the storage).
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _encode(value):
+    """Tag non-JSON-native watermark types so they round-trip TYPED.
+
+    ``json.dumps(default=str)`` would flatten a timestamp watermark to a
+    string, making the later ``>`` comparison lean on Spark's implicit
+    string→timestamp cast — which silently yields NULL (⇒ an empty delta)
+    for reprs the cast rejects. Encode the type explicitly instead and
+    rebuild the Python object on read, so ``F.lit`` gets a real
+    datetime/date/Decimal and the comparison is typed end-to-end."""
+    if isinstance(value, datetime.datetime):
+        return {"__wm_type__": "timestamp", "value": value.isoformat()}
+    if isinstance(value, datetime.date):
+        return {"__wm_type__": "date", "value": value.isoformat()}
+    if isinstance(value, decimal.Decimal):
+        return {"__wm_type__": "decimal", "value": str(value)}
+    return value
+
+
+def _decode(value):
+    if isinstance(value, dict) and "__wm_type__" in value:
+        kind, raw = value["__wm_type__"], value["value"]
+        if kind == "timestamp":
+            return datetime.datetime.fromisoformat(raw)
+        if kind == "date":
+            return datetime.date.fromisoformat(raw)
+        if kind == "decimal":
+            return decimal.Decimal(raw)
+        raise ValueError(f"unknown watermark type tag {kind!r}")
+    return value
 
 
 class WatermarkStore:
@@ -35,13 +68,15 @@ class WatermarkStore:
         return {}
 
     def get(self, source: str):
-        return self._load().get(source)
+        return _decode(self._load().get(source))
 
     def set(self, source: str, value) -> None:
         state = self._load()
-        state[source] = value
+        # no default=str: an unencodable watermark type fails loud here
+        # rather than corrupting the comparison later
+        state[source] = _encode(value)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.path.write_text(json.dumps(state, default=str))
+        self.path.write_text(json.dumps(state))
 
 
 def extract_delta(

@@ -22,8 +22,8 @@ from dwh_etl_framework_spark.queries.registry import fixtures, query
         FROM embeddings
     )
     SELECT vec_id, label, n_dims,
-           SUM(CAST(floor(CAST(dim_value AS DOUBLE) * CAST(dim_value AS DOUBLE)
-                          * 1e12) AS BIGINT)) AS sq_norm_fp
+           CAST(SUM(CAST(floor(CAST(dim_value AS DOUBLE) * CAST(dim_value AS DOUBLE)
+                          * 1e12) AS BIGINT)) AS BIGINT) AS sq_norm_fp
     FROM dims
     GROUP BY vec_id, label, n_dims
     """,
@@ -82,7 +82,8 @@ def r25b_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r26_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n_events,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

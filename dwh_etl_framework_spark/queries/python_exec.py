@@ -59,7 +59,7 @@ def r27b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r27c_grouped_agg_udf",
     oracle="""
     SELECT l_orderkey,
-           SUM(l_linenumber) AS line_sum,
+           CAST(SUM(l_linenumber) AS BIGINT) AS line_sum,
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey

@@ -54,12 +54,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: (session id, sf_dir) → registered DataFrames. Re-registering 10 parquet
+#: (session key, sf_dir) → registered DataFrames. Re-registering 10 parquet
 #: sources costs ~0.5 s of footer reads per query call; the driver runs ~80
 #: queries back-to-back on one session, so caching saves ~40 s of its
 #: wall-clock. Keyed by session identity: a new session (or a different
 #: sf_dir on the same session) re-registers and re-binds the temp views.
-_FIXTURE_CACHE: dict[tuple[int, str], dict] = {}
+_FIXTURE_CACHE: dict[tuple[int, str, str], dict] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[int, str]:
+    """Identity key for one live session. ``id()`` alone is unsafe (CPython
+    reuses addresses after GC, so a new session could false-hit a dead one's
+    cache); pairing it with the context's applicationId disambiguates — a
+    replacement session gets a fresh applicationId, while sibling
+    ``newSession()`` clones (same appId, separate temp-view catalogs) still
+    differ by ``id``."""
+    return (id(spark), spark.sparkContext.applicationId)
 
 
 def fixtures(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
@@ -69,13 +79,14 @@ def fixtures(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     semantics don't depend on how the driver built it.
     """
     apply_runtime_confs(spark)
-    key = (id(spark), sf_dir)
+    skey = _session_key(spark)
+    key = (*skey, sf_dir)
     cached = _FIXTURE_CACHE.get(key)
     if cached is None:
         cached = register_fixture_tables(spark, sf_dir)
         # evict other sf_dirs for this session: their temp views were just
         # rebound to this sf_dir's data
-        for other in [k for k in _FIXTURE_CACHE if k[0] == id(spark)]:
+        for other in [k for k in _FIXTURE_CACHE if k[:2] == skey]:
             del _FIXTURE_CACHE[other]
         _FIXTURE_CACHE[key] = cached
     else:

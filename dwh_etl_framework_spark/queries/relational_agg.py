@@ -29,13 +29,13 @@ def _QTY():
     "r16_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -56,11 +56,13 @@ def r16_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_QTY()).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_PRICE()).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_PRICE() * (F.lit(1) - _DISC())).cast("decimal(18,4)").alias("sum_disc_price"),
+            # exact decimal reductions; terminal cast to DOUBLE because
+            # DECIMAL must never reach the output schema (driver-hasher rule)
+            F.sum(_QTY()).cast("double").alias("sum_qty"),
+            F.sum(_PRICE()).cast("double").alias("sum_base_price"),
+            F.sum(_PRICE() * (F.lit(1) - _DISC())).cast("double").alias("sum_disc_price"),
             F.sum(_PRICE() * (F.lit(1) - _DISC()) * (F.lit(1) + _TAX()))
-            .cast("decimal(18,6)")
+            .cast("double")
             .alias("sum_charge"),
             (F.sum(_QTY()).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_DISC()).cast("double") / cnt).alias("avg_disc"),
@@ -104,7 +106,7 @@ def r17b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r18_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -114,7 +116,7 @@ def r18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R18 ROLLUP grouping sets (subtotals + grand total)."""
     t = fixtures(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_QTY()).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(_QTY()).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -150,7 +152,7 @@ def r18b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
                (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(18,2)) AS running_spend
+               AS DOUBLE) AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
@@ -178,7 +180,7 @@ def r19_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w_time).alias("next_price"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
         .over(w_run)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_spend"),
     )
 

@@ -292,7 +292,7 @@ def r13_param_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -320,7 +320,9 @@ def r14_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("decimal(18,4)").alias("revenue"),
+            # exact decimal reduction, then ONE terminal double conversion —
+            # DECIMAL must never reach the output schema (driver-hasher rule)
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

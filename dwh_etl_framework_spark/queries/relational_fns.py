@@ -103,7 +103,7 @@ def r23_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(round(CAST(l_extendedprice * l_discount AS DECIMAL(16,4)), 2)
-                AS DECIMAL(16,2)) AS disc_amount,
+                AS DOUBLE) AS disc_amount,
            abs(l_extendedprice - 1000.0) AS dist_from_1k,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
@@ -122,10 +122,12 @@ def r24_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
+        # decimal rounding for .5-boundary portability, then terminal DOUBLE
+        # (DECIMAL must never reach the output schema — driver-hasher rule)
         F.round(
             (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(16,4)"), 2
         )
-        .cast("decimal(16,2)")
+        .cast("double")
         .alias("disc_amount"),
         F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_from_1k"),
         F.ceil("l_quantity").alias("qty_ceil"),

@@ -92,13 +92,13 @@ def r23b_date_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name,
            CAST(SUM(CASE WHEN o.o_orderstatus = 'O'
                     THEN CAST(o.o_totalprice AS DECIMAL(14,2)) END)
-                AS DECIMAL(18,2)) AS open_total,
+                AS DOUBLE) AS open_total,
            CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
                     THEN CAST(o.o_totalprice AS DECIMAL(14,2)) END)
-                AS DECIMAL(18,2)) AS final_total,
+                AS DOUBLE) AS final_total,
            CAST(SUM(CASE WHEN o.o_orderstatus = 'P'
                     THEN CAST(o.o_totalprice AS DECIMAL(14,2)) END)
-                AS DECIMAL(18,2)) AS partial_total
+                AS DOUBLE) AS partial_total
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -122,9 +122,9 @@ def x13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pivoted.select(
         "n_name",
-        F.col("O").cast("decimal(18,2)").alias("open_total"),
-        F.col("F").cast("decimal(18,2)").alias("final_total"),
-        F.col("P").cast("decimal(18,2)").alias("partial_total"),
+        F.col("O").cast("double").alias("open_total"),
+        F.col("F").cast("double").alias("final_total"),
+        F.col("P").cast("double").alias("partial_total"),
     )
 
 

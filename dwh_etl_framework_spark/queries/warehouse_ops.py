@@ -46,18 +46,18 @@ def f23_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x23_quality_report",
     oracle="""
     SELECT 'not_null' AS check, 'o_custkey' AS column,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
            COUNT(*) AS total
     FROM orders
     UNION ALL
     SELECT 'not_null', 'o_orderdate',
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(*)
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
     FROM orders
     UNION ALL
     SELECT 'unique_key', 'o_orderkey',
-           COALESCE((SELECT SUM(n) FROM (
+           CAST(COALESCE((SELECT SUM(n) FROM (
                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
-           )), 0),
+           )), 0) AS BIGINT),
            (SELECT COUNT(*) FROM orders)
     UNION ALL
     SELECT 'referential', 'o_custkey->c_custkey',
@@ -67,8 +67,8 @@ def f23_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM orders)
     UNION ALL
     SELECT 'range', 'o_totalprice',
-           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
-               THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+               THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(*)
     FROM orders
     """,

@@ -17,10 +17,10 @@ from dwh_etl_framework_spark.queries.registry import fixtures, query
     "r27d_grouped_map",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           SUM(l_linenumber) OVER (
+           CAST(SUM(l_linenumber) OVER (
                PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_extendedprice ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_line_sum
+           ) AS BIGINT) AS running_line_sum
     FROM lineitem
     WHERE l_orderkey < 500
     """,

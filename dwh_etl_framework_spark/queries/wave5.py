@@ -24,7 +24,7 @@ from dwh_etl_framework_spark.queries.registry import fixtures, query
     )
     SELECT b.band,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2))
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
                AS total_price
     FROM lineitem l
     JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
@@ -54,7 +54,7 @@ def x24_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
     )
 

@@ -25,7 +25,7 @@ _VAL = "CAST(value AS DECIMAL(12,2))"
                + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM({_VAL}) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -42,7 +42,7 @@ def r30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -68,7 +68,7 @@ def r30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL '1 hour' AS window_end,
            COUNT(*) AS n_events,
-           CAST(SUM({_VAL}) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -84,7 +84,7 @@ def r31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -122,7 +122,7 @@ def r31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -138,7 +138,7 @@ def r31b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

@@ -45,3 +45,41 @@ def test_delta_extract_without_advance_is_a_dry_run(spark, tmp_path):
     again = extract_delta(orders, "o_orderdate", store, "o", advance=False)
     assert again.count() == 0
     assert store.get("o") == wm
+
+
+def test_timestamp_watermark_roundtrips_typed(spark, tmp_path):
+    """A sub-second timestamp watermark must survive the JSON store TYPED:
+    stored-as-string watermarks relied on Spark's implicit string→timestamp
+    cast, which yields NULL (⇒ silently empty delta) for reprs the cast
+    rejects (ADVICE r1)."""
+    import datetime
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    wm = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    store.set("ev", wm)
+    loaded = store.get("ev")
+    assert loaded == wm and isinstance(loaded, datetime.datetime)
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 3, 1, 12, 30, 45, 123455)),  # below
+            (2, datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)),  # equal
+            (3, datetime.datetime(2024, 3, 1, 12, 30, 45, 123457)),  # above
+        ],
+        "id long, ts timestamp",
+    )
+    sliced = extract_delta(df, "ts", store, "ev", advance=True)
+    assert [r.id for r in sliced.collect()] == [3]
+    # watermark advanced to the max ts seen, still typed
+    assert store.get("ev") == datetime.datetime(2024, 3, 1, 12, 30, 45, 123457)
+
+
+def test_date_and_decimal_watermarks_roundtrip_typed(tmp_path):
+    import datetime
+    import decimal
+
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    store.set("d", datetime.date(2024, 3, 1))
+    store.set("x", decimal.Decimal("1234.56"))
+    assert store.get("d") == datetime.date(2024, 3, 1)
+    assert store.get("x") == decimal.Decimal("1234.56")

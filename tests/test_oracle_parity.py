@@ -47,10 +47,34 @@ def test_matches_oracle(spark, ddb, name):
     qd = QUERIES[name]
     sdf = qd.fn(spark, SF_DIR)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    # Driver-hasher canonicalization guard (round-1 root cause of all 9 hash
+    # failures): DECIMAL in the final Spark schema, or DECIMAL/HUGEINT in the
+    # DuckDB result, breaks the driver's pandas/Arrow value hash even when
+    # values are byte-identical. Aggregate through decimal internally, but
+    # terminal-cast every output column to DOUBLE/BIGINT on BOTH sides.
+    from pyspark.sql.types import DecimalType
+
+    decimal_cols = [
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimal_cols, (
+        f"{name}: DECIMAL in final Spark schema {decimal_cols} — cast to DOUBLE"
+    )
 
     rel = ddb.sql(qd.oracle)
     duck_cols = list(rel.columns)
+    banned = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()
+    ]
+    assert not banned, (
+        f"{name}: oracle output has driver-unhashable types {banned} — "
+        f"CAST(... AS DOUBLE) / CAST(SUM(int) AS BIGINT)"
+    )
+
+    spark_rows = [tuple(r) for r in sdf.collect()]
     duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (

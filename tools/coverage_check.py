@@ -12,7 +12,37 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from dwh_etl_framework_spark.queries import QUERIES  # noqa: E402
+from dwh_etl_framework_spark.queries import DRIVER_WINDOW, QUERIES  # noqa: E402
+
+#: queries that MUST receive driver correctness evidence every round
+#: (VERDICT r1 finding #1: registration order decides evidence).
+CRITICAL = [
+    "f19_merge_full",
+    "f20_merge_delta",
+    "f21_state_flip",
+    "r28_asof_join",
+    "r26_json_extract",
+    "r30_tumbling_window",
+    "x01_exact_dedup",
+    "x03_minhash_lsh",
+    "x05_cosine_topk",
+    "x20_dedup_clusters",
+]
+
+
+def check_driver_window() -> list[str]:
+    """The driver checks only the first 50 registry entries; make sure the
+    critical operators sit inside that prefix."""
+    problems = []
+    prefix = list(QUERIES)[:50]
+    if prefix != DRIVER_WINDOW[:50]:
+        problems.append(
+            f"first-50 registry prefix != DRIVER_WINDOW: {prefix[:5]}..."
+        )
+    outside = [n for n in CRITICAL if n not in prefix]
+    if outside:
+        problems.append(f"critical queries outside the driver's first-50: {outside}")
+    return problems
 
 
 def main() -> int:
@@ -38,7 +68,16 @@ def main() -> int:
             f"({len(QUERIES)}, {n_oracles})"
         )
         return 1
-    print(f"COVERAGE.md consistent: {len(QUERIES)} queries, {n_oracles} oracles")
+    window_problems = check_driver_window()
+    if window_problems:
+        for p in window_problems:
+            print(p)
+        return 1
+    print(
+        f"COVERAGE.md consistent: {len(QUERIES)} queries, {n_oracles} oracles; "
+        f"driver window pinned ({len(DRIVER_WINDOW)} slots, "
+        f"{len(CRITICAL)} critical inside)"
+    )
     return 0
 
 

@@ -140,6 +140,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_jaccard_cascade(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    est_threshold: float = 0.5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X1 discovery→verify cascade: LSH candidate pairs, then EXACT n-gram
+
+    Jaccard computed only for those candidates — the shape a 100 TB dedup
+    actually runs. The Σ·df² shingle self-join of ``ngram_jaccard_pairs``
+    never touches the full corpus here: shingle sets are built only for
+    docs that survived banding (left-semi join), and each candidate pair
+    costs one O(|A|+|B|) ``array_intersect``, all JVM-side.
+
+    Returns the same columns as ``ngram_jaccard_pairs``; the result is the
+    subset of exact pairs that LSH recalled (recall is tunable via
+    bands/rows_per_band, tested in tests/test_dedup.py).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, rows_per_band, est_threshold
+    ).select("doc_a", "doc_b")
+    # verify tier sees only docs that appear in some candidate pair
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    toks = df.join(cand_ids, on=id_col, how="left_semi").select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.array_remove(
+            word_shingles(F.col("__toks"), n, tokens_precomputed=True), ""
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", inter)
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for k universal hashes
 

@@ -28,11 +28,20 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join each fact row to interval rows with ``lo <= value < hi``.
 
     Both sides may have arbitrary payload columns; the bucket key is
     internal. ``how='left'`` keeps unmatched facts (NULL interval payload).
+
+    ``broadcast_intervals`` (default) pins the exploded INTERVAL side as the
+    broadcast build side. Without the hint, a stats-less interval frame
+    (e.g. ``createDataFrame`` output: Scan ExistingRDD, unknown size) makes
+    Catalyst broadcast the FACT side instead — harmless-looking at test SF,
+    fatal at 100 TB (the fact table doesn't fit in a HashedRelation). Set
+    False only for genuinely huge interval tables, which then shuffle on
+    the bucket key.
     """
     f_b = facts.withColumn(
         _BUCKET, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
@@ -55,6 +64,8 @@ def range_join(
             .otherwise(F.array().cast("array<long>"))
         ),
     )
+    if broadcast_intervals:
+        i_b = F.broadcast(i_b)
     if how == "inner":
         joined = f_b.join(i_b, on=_BUCKET, how="inner").filter(
             (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))

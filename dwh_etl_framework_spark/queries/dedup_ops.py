@@ -68,6 +68,21 @@ def x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x02b_lsh_jaccard_cascade", oracle=None)
+def x02b_lsh_jaccard_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 cascade: LSH discovery → exact Jaccard verify restricted to
+
+    candidates — the scale-honest composition (the Σ·df² shingle self-join
+    never runs over the full corpus). No SQL oracle (the LSH tier hashes
+    with xxhash64); tests/test_dedup.py proves every returned pair appears
+    in the exact x02 result with an identical jaccard value."""
+    t = fixtures(spark, sf_dir)
+    return dedup.lsh_jaccard_cascade(
+        t.documents, "text", "doc_id", n=3, k=64, bands=16, rows_per_band=4,
+        est_threshold=0.5, threshold=0.5,
+    ).orderBy("doc_a", "doc_b")
+
+
 @query("x03_minhash_lsh", oracle=None)
 def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 MinHash(k=64) + LSH(16 bands × 4 rows) candidate pairs with

@@ -38,10 +38,16 @@ def x24_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual BETWEEN (operators/rangejoin.py). The oracle is the plain
     theta join: banding changes the plan, never the result."""
     t = fixtures(spark, sf_dir)
-    bands = spark.createDataFrame(
-        [("tiny", 0.0, 1000.0), ("small", 1000.0, 10000.0),
-         ("medium", 10000.0, 50000.0), ("large", 50000.0, 100000.0)],
-        "band string, lo double, hi double",
+    # SQL VALUES → JVM LocalRelation: known stats, no Python-worker scan
+    # inside the broadcast build (createDataFrame goes through a Python RDD
+    # whose size Catalyst can't estimate)
+    bands = spark.sql(
+        """
+        SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        FROM VALUES ('tiny', 0.0, 1000.0), ('small', 1000.0, 10000.0),
+                    ('medium', 10000.0, 50000.0), ('large', 50000.0, 100000.0)
+             AS t(band, lo, hi)
+        """
     )
     joined = range_join(
         t.lineitem.select("l_orderkey", "l_extendedprice"),

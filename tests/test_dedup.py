@@ -93,3 +93,30 @@ def test_simhash_identical_and_disjoint(spark):
              for r in dedup.simhash_pairs(fp, "doc_id", max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs
+
+
+def test_cascade_pairs_match_exact_jaccard(spark, documents):
+    """Every cascade pair must appear in the full-corpus exact result with an
+    IDENTICAL jaccard value (the cascade changes the plan, never a surviving
+    pair's similarity), and high-similarity pairs must not be lost to the
+    LSH tier."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            documents, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    cascade = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.lsh_jaccard_cascade(
+            documents, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert cascade, "cascade should find the fixture's planted near-dups"
+    for pair, vals in cascade.items():
+        assert pair in exact, f"cascade invented pair {pair}"
+        assert vals == exact[pair], f"{pair}: cascade {vals} != exact {exact[pair]}"
+    # recall bound at J>=0.8: P(band miss) = (1-s^4)^16 ≈ 0.008 per pair
+    strong = {p for p, v in exact.items() if v[3] >= 0.8}
+    missed = strong - set(cascade)
+    assert not missed, f"cascade lost strong pairs: {sorted(missed)[:5]}"

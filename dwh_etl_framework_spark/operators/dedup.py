@@ -247,6 +247,36 @@ def minhash_signatures(
     return hashes.select(id_col, signature.alias("signature"))
 
 
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """X1 MinHash, cross-engine-reproducible flavor: component ``i`` of the
+
+    signature is the lexicographic MIN over the doc's shingles of
+    ``md5(i || '|' || shingle)``. md5 and binary string ordering are
+    engine-independent (unlike xxhash64), so an ANSI-SQL oracle can
+    reproduce the ENTIRE LSH pipeline value-for-value — this is the
+    oracle-checkable twin of ``minhash_signatures`` (~3× the hash cost;
+    use the xxhash64 flavor in production, this one to validate it).
+
+    Returns (id, signature: array<string>), consumable by
+    ``lsh_candidate_pairs`` unchanged: band collisions only depend on
+    slice EQUALITY, which md5-string and xxhash64 signatures agree on.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    shingle_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.md5(F.concat_ws("|", i.cast("string"), s)),
+            )
+        ),
+    )
+    return shingle_sets.select(id_col, sig.alias("signature"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -357,6 +387,78 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_portable_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """X1 SimHash, cross-engine-reproducible flavor: the 64 per-token bits
+
+    come from the first 16 hex nibbles of ``md5(token)`` (4 bits each)
+    instead of xxhash64, so an ANSI-SQL oracle can reproduce fingerprints,
+    16-bit-chunk blocking AND hamming distances value-for-value. Same
+    pigeonhole blocking as ``simhash_pairs`` (distance ≤ 3 ⇒ at least one
+    of the 4 chunks identical); chunk values are assembled as plain INT
+    arithmetic (Σ bit<<i ≤ 65535) — portable, no 64-bit assembly.
+    """
+    toks = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("__h", F.md5(F.col("tok")))
+    # nibble j (0-15) of the md5 hex prefix, as INT 0-15
+    nibs = [
+        F.conv(F.substring(F.col("__h"), j + 1, 1), 16, 10).cast("int")
+        for j in range(16)
+    ]
+    # bit b = bit (b%4) of nibble (b//4); per-doc sum of (2*bit - 1)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(nibs[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b_{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    bit = [
+        F.when(F.col(f"b_{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    chunk_vals = [
+        sum(
+            (F.shiftleft(bit[16 * c + i], i) for i in range(1, 16)),
+            bit[16 * c],
+        ).cast("int")
+        for c in range(4)
+    ]
+    fps = agg.select(
+        F.col(id_col),
+        F.array(*bit).alias("__bits"),
+        F.posexplode(F.array(*chunk_vals)).alias("chunk_idx", "chunk_val"),
+    )
+    fps = fps.localCheckpoint(eager=True)  # 2 join consumers below
+    a = fps.select(
+        F.col(id_col).alias("doc_a"), F.col("__bits").alias("bits_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = fps.select(
+        F.col(id_col).alias("doc_b"), F.col("__bits").alias("bits_b"),
+        "chunk_idx", "chunk_val",
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash_pairs(

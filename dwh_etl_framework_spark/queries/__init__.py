@@ -82,8 +82,8 @@ DRIVER_WINDOW: list[str] = [
     # LLM-data-pipeline components (X1-X4), one per component
     "x01_exact_dedup",
     "x02_ngram_jaccard",
-    "x03_minhash_lsh",
-    "x04_simhash",
+    "x03b_minhash_lsh_portable",
+    "x04b_simhash_portable",
     "x05_cosine_topk",
     "x06_embedding_near_dup",
     "x06b_ivf_topk",

@@ -98,6 +98,129 @@ def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query(
+    "x03b_minhash_lsh_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    mins AS (
+        SELECT doc_id, p.i AS perm,
+               MIN(md5(CAST(p.i AS VARCHAR) || '|' || shingle)) AS m
+        FROM sh, (SELECT unnest(generate_series(0, 63)) AS i) p
+        GROUP BY doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+               md5(string_agg(m, '|' ORDER BY perm)) AS band_hash
+        FROM mins GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+                   / 64.0 AS est_jaccard
+        FROM cands c
+        JOIN mins ma ON ma.doc_id = c.doc_a
+        JOIN mins mb ON mb.doc_id = c.doc_b AND mb.perm = ma.perm
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def x03b_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 MinHash+LSH with the PORTABLE hash flavor (md5-string minima,
+
+    operators/dedup.minhash_signatures_portable): the oracle reproduces the
+    whole pipeline — shingles → 64 permutation minima → 16×4 banding →
+    candidate self-join → estimated Jaccard — value-for-value, making the
+    LSH discovery tier hash-checked by the driver rather than rows-only
+    (the xxhash64 production twin x03 keeps its recall tests)."""
+    t = fixtures(spark, sf_dir)
+    sigs = dedup.minhash_signatures_portable(
+        t.documents, "text", "doc_id", n=3, k=64
+    )
+    return dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=16, rows_per_band=4, est_threshold=0.5
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
+@query(
+    "x04b_simhash_portable",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, md5(unnest(string_split(t, ' '))) AS h FROM norm
+    ),
+    bits AS (
+        SELECT doc_id, p.b AS b,
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(h, (p.b // 4) + 1, 1)) - 1)
+                          >> (p.b % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END AS pm
+        FROM toks, (SELECT unnest(generate_series(0, 63)) AS b) p
+    ),
+    fpbits AS (
+        SELECT doc_id, b, CASE WHEN SUM(pm) > 0 THEN 1 ELSE 0 END AS bit
+        FROM bits GROUP BY doc_id, b
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(b // 16 AS INTEGER) AS chunk_idx,
+               CAST(SUM(bit << (b % 16)) AS BIGINT) AS chunk_val
+        FROM fpbits GROUP BY doc_id, CAST(b // 16 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM chunks a
+        JOIN chunks b2 ON a.chunk_idx = b2.chunk_idx
+                       AND a.chunk_val = b2.chunk_val
+                       AND a.doc_id < b2.doc_id
+    ),
+    ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN fa.bit <> fb.bit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hamming
+        FROM cands c
+        JOIN fpbits fa ON fa.doc_id = c.doc_a
+        JOIN fpbits fb ON fb.doc_id = c.doc_b AND fb.b = fa.b
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def x04b_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 SimHash with the PORTABLE bit source (md5 hex nibbles,
+
+    operators/dedup.simhash_portable_pairs): the oracle reproduces
+    fingerprint bits, 16-bit-chunk pigeonhole blocking and hamming
+    distances value-for-value, so the simhash tier is hash-checked by the
+    driver rather than rows-only (the xxhash64 production twin x04 keeps
+    its agreement tests)."""
+    t = fixtures(spark, sf_dir)
+    return dedup.simhash_portable_pairs(
+        t.documents, "text", "doc_id", max_hamming=3
+    )
+
+
 @query("x04_simhash", oracle=None)
 def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 SimHash near-dup pairs (hamming ≤ 3) with 16-bit-chunk blocking.

@@ -24,7 +24,7 @@ CRITICAL = [
     "r26_json_extract",
     "r30_tumbling_window",
     "x01_exact_dedup",
-    "x03_minhash_lsh",
+    "x03b_minhash_lsh_portable",
     "x05_cosine_topk",
     "x20_dedup_clusters",
 ]

@@ -174,6 +174,77 @@ def lsh_near_dup_pairs(
     )
 
 
+def _portable_sign(t: int, j: int, d: int) -> int:
+    """±1 Rademacher coefficient from bit 0 of the first hex nibble of
+
+    md5("t|j|d") — computable identically from Python hashlib (plan build
+    time) and SQL md5() (oracle side)."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"{t}|{j}|{d}".encode()).hexdigest()[0], 16)
+    return 1 if nib & 1 else -1
+
+
+def lsh_near_dup_pairs_portable(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """X1/X2 embedding near-dup mining, cross-engine-reproducible flavor:
+
+    hyperplanes are ±1 Rademacher vectors derived from md5 (``_portable_sign``)
+    and projections are EXACT int64 fixed-point sums (Σ s·floor(v_d·1e12)),
+    so bucket assignment, candidate pairs and the fixed-point cosine filter
+    are all reproduced value-for-value by a SQL oracle. The gaussian-double
+    production twin is ``lsh_near_dup_pairs`` (recall-tested); this one
+    exists so the driver can hash-check the bucket-join near-dup shape.
+    """
+    fx = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(FIXED_POINT_SCALE)),
+    )
+    buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for j in range(n_planes):
+            signs = F.array(
+                *[F.lit(_portable_sign(t, j, d)) for d in range(1, dim + 1)]
+            )
+            proj = F.aggregate(
+                F.zip_with(fx, signs, lambda v, s: v * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + F.shiftleft(bit, j)
+        buckets.append(bucket.cast("int"))
+    with_buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
+    ).localCheckpoint(eager=True)  # referenced by both join sides
+    a = with_buckets.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "table_idx", "bucket",
+    )
+    b = with_buckets.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "table_idx", "bucket",
+    )
+    return (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b"), exact=True))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: DataFrame,
@@ -182,6 +253,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """X2 IVF-style ANN: vectors are pre-assigned to their nearest centroid
 
@@ -190,6 +262,11 @@ def ivf_topk(
     broadcast everywhere. At scale the assignment is computed once at
     ingest and the table is *partitioned by centroid_id* so a query reads
     only n_probe partitions (partition pruning does the index lookup).
+
+    ``exact=True`` scores every cosine (assignment, probe, final) with the
+    fixed-point reduction, making the whole pipeline bit-reproducible for
+    the DuckDB oracle; every ranking has an id tie-break, so the result is
+    fully deterministic.
     """
     cent = F.broadcast(
         centroids.select(
@@ -199,7 +276,7 @@ def ivf_topk(
     # assign each vector to nearest centroid (one pass, JVM-side)
     assigned = (
         embeddings.crossJoin(cent)
-        .withColumn("sim_c", cosine(F.col(vec_col), F.col("centroid_vec")))
+        .withColumn("sim_c", cosine(F.col(vec_col), F.col("centroid_vec"), exact=exact))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -214,7 +291,7 @@ def ivf_topk(
     q = F.broadcast(query_vec.select(F.col(vec_col).alias("__qvec")))
     probe = (
         centroids.crossJoin(q)
-        .withColumn("sim_q", cosine(F.col("centroid_vec"), F.col("__qvec")))
+        .withColumn("sim_q", cosine(F.col("centroid_vec"), F.col("__qvec"), exact=exact))
         .orderBy(F.col("sim_q").desc(), F.col("centroid_id").asc())
         .limit(n_probe)
         .select("centroid_id")
@@ -222,7 +299,7 @@ def ivf_topk(
     return (
         assigned.join(F.broadcast(probe), on="centroid_id")
         .crossJoin(q)
-        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qvec")))
+        .withColumn("cosine_sim", cosine(F.col(vec_col), F.col("__qvec"), exact=exact))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "centroid_id", "cosine_sim")

@@ -35,7 +35,7 @@ from dwh_etl_framework_spark.queries import multimodal_ops  # noqa: F401
 #: per SURVEY §2 operator — the journal-merge protocol, as-of, streaming
 #: batch twins, and every dedup/vector/text/multimodal component — so each
 #: distinct operator gets driver evidence every round. Redundant b/c/d
-#: variants stay registered (pytest still runs all 92) but sort past slot 50.
+#: variants stay registered (pytest still runs every entry) but sort past slot 50.
 #: ``tools/coverage_check.py`` fails CI if this prefix drifts.
 DRIVER_WINDOW: list[str] = [
     # framework ops: file formats + the reference's core journal-merge
@@ -85,8 +85,8 @@ DRIVER_WINDOW: list[str] = [
     "x03b_minhash_lsh_portable",
     "x04b_simhash_portable",
     "x05_cosine_topk",
-    "x06_embedding_near_dup",
-    "x06b_ivf_topk",
+    "x06d_embedding_near_dup_portable",
+    "x06c_ivf_topk_exact",
     "x11_binary_columns",
     "x13_pivot",
     "x15_tfidf",

@@ -95,6 +95,199 @@ def x06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "x06d_embedding_near_dup_portable",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    fx AS (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS v
+        FROM ev
+    ),
+    coef AS (
+        SELECT t.t, j.j, d.d,
+               CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5(CAST(t.t AS VARCHAR) || '|' ||
+                                            CAST(j.j AS VARCHAR) || '|' ||
+                                            CAST(d.d AS VARCHAR)), 1, 1)) - 1)
+                         & 1 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(generate_series(0, 3)) AS t) t,
+             (SELECT unnest(generate_series(0, 5)) AS j) j,
+             (SELECT unnest(generate_series(1, 64)) AS d) d
+    ),
+    proj AS (
+        SELECT f.vec_id, c.t, c.j, SUM(c.s * f.v) AS p
+        FROM fx f JOIN coef c ON c.d = f.i
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(SUM((CASE WHEN p >= 0 THEN 1 ELSE 0 END) << j)
+                    AS INTEGER) AS bucket
+        FROM proj GROUP BY vec_id, t
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CAST(floor(CAST(ea.embedding[ea.i] AS DOUBLE)
+                              * CAST(eb.embedding[ea.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM cands c
+        JOIN ev ea ON ea.vec_id = c.id_a
+        JOIN ev eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+        GROUP BY 1, 2
+    ),
+    nrm AS (
+        SELECT vec_id,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS n2
+        FROM ev GROUP BY vec_id
+    )
+    SELECT d.id_a, d.id_b,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine_sim
+    FROM dots d
+    JOIN nrm na ON na.vec_id = d.id_a
+    JOIN nrm nb ON nb.vec_id = d.id_b
+    WHERE CAST(d.dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+    """,
+)
+def x06d_embedding_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 embedding near-dup with PORTABLE hyperplanes (md5-derived ±1
+
+    Rademacher signs, exact int64 fixed-point projections): bucket
+    assignment, the bucket self-join and the fixed-point cosine filter are
+    reproduced value-for-value by the oracle, so the vector near-dup shape
+    is hash-checked by the driver. Threshold 0.4 (the synthetic corpus'
+    cosine ceiling is ≈0.51) so the result is non-empty; the production
+    gaussian twin x06 keeps its planted-duplicate recall tests."""
+    t = fixtures(spark, sf_dir)
+    return similarity.lsh_near_dup_pairs_portable(
+        t.embeddings, dim=_DIM, n_planes=6, n_tables=4, threshold=0.4
+    )
+
+
+@query(
+    "x06c_ivf_topk_exact",
+    oracle="""
+    WITH nrm AS (
+        SELECT vec_id,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS n2
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+        GROUP BY vec_id
+    ),
+    ee AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    c AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vc AS (
+        SELECT ee.vec_id, c.centroid_id,
+               SUM(CAST(floor(CAST(ee.embedding[ee.i] AS DOUBLE)
+                              * CAST(c.cvec[ee.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM ee, c GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vc.vec_id, vc.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY vc.vec_id
+                       ORDER BY CAST(vc.dot AS DOUBLE)
+                                / (sqrt(CAST(nv.n2 AS DOUBLE))
+                                   * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                                vc.centroid_id ASC
+                   ) AS rn
+            FROM vc
+            JOIN nrm nv ON nv.vec_id = vc.vec_id
+            JOIN nrm nc ON nc.vec_id = vc.centroid_id
+        ) WHERE rn = 1
+    ),
+    cq AS (
+        SELECT c.centroid_id,
+               SUM(CAST(floor(CAST(c.cvec[d.i] AS DOUBLE)
+                              * CAST(q.qe[d.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM c, q, (SELECT unnest(generate_series(1, 64)) AS i) d
+        GROUP BY 1
+    ),
+    probe AS (
+        SELECT cq.centroid_id
+        FROM cq
+        JOIN nrm nc ON nc.vec_id = cq.centroid_id
+        CROSS JOIN (SELECT n2 AS nq FROM nrm WHERE vec_id = 0) qn
+        ORDER BY CAST(cq.dot AS DOUBLE)
+                 / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) DESC,
+                 cq.centroid_id ASC
+        LIMIT 4
+    ),
+    vq AS (
+        SELECT ee.vec_id,
+               SUM(CAST(floor(CAST(ee.embedding[ee.i] AS DOUBLE)
+                              * CAST(q.qe[ee.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM ee, q
+        WHERE ee.vec_id IN (SELECT a.vec_id FROM assigned a
+                            JOIN probe p ON a.centroid_id = p.centroid_id)
+        GROUP BY 1
+    )
+    SELECT vq.vec_id, a.centroid_id,
+           CAST(vq.dot AS DOUBLE)
+               / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(qn.nq AS DOUBLE)))
+               AS cosine_sim
+    FROM vq
+    JOIN assigned a ON a.vec_id = vq.vec_id
+    JOIN nrm nv ON nv.vec_id = vq.vec_id
+    CROSS JOIN (SELECT n2 AS nq FROM nrm WHERE vec_id = 0) qn
+    ORDER BY cosine_sim DESC, vq.vec_id ASC
+    LIMIT 10
+    """,
+)
+def x06c_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 IVF ANN, exact-arithmetic flavor: every cosine (assignment, probe,
+
+    final ranking) uses the fixed-point reduction with id tie-breaks, so
+    the whole inverted-list pipeline — codebook assignment, 4-probe, top-10
+    — is reproduced value-for-value by the SQL oracle (the double fast
+    path x06b keeps its recall tests)."""
+    t = fixtures(spark, sf_dir)
+    centroids = t.embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qv = t.embeddings.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(
+        t.embeddings.filter(F.col("vec_id") != 0),
+        qv,
+        centroids,
+        k=10,
+        n_probe=4,
+        exact=True,
+    )
+
+
 @query("x06b_ivf_topk", oracle=None)
 def x06b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 IVF-style ANN top-10: coarse centroids (first 16 vectors as a

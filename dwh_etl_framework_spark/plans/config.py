@@ -133,6 +133,10 @@ class TableConfig:
     parameters: Sequence[Mapping] = ()
     migration: Sequence[str] = ()  # optional DDL, run once before steps (F22)
     transform: Mapping[str, Sequence[TransformStep]] = field(default_factory=dict)
+    #: targets of OTHER tables this one reads (their masters are published
+    #: as temp views); drives DAG edges in plans/orchestrator.py. Tables
+    #: without it run in declaration order, like the reference config loop.
+    depends_on: Sequence[str] = ()
 
     def steps_for(self, read_mode: str) -> Sequence[TransformStep]:
         if read_mode not in VALID_READ_MODES:
@@ -192,6 +196,7 @@ def _parse_table(raw: Mapping) -> TableConfig:
         parameters=tuple(raw.get("parameters", ())),
         migration=tuple(raw.get("migration", ())),
         transform=transform,
+        depends_on=tuple(raw.get("depends_on", raw.get("depends-on", ()))),
     )
 
 

@@ -39,6 +39,44 @@ FIXTURE_TABLES: tuple[str, ...] = (
 
 _BATCH_FORMATS = {"parquet", "orc", "csv", "json", "delta", "hudi"}
 
+#: Vendor-specific JDBC reader/writer defaults, mirroring the reference's
+#: per-connection-type branches (``connector.py:43-44``: Oracle DATE columns
+#: would otherwise surface as TIMESTAMP). User-supplied options always win.
+_VENDOR_JDBC_OPTIONS: dict[str, dict[str, str]] = {
+    "oracle": {"oracle.jdbc.mapDateToTimestamp": "false"},
+    "postgresql": {},
+    "greenplum": {},  # wire-compatible with postgresql
+    "mysql": {},
+    "mssql": {},
+    "derby": {},
+}
+
+
+def jdbc_options(
+    vendor: str | None = None,
+    fetch_size: int | None = None,
+    batch_size: int | None = None,
+    extra: Mapping[str, str] | None = None,
+) -> dict[str, str]:
+    """JDBC option dict with vendor defaults + the reference's two tuning
+
+    knobs (``connector.py:34-35``: fetchsize for scans, batchsize for
+    writes). ``extra`` overrides everything."""
+    if vendor is not None and vendor.lower() not in _VENDOR_JDBC_OPTIONS:
+        raise ValueError(
+            f"unknown jdbc vendor {vendor!r}; known: "
+            f"{sorted(_VENDOR_JDBC_OPTIONS)}"
+        )
+    opts: dict[str, str] = dict(
+        _VENDOR_JDBC_OPTIONS.get((vendor or "").lower(), {})
+    )
+    if fetch_size is not None:
+        opts["fetchsize"] = str(fetch_size)
+    if batch_size is not None:
+        opts["batchsize"] = str(batch_size)
+    opts.update(extra or {})
+    return opts
+
 
 @dataclass(frozen=True)
 class SourceSpec:
@@ -59,6 +97,9 @@ class SourceSpec:
     lower_bound: str | int | None = None
     upper_bound: str | int | None = None
     num_partitions: int | None = None
+    #: jdbc vendor preset (oracle/postgresql/greenplum/mysql/mssql/derby):
+    #: merges _VENDOR_JDBC_OPTIONS type-mapping knobs under ``options``
+    vendor: str | None = None
     options: Mapping[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -70,6 +111,7 @@ class SourceSpec:
                 raise ValueError("jdbc source needs url and one of query/dbtable")
             if self.query and self.dbtable:
                 raise ValueError("jdbc source takes query OR dbtable, not both")
+            jdbc_options(self.vendor)  # validate vendor at construction
         elif not self.path:
             raise ValueError(f"{fmt} source needs a path")
 
@@ -95,7 +137,7 @@ def load_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
                 .option("upperBound", str(spec.upper_bound))
                 .option("numPartitions", str(spec.num_partitions or 8))
             )
-        for key, value in spec.options.items():
+        for key, value in jdbc_options(spec.vendor, extra=spec.options).items():
             reader = reader.option(key, value)
         return reader.load()
 

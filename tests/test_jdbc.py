@@ -106,3 +106,34 @@ def test_jdbc_truncate_overwrite(spark, seeded):
         ),
         URL, "accounts", mode="overwrite", truncate=True, options=DRIVER_OPTS,
     )
+
+
+def test_vendor_jdbc_options():
+    """Vendor presets mirror the reference's per-type branches
+    (connector.py:43-44) plus its fetch/batch knobs; user options win."""
+    from dwh_etl_framework_spark.sources.registry import SourceSpec, jdbc_options
+
+    opts = jdbc_options("oracle", fetch_size=5000, batch_size=10000)
+    assert opts["oracle.jdbc.mapDateToTimestamp"] == "false"
+    assert opts["fetchsize"] == "5000" and opts["batchsize"] == "10000"
+    # user override beats the preset
+    assert jdbc_options("oracle", extra={
+        "oracle.jdbc.mapDateToTimestamp": "true"
+    })["oracle.jdbc.mapDateToTimestamp"] == "true"
+    with pytest.raises(ValueError, match="unknown jdbc vendor"):
+        jdbc_options("sybase")
+    with pytest.raises(ValueError, match="unknown jdbc vendor"):
+        SourceSpec(alias="x", format="jdbc", url="jdbc:derby:memory:v",
+                   dbtable="t", vendor="sybase")
+
+
+def test_vendor_spec_reads_through_derby(spark, seeded):
+    """A vendor-tagged spec still round-trips (derby preset is empty —
+    the option-merge path itself is exercised)."""
+    from dwh_etl_framework_spark.sources.registry import SourceSpec, load_source
+
+    spec = SourceSpec(
+        alias="v_derby", format="jdbc", url=URL, dbtable="accounts",
+        vendor="derby", options=DRIVER_OPTS,
+    )
+    assert load_source(spark, spec).count() == seeded.count()

@@ -49,3 +49,65 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         sn, stotal = latest[uid]
         assert sn == n
         assert stotal == pytest.approx(total, rel=1e-9)
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas twin (Spark-4 successor API, named
+    ValueState on the processor handle): final per-key state after replay
+    must equal the batch groupBy, exactly like the applyInPandasWithState
+    flavor. SKIPS when google.protobuf is absent: the transformWithState
+    state-API client is protobuf-based and this container does not ship
+    protobuf (pip installs are off) — the applyInPandasWithState flavor
+    above carries the tested semantics either way."""
+    pytest.importorskip("google.protobuf")
+    from dwh_etl_framework_spark.streaming.stateful import (
+        running_totals_per_user_tws,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    latest: dict[int, tuple[int, float]] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = events_file_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            running_totals_per_user_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, (n, total) in batch.items():
+        sn, stotal = latest[uid]
+        assert sn == n
+        assert abs(stotal - total) < 1e-6

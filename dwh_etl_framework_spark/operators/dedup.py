@@ -74,11 +74,21 @@ def word_shingles(col: Column, n: int = 3, tokens_precomputed: bool = False) -> 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """X1 exact dedup: keep the lowest id per identical text.
 
-    One hash-shuffle on the text (Spark hashes the group key; at 100 TB,
-    group on md5(text) instead to shrink shuffle rows — same result)."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    The group/shuffle key is the 16-byte md5 fingerprint of the text, not
+    the text itself — at 100 TB that is the difference between shuffling
+    ~16 B and ~100 KB per row. The survivor's text is recovered by joining
+    the (already-reduced) survivor rows back to the input on the id, so
+    full texts only ever travel alongside a fixed-width join key, and at
+    scale that join's build side is the small survivor set."""
+    fp = F.unhex(F.md5(F.col(text_col)))
+    survivors = (
+        df.groupBy(fp.alias("__fp"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__fp")
     )
+    return survivors.join(
+        df.select(id_col, text_col), on=id_col, how="inner"
+    ).select(text_col, id_col, "n_copies")
 
 
 def shingle_table(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -268,25 +268,32 @@ def ivf_topk(
     the DuckDB oracle; every ranking has an id tie-break, so the result is
     fully deterministic.
     """
-    cent = F.broadcast(
-        centroids.select(
-            F.col("centroid_id"), F.col("centroid_vec")
+    # assign each vector to its nearest centroid WITHOUT a shuffle: the
+    # codebook is collapsed into a single array-of-structs row, broadcast
+    # to every input partition (1-row nested-loop join), and the argmax is
+    # a per-row array_max over struct(sim, -centroid_id) — max struct =
+    # highest sim, then lowest centroid_id, matching a (sim DESC, id ASC)
+    # row_number tie-break without the full-table hash Exchange a window
+    # would insert. At scale this is the ingest-time pass that decides the
+    # table's centroid partitioning; it must stay embarrassingly parallel.
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+            ).alias("__cents")
         )
     )
-    # assign each vector to nearest centroid (one pass, JVM-side)
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["centroid_vec"], exact=exact).alias("sim_c"),
+            (-c["centroid_id"]).alias("neg_id"),
+        ),
+    )
     assigned = (
-        embeddings.crossJoin(cent)
-        .withColumn("sim_c", cosine(F.col(vec_col), F.col("centroid_vec"), exact=exact))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("sim_c").desc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        embeddings.crossJoin(cent_arr)
+        .withColumn("__best", F.array_max(scored))
+        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("centroid_id"))
     )
     q = F.broadcast(query_vec.select(F.col(vec_col).alias("__qvec")))
     probe = (

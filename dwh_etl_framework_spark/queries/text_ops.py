@@ -190,7 +190,11 @@ def x27_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     removal — the first artifact of tokenizer training. Explode + one
     count shuffle + TakeOrderedAndProject; total order via (freq DESC,
-    term ASC)."""
+    term ASC). The top-30 cut happens FIRST (TakeOrderedAndProject — no
+    global sort), and only the 30 survivors are ranked, so the rank
+    window never sees the full term set (at corpus scale a global
+    row_number before the limit would drag every distinct term into one
+    task)."""
     t = fixtures(spark, sf_dir)
     stop = ("the", "a", "of", "and", "is")
     counted = (
@@ -199,9 +203,11 @@ def x27_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("term_freq"))
     )
+    top = counted.orderBy(
+        F.col("term_freq").desc(), F.col("term").asc()
+    ).limit(30)
     w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
     return (
-        counted.withColumn("rank", F.row_number().over(w))
+        top.withColumn("rank", F.row_number().over(w))
         .orderBy(F.col("term_freq").desc(), F.col("term").asc())
-        .limit(30)
     )

@@ -64,12 +64,59 @@ def apply_cdc_batch(
     any net change are dropped (anti-join on the batch's distinct keys —
     broadcastable); net 'I'/'U' rows are appended. A net 'D' therefore
     deletes; older master rows for changed keys never survive.
+
+    **Cross-batch ordering guard**: when the master itself carries the
+    ``order_cols`` (the streaming path stores them for exactly this
+    reason), a net change whose ordering tuple is OLDER than the master's
+    stored tuple for the same key is discarded — a late-delivered or
+    replayed event from a previous batch can no longer overwrite newer
+    master state, and its key does not delete the master row either. A
+    change with an EQUAL tuple re-applies (idempotent replay). If the
+    master lacks the order columns (plain batch masters), cross-batch
+    per-key ordering is the transport's responsibility. Both master
+    passes (guard + anti-join) probe the master with the broadcast net
+    side, so the master is scanned but never shuffled; on an ACID table
+    format both collapse into a single MERGE.
+
+    **Op validation** is folded into the apply pass itself (a
+    ``raise_error`` branch on the op column) instead of running a
+    separate per-batch job: an unknown op value fails the job at action
+    time with "unknown CDC op".
     """
     net = latest_change_per_key(changes, key_cols, order_cols)
-    bad = net.filter(~F.col(op_col).isin(*_VALID_OPS)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"unknown CDC op {bad[0][op_col]!r}; expected one of {_VALID_OPS}"
+    checked_op = F.when(
+        F.col(op_col).isin(*_VALID_OPS), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("unknown CDC op '"),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+                F.lit(f"'; expected one of {_VALID_OPS}"),
+            )
+        )
+    )
+    net = net.withColumn(op_col, checked_op)
+    if all(c in master.columns for c in order_cols):
+        net_ord = F.struct(*[F.col(c) for c in order_cols])
+        m_ord = master.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in order_cols]).alias("__m_ord"),
+        )
+        # only the changed keys' stored tuples matter: probe the master
+        # with the broadcast net keys (≤ |net| result rows), then the
+        # guard join itself is small-vs-small
+        relevant = m_ord.join(
+            F.broadcast(net.select(*key_cols)), on=list(key_cols), how="inner"
+        )
+        net = (
+            net.join(F.broadcast(relevant), on=list(key_cols), how="left")
+            .filter(
+                F.col("__m_ord").isNull()
+                # a NULL comparison (null ordering value on either side)
+                # means age is unknowable — apply the change
+                | F.coalesce(net_ord >= F.col("__m_ord"), F.lit(True))
+            )
+            .drop("__m_ord")
         )
     changed_keys = net.select(*key_cols).distinct()
     survivors = master.join(
@@ -91,7 +138,13 @@ def stream_cdc_to_master(
 
     and applied to the durable master (disk-backed ``StreamMasterState`` —
     resumes correctly after restart, like the journal stream merge).
-    Returns the StreamingQuery; caller awaits/stops it."""
+    Returns the StreamingQuery; caller awaits/stops it.
+
+    The bootstrapped master schema DELIBERATELY retains the ``order_cols``
+    (everything but the op column): each master row remembers the ordering
+    tuple of the change that produced it, which is what lets
+    ``apply_cdc_batch`` reject out-of-order deliveries that span
+    micro-batches (see its cross-batch ordering guard)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

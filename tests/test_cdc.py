@@ -58,10 +58,77 @@ def test_apply_cdc_batch_upserts_and_deletes(spark):
 
 
 def test_apply_cdc_batch_rejects_unknown_op(spark):
+    """Validation is a raise_error branch inside the apply pass (no extra
+    per-batch job), so the unknown op surfaces when the plan executes."""
     master = _master(spark, [(1, "x")])
     ch = _changes(spark, [(1, "y", "Z", 1)])
-    with pytest.raises(ValueError, match="unknown CDC op"):
-        apply_cdc_batch(master, ch, ["k"], ["seq"])
+    with pytest.raises(Exception, match="unknown CDC op"):
+        apply_cdc_batch(master, ch, ["k"], ["seq"]).collect()
+
+
+def _master_with_seq(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, seq long")
+
+
+def test_apply_cdc_batch_drops_stale_cross_batch_updates(spark):
+    """A change delivered in a LATER batch with an OLDER ordering value
+    (replay / out-of-order transport) must not overwrite newer master
+    state — and must not delete it via the changed-keys anti-join either."""
+    master = _master_with_seq(spark, [(1, "new", 5), (2, "keep", 9)])
+    ch = spark.createDataFrame(
+        [(1, "stale", "U", 3),   # older than master seq=5 → ignored
+         (2, None, "D", 4),      # stale delete → ignored, row survives
+         (3, "fresh", "I", 1)],  # unseen key → applies
+        "k long, v string, op string, seq long",
+    )
+    out = {
+        r.k: (r.v, r.seq)
+        for r in apply_cdc_batch(master, ch, ["k"], ["seq"]).collect()
+    }
+    assert out == {1: ("new", 5), 2: ("keep", 9), 3: ("fresh", 1)}
+
+
+def test_apply_cdc_batch_equal_order_reapplies(spark):
+    """An EQUAL ordering tuple re-applies (idempotent replay of the change
+    that produced the master row), and a newer change still wins."""
+    master = _master_with_seq(spark, [(1, "v5", 5), (2, "b", 2)])
+    ch = spark.createDataFrame(
+        [(1, "v5-replay", "U", 5), (2, None, "D", 7)],
+        "k long, v string, op string, seq long",
+    )
+    out = {
+        r.k: r.v
+        for r in apply_cdc_batch(master, ch, ["k"], ["seq"]).collect()
+    }
+    assert out == {1: "v5-replay"}
+
+
+def test_stream_cdc_guard_survives_out_of_order_batches(spark, tmp_path):
+    """End-to-end: the streaming master stores the order cols, so a stale
+    event arriving in a later micro-batch leaves the master untouched."""
+    src = tmp_path / "cdc_src3"
+    state = StreamMasterState(spark, str(tmp_path / "cdc_master3"))
+    ckpt = str(tmp_path / "cdc_ckpt3")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, v string, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_cdc_to_master(stream, state, ["k"], ["seq"], ckpt)
+        q.awaitTermination(180)
+
+    _changes(spark, [(1, "newest", "I", 10)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    _changes(spark, [(1, "late-old", "U", 4)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = {r.k: r.v for r in state.read().collect()}
+    assert got == {1: "newest"}
 
 
 def test_stream_replay_equals_sequential_apply(spark, tmp_path):

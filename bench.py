@@ -9,12 +9,20 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 Each query executes its FULL plan through Spark's noop sink (no
 driver-side collect, no Python transfer — pure engine time). One untimed
 warm-up of a trivial query absorbs JVM/codegen startup.
+
+Each headline query runs ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) times,
+round-robin across the set so JIT warm-up spreads evenly; ``queries``
+reports per-query MEDIANS (sub-second deltas between rounds were shown
+in round 2 to be codegen/JIT jitter — medians make them adjudicable) and
+``cold_queries`` keeps the first-pass timings so the per-plan codegen
+constant stays visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -84,7 +92,13 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings = {name: round(run(name), 4) for name in HEADLINE}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            samples[name].append(run(name))
+    timings = {n: round(statistics.median(v), 4) for n, v in samples.items()}
+    cold = {n: round(v[0], 4) for n, v in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -94,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "cold_queries": cold,
             }
         )
     )

@@ -1,0 +1,115 @@
+"""Direct regression coverage for every rows-only registry entry.
+
+These queries have no DuckDB oracle (sketches, xxhash64-derived hashes,
+mapInPandas) so the driver records only a rows-count for them — and the
+ones past the driver's first-50 window get no driver evidence at all.
+tools/coverage_check.py now REQUIRES each such query to be exercised by
+name in tests; this module is that evidence, asserting each entry's
+semantic invariant against its exact twin where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+def test_r17b_approx_count_distinct_tracks_exact(spark):
+    exact = {
+        r.o_orderpriority: r.n_customers
+        for r in _run(spark, "r17_count_distinct").collect()
+    }
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in _run(spark, "r17b_approx_count_distinct").collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        # rsd=0.02: generous 10% envelope still catches wiring mistakes
+        assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])
+
+
+def test_r24e_approx_percentiles_track_exact(spark):
+    exact = {
+        r.o_orderpriority: r
+        for r in _run(spark, "r24c_percentiles").collect()
+    }
+    approx = {
+        r.o_orderpriority: r.approx_p50_p90_p99
+        for r in _run(spark, "r24e_approx_percentiles").collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (p50, p90, p99) in approx.items():
+        assert p50 <= p90 <= p99, "percentiles must be monotone"
+        lo, hi = exact[k].median_price * 0.8, exact[k].median_price * 1.2
+        assert lo <= p50 <= hi, (k, p50, exact[k].median_price)
+        assert exact[k].min_price <= p50 <= exact[k].max_price
+
+
+def test_x02b_cascade_query_equals_exact_jaccard_query(spark):
+    exact_pairs = {
+        (r.doc_a, r.doc_b) for r in _run(spark, "x02_ngram_jaccard").collect()
+    }
+    cascade_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _run(spark, "x02b_lsh_jaccard_cascade").collect()
+    }
+    # every cascade pair is exact-verified (no false positives); on the
+    # fixture corpus the banding finds every exact pair too
+    assert cascade_pairs == exact_pairs
+
+
+def test_x03_minhash_lsh_query_estimates_bounded(spark):
+    rows = _run(spark, "x03_minhash_lsh").collect()
+    assert rows, "fixture corpus has near-dup candidates"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.est_jaccard <= 1.0
+    pairs = [(r.doc_a, r.doc_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "candidate pairs deduplicated"
+
+
+def test_x04_simhash_query_within_hamming_budget(spark):
+    rows = _run(spark, "x04_simhash").collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_x05b_fast_topk_query_matches_exact_ids(spark):
+    exact_ids = [r.vec_id for r in _run(spark, "x05_cosine_topk").collect()]
+    fast_ids = [r.vec_id for r in _run(spark, "x05b_cosine_topk_fast").collect()]
+    assert fast_ids == exact_ids
+
+
+def test_x06_embedding_near_dup_query_pairs_verified(spark):
+    rows = _run(spark, "x06_embedding_near_dup").collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.9 - 1e-9
+
+
+def test_x06b_ivf_query_overlaps_exact(spark):
+    exact_ids = {r.vec_id for r in _run(spark, "x05_cosine_topk").collect()}
+    ivf_ids = {r.vec_id for r in _run(spark, "x06b_ivf_topk").collect()}
+    assert len(ivf_ids & exact_ids) >= 3, (
+        f"IVF(4/16 probes) overlap with exact top-10 too low: {ivf_ids}"
+    )
+
+
+def test_x12_media_features_query_deterministic_stub(spark):
+    df = _run(spark, "x12_media_features")
+    n_docs = _run(spark, "x11_binary_columns").count()
+    rows = df.collect()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert r.doc_id is not None
+    # stub decode is deterministic: running twice yields identical rows
+    assert rows == df.collect()

@@ -45,6 +45,30 @@ def check_driver_window() -> list[str]:
     return problems
 
 
+def check_post_window_evidence() -> list[str]:
+    """Every query OUTSIDE the driver's first-50 window must carry local
+    regression evidence: a DuckDB oracle (exercised by
+    tests/test_oracle_parity.py and tools/run_parity.py) or, for rows-only
+    queries, a dedicated pytest that names it (ADVICE r2: the production
+    twins pushed past slot 50 must not rely on nothing)."""
+    problems = []
+    tests_dir = Path(__file__).resolve().parent.parent / "tests"
+    test_text = "\n".join(
+        p.read_text() for p in sorted(tests_dir.glob("test_*.py"))
+    )
+    post_window = list(QUERIES)[50:]
+    for name in post_window:
+        if QUERIES[name].oracle is not None:
+            continue  # local parity suite covers it
+        # rows-only: require the query name (or its operator module) in tests
+        if name not in test_text:
+            problems.append(
+                f"rows-only query {name!r} is outside the driver window and "
+                "not named in any tests/test_*.py"
+            )
+    return problems
+
+
 def main() -> int:
     text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     mentioned = set(re.findall(r"`([frx]\d{2}[a-z0-9_]*)`", text))
@@ -68,7 +92,7 @@ def main() -> int:
             f"({len(QUERIES)}, {n_oracles})"
         )
         return 1
-    window_problems = check_driver_window()
+    window_problems = check_driver_window() + check_post_window_evidence()
     if window_problems:
         for p in window_problems:
             print(p)

@@ -14,10 +14,28 @@ rows. This is the standard banding trick (same family as the LSH bands).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET = "__range_bucket"
+
+
+def _known_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a plan, or None when unknowable.
+
+    Stats-less plans (e.g. ``createDataFrame`` → Scan ExistingRDD) report
+    ``spark.sql.defaultSizeInBytes`` (Long.Max-ish) — treat anything that
+    large as "unknown" rather than "huge"."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:  # py4j surface changed / connect-only session
+        return None
+    if size >= (1 << 62):
+        return None
+    return size
 
 
 def range_join(
@@ -29,8 +47,15 @@ def range_join(
     bucket_width: float,
     how: str = "inner",
     broadcast_intervals: bool = True,
+    broadcast_size_limit: int = 256 << 20,
 ) -> DataFrame:
     """Join each fact row to interval rows with ``lo <= value < hi``.
+
+    NOTE: the interval side is BROADCAST by default — a genuinely large
+    interval table must either fit each executor's memory or be passed
+    with ``broadcast_intervals=False`` (the guard below catches the case
+    where Catalyst KNOWS the side is big, but a stats-less huge frame is
+    the caller's responsibility).
 
     Both sides may have arbitrary payload columns; the bucket key is
     internal. ``how='left'`` keeps unmatched facts (NULL interval payload).
@@ -42,6 +67,11 @@ def range_join(
     fatal at 100 TB (the fact table doesn't fit in a HashedRelation). Set
     False only for genuinely huge interval tables, which then shuffle on
     the bucket key.
+
+    Safety valve: when Catalyst DOES know the interval side's size (parquet
+    scans report file bytes) and it exceeds ``broadcast_size_limit``
+    (default 256 MiB, pre-explode), the hint is dropped with a warning and
+    the join degrades to a bucket-key shuffle instead of a broadcast OOM.
     """
     f_b = facts.withColumn(
         _BUCKET, F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
@@ -65,7 +95,17 @@ def range_join(
         ),
     )
     if broadcast_intervals:
-        i_b = F.broadcast(i_b)
+        known = _known_size_bytes(intervals)
+        if known is not None and known > broadcast_size_limit:
+            warnings.warn(
+                f"range_join: interval side is ~{known >> 20} MiB "
+                f"(> broadcast_size_limit {broadcast_size_limit >> 20} MiB); "
+                "dropping the broadcast hint — the join will shuffle on the "
+                "bucket key instead",
+                stacklevel=2,
+            )
+        else:
+            i_b = F.broadcast(i_b)
     if how == "inner":
         joined = f_b.join(i_b, on=_BUCKET, how="inner").filter(
             (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))

@@ -41,3 +41,48 @@ def test_overlapping_intervals_multiply(spark):
     )
     rows = range_join(facts, ivals, "x", "lo", "hi", 10.0).collect()
     assert sorted(r.band for r in rows) == ["x", "y"]
+
+
+def test_broadcast_guard_drops_hint_for_known_big_intervals(spark, tmp_path):
+    """A parquet-backed interval side whose KNOWN size exceeds the limit
+    loses the broadcast hint (shuffle join instead of broadcast OOM) and
+    still returns correct rows."""
+    import warnings as _w
+
+    facts = spark.createDataFrame([(50.0,), (150.0,)], "x double")
+    ivals_path = str(tmp_path / "ivals")
+    spark.createDataFrame(
+        [(0.0, 100.0, "a"), (100.0, 200.0, "b")], "lo double, hi double, tag string"
+    ).write.parquet(ivals_path)
+    ivals = spark.read.parquet(ivals_path)
+
+    # without the hint AND without Catalyst's own size-based election the
+    # join must degrade to a shuffle — disable auto-broadcast to observe it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            out = range_join(
+                facts, ivals, "x", "lo", "hi", bucket_width=100.0,
+                broadcast_size_limit=1,  # force the guard
+            )
+            rows = {(r.x, r.tag) for r in out.collect()}
+        assert rows == {(50.0, "a"), (150.0, "b")}
+        assert any(
+            "dropping the broadcast hint" in str(w.message) for w in caught
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_guard_keeps_hint_for_statsless_frames(spark):
+    """createDataFrame intervals (unknown size) keep the broadcast hint —
+    the round-2 fix that stops Catalyst broadcasting the fact side."""
+    facts = spark.createDataFrame([(50.0,)], "x double")
+    ivals = spark.createDataFrame([(0.0, 100.0, "a")], "lo double, hi double, tag string")
+    out = range_join(facts, ivals, "x", "lo", "hi", bucket_width=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

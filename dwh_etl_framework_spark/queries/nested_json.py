@@ -94,14 +94,21 @@ def r25b_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def r26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R26 JSON extraction from the events.props payload
 
-    (get_json_object; from_json is exercised in streaming tests)."""
+    (get_json_object; from_json is exercised in streaming tests).
+
+    The parse is projected ONCE before the aggregate: referencing the
+    get_json_object expression inside sum/min/max directly would re-parse
+    the JSON string per aggregate function (3× the CPU — measured 8.5×
+    scaling vs ~3× for peer row-linear queries at the sf0.1→sf1 bench)."""
     t = fixtures(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return t.events.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
+    parsed = t.events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
     )
 
 

@@ -211,3 +211,153 @@ def x27_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .orderBy(F.col("term_freq").desc(), F.col("term").asc())
     )
+
+
+@query(
+    "x28_repetition_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS words,
+               1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS dup_word_frac,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                        w -> length(w)), 'sum') AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, dup_word_frac, mean_word_len,
+               unnest(list_transform(range(1, len(words)),
+                      i -> words[i] || ' ' || words[i+1])) AS bigram
+        FROM w
+    ),
+    c AS (
+        SELECT doc_id, bigram, min(dup_word_frac) AS dup_word_frac,
+               min(mean_word_len) AS mean_word_len, count(*) AS cnt
+        FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+               AS top_bigram_ratio,
+           min(dup_word_frac) AS dup_word_frac,
+           min(mean_word_len) AS mean_word_len
+    FROM c GROUP BY doc_id
+    """,
+)
+def x28_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 Gopher-style repetition/quality metrics per document: most-common-
+
+    bigram frequency ratio, duplicate-word fraction, mean word length —
+    the standard cheap filters a pretraining curation pass applies before
+    any model-based scoring.
+
+    Scale shape: one map pass computes the per-doc scalars with array
+    HOFs (no explode needed for those), then bigrams explode into the
+    (doc_id, bigram) count — the only shuffles are the two hash
+    aggregations, both keyed by doc_id(+bigram), both with map-side
+    partial aggregation. The per-doc scalars ride through the aggregates
+    as min() so no re-join with the source is needed. No windows, no UDFs.
+    """
+    t = fixtures(spark, sf_dir)
+    words = F.split("text", " ")
+    dup = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    )
+    mean_wlen = (
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> length(w)), "
+            "cast(0 as bigint), (a, x) -> a + x)"
+        ).cast("double")
+        / F.size(words)
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    exploded = t.documents.select(
+        "doc_id",
+        dup.alias("dup_word_frac"),
+        mean_wlen.alias("mean_word_len"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    counted = exploded.groupBy("doc_id", "bigram").agg(
+        F.min("dup_word_frac").alias("dup_word_frac"),
+        F.min("mean_word_len").alias("mean_word_len"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return counted.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_bigram_ratio"
+        ),
+        F.min("dup_word_frac").alias("dup_word_frac"),
+        F.min("mean_word_len").alias("mean_word_len"),
+    )
+
+
+@query(
+    "x29_decontamination",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(words) - 3),
+                      i -> array_to_string(words[i:i+4], ' '))) AS gram
+        FROM w
+    ),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS containment
+    FROM train GROUP BY doc_id
+    """,
+)
+def x29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X1 benchmark decontamination: per training document, the fraction
+
+    of its distinct 5-gram shingles that appear anywhere in a held-out
+    benchmark set (here: ``source = 'src0'``) — the containment score used
+    to drop eval-set leakage from a pretraining corpus.
+
+    Scale shape: both sides dedup their grams map-side (``array_distinct``
+    before the explode), the benchmark gram set is DISTINCT-ed and then
+    hash-joined; at real scale the benchmark side is tiny relative to the
+    corpus so Catalyst broadcasts it and the training side never
+    shuffles — the only exchange is the final per-doc count. Documents
+    shorter than 5 words contribute no grams on either engine (the Spark
+    side guards the descending-``sequence`` pitfall: sequence(1, 0) would
+    yield [1, 0], not empty)."""
+    t = fixtures(spark, sf_dir)
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
+        "ELSE array() END"
+    )
+    train = t.documents.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    bench = (
+        t.documents.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    hits = train.join(bench.withColumn("hit", F.lit(1)), "gram", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("containment"),
+    )

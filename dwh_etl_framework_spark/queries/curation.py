@@ -14,7 +14,7 @@ No operator materializes; Catalyst pipelines the gates into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.operators.dedup import normalize_text
@@ -75,4 +75,83 @@ def x19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("uniq_ratio", F.col("n_unique").cast("double") / F.col("n_tokens"))
     return scored.filter(
         (F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.3)
+    )
+
+
+@query(
+    "x30_train_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT source, n_chars,
+               CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                    WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, source
+    """,
+)
+def x30_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split (~90/5/5 via md5
+
+    hex-prefix thresholds 0xe6/0xf3), audited per source. The assignment is
+    a pure function of doc_id — reproducible across engines, runs, repartitions,
+    and incremental corpus growth (a new doc never flips an old
+    doc's split, unlike percent_rank or sample()). Map-only pass + one
+    partial-agg shuffle on (split, source)."""
+    t = fixtures(spark, sf_dir)
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    assigned = t.documents.select(
+        "source",
+        "n_chars",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "x31_per_source_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(text) ASC, doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def x31_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap each source at 20 documents,
+
+    selected by content-hash order (deterministic, unbiased by ingest
+    order — md5(text) is a uniform shuffle within the source). The
+    rank<=20 filter rewrites to WindowGroupLimit, so each map partition
+    prunes to its local top-20 per source BEFORE the shuffle — the same
+    skew-robust plan shape as the journal merge (tests/test_skew.py); a
+    source with a billion rows ships ~20 rows per upstream partition, not
+    a billion."""
+    t = fixtures(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        t.documents.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", "n_chars", "rk")
     )

@@ -213,3 +213,49 @@ def r31b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "r33b_interval_join_twin",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id,
+                      CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+                      CAST(ts AS TIMESTAMP) AS pts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(date_diff('second', cts, pts) AS BIGINT) AS gap_s
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND pts >= cts
+     AND pts <= cts + INTERVAL 30 MINUTE
+    """,
+)
+def r33b_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R33 stream-stream interval join, batch twin: purchases attributed to
+
+    a same-user click at most 30 minutes earlier — THE SAME OPERATOR
+    (``streaming.join.interval_join``) the streaming tests replay over file
+    streams; on batch frames the watermarks are no-ops, so this entry
+    hash-checks the join condition itself against DuckDB while
+    ``tests/test_stream_join.py`` checks the streaming execution (state
+    eviction, multi-micro-batch, out-of-order arrival) agrees with it."""
+    from dwh_etl_framework_spark.streaming.join import interval_join
+
+    t = fixtures(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = interval_join(
+        clicks, purchases, on="user_id", lookback="30 minutes"
+    )
+    return joined.select(
+        "user_id",
+        "l_click_id",
+        "r_purchase_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("gap_s"),
+    ).withColumnsRenamed({"l_click_id": "click_id", "r_purchase_id": "purchase_id"})

@@ -30,6 +30,7 @@ WHEN NOT MATCHED THEN INSERT *`` — which is what MERGE INTO expresses.
 from __future__ import annotations
 
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,6 +48,15 @@ class AcidUnavailableError(RuntimeError):
     """Raised when the MERGE fast path is requested but no ACID table
 
     format is executable in the live session."""
+
+
+class AcidFallbackWarning(UserWarning):
+    """``merge_delta_auto`` was asked for the ACID fast path but took the
+
+    DataFrame fallback. The fallback computes from the caller-supplied
+    ``master`` DataFrame, NOT the named ACID table — if the two have
+    drifted, results are silently stale, so the skip must be observable
+    (operators alert on this warning to catch capability regressions)."""
 
 
 #: probe order + evidence: (name, session-extension marker, JVM class)
@@ -148,10 +158,35 @@ def merge_delta_auto(
     Default (flag off, or no capability, or no named target): delegates to
     ``operators.merge.merge_delta`` — the identical DataFrame plan as
     before the flag existed. Flag on with an executable format and a named
-    target: runs ``merge_delta_acid`` and returns the refreshed table."""
-    if use_acid_merge and acid_target_table is not None:
-        cap = acid_capability(spark)
-        if cap is not None:
-            merge_delta_acid(spark, acid_target_table, journal, spec, capability=cap)
-            return spark.read.table(acid_target_table)
+    target: runs ``merge_delta_acid`` and returns the refreshed table.
+
+    When the flag is ON but the fallback is taken anyway, an
+    ``AcidFallbackWarning`` is emitted: the fallback reads the
+    caller-supplied ``master`` DataFrame rather than the named table, so a
+    silent skip could return stale results if the two sources drifted."""
+    if use_acid_merge:
+        if acid_target_table is None:
+            warnings.warn(
+                "use_acid_merge=True but acid_target_table is None — "
+                "taking the DataFrame fallback (reads `master`, not an "
+                "ACID table)",
+                AcidFallbackWarning,
+                stacklevel=2,
+            )
+        else:
+            cap = acid_capability(spark)
+            if cap is not None:
+                merge_delta_acid(
+                    spark, acid_target_table, journal, spec, capability=cap
+                )
+                return spark.read.table(acid_target_table)
+            warnings.warn(
+                f"use_acid_merge=True but no ACID format is executable in "
+                f"this session (probe: delta/iceberg/hudi all absent) — "
+                f"falling back to the DataFrame merge of `master`, NOT "
+                f"table {acid_target_table!r}; results are stale if the "
+                f"two have drifted",
+                AcidFallbackWarning,
+                stacklevel=2,
+            )
     return merge_delta(master, journal, spec)

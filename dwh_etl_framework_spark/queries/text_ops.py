@@ -273,10 +273,18 @@ def x28_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.size(words)
     )
+    # Guard docs with < 2 words: sequence(1, 0) yields the DESCENDING
+    # array [1, 0] (not empty), and element_at(words, 0) then throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT, aborting the whole job.  The
+    # DuckDB oracle simply emits no row for such docs, so the empty
+    # array (explode -> no rows) is the matching behavior.  Same
+    # pitfall-guard as x29's 5-gram expression below.
     bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1)))"
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
     )
     exploded = t.documents.select(
         "doc_id",

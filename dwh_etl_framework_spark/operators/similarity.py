@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+
 
 def _dot_double(a: Column, b: Column) -> Column:
     """Σ a_i*b_i in double (fast path; JVM fold, deterministic in-order)."""
@@ -138,11 +140,19 @@ def lsh_near_dup_pairs(
     n_planes: int = 16,
     n_tables: int = 2,
     threshold: float = 0.9,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
 ) -> DataFrame:
     """X1/X2 embedding near-dup mining: bucket by hyperplane signature
 
     (n_tables independent tables to boost recall), exact cosine only inside
-    buckets, keep pairs ≥ threshold."""
+    buckets, keep pairs ≥ threshold.
+
+    ``max_bucket_size`` bounds the per-bucket self-join: a degenerate
+    ``(table_idx, bucket)`` group (e.g. millions of zero vectors all
+    signing to bucket 0) would otherwise explode as size². Oversized
+    buckets are dropped (``operators.bucket_cap``); pass an
+    ``Observation`` as ``bucket_observation`` for drop metrics."""
     with_buckets_src = embeddings
     with_buckets = with_buckets_src.select(
         F.col(id_col),
@@ -156,6 +166,13 @@ def lsh_near_dup_pairs(
             )
         ).alias("table_idx", "bucket"),
     ).localCheckpoint(eager=True)  # referenced by both join sides
+    if max_bucket_size is not None:
+        with_buckets = cap_bucket_size(
+            with_buckets,
+            ["table_idx", "bucket"],
+            max_bucket_size,
+            observation=bucket_observation,
+        )
     a = with_buckets.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         "table_idx", "bucket",
@@ -193,6 +210,8 @@ def lsh_near_dup_pairs_portable(
     n_planes: int = 6,
     n_tables: int = 4,
     threshold: float = 0.4,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
 ) -> DataFrame:
     """X1/X2 embedding near-dup mining, cross-engine-reproducible flavor:
 
@@ -227,6 +246,13 @@ def lsh_near_dup_pairs_portable(
         F.col(vec_col),
         F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
     ).localCheckpoint(eager=True)  # referenced by both join sides
+    if max_bucket_size is not None:
+        with_buckets = cap_bucket_size(
+            with_buckets,
+            ["table_idx", "bucket"],
+            max_bucket_size,
+            observation=bucket_observation,
+        )
     a = with_buckets.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         "table_idx", "bucket",

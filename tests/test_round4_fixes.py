@@ -99,6 +99,113 @@ def test_x29_short_docs_still_green(spark, short_doc_sf_dir):
     _compare_vs_oracle(spark, "x29_decontamination", short_doc_sf_dir)
 
 
+def test_lsh_degenerate_bucket_is_capped_and_observable(spark):
+    """VERDICT r3 carry-forward: one pathological (band_idx, band_hash)
+
+    bucket (here: 60 identical docs colliding in every band) must not go
+    quadratic — with the cap below the bucket size, all its pairs are
+    dropped, the drop is observable via the Observation metrics, and
+    honest near-dup pairs in small buckets still surface."""
+    from pyspark.sql import Observation
+
+    from dwh_etl_framework_spark.operators import dedup
+
+    base = "w" + " w".join(str(i) for i in range(30))
+    rows = [(i, "junk junk junk junk junk junk junk junk") for i in range(60)]
+    rows += [(1000, base + " tail_a"), (1001, base + " tail_b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3, k=64)
+
+    obs = Observation("lsh_cap")
+    pairs = dedup.lsh_candidate_pairs(
+        sigs,
+        "doc_id",
+        bands=16,
+        rows_per_band=4,
+        est_threshold=0.5,
+        max_bucket_size=50,
+        bucket_observation=obs,
+    ).collect()
+    ids = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1000, 1001) in ids  # honest near-dup pair survives
+    assert not any(a < 60 and b < 60 for a, b in ids)  # junk pairs dropped
+    metrics = obs.get
+    assert metrics["dropped_buckets"] >= 1
+    assert metrics["dropped_rows"] >= 60
+    assert metrics["largest_bucket"] == 60
+
+
+def test_lsh_cap_off_and_generous_cap_keep_all_pairs(spark):
+    """The cap must be a no-op when buckets are under it (oracle fixtures
+
+    rely on this) and when disabled entirely."""
+    from dwh_etl_framework_spark.operators import dedup
+
+    base = "w" + " w".join(str(i) for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail_{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n=3, k=64)
+    uncapped = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, "doc_id", max_bucket_size=None
+        ).collect()
+    )
+    capped = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, "doc_id", max_bucket_size=5000
+        ).collect()
+    )
+    assert uncapped == capped and len(uncapped) > 0
+
+
+def test_simhash_degenerate_chunk_is_capped(spark):
+    from dwh_etl_framework_spark.operators import dedup
+
+    rows = [(i, "junk junk junk junk junk junk") for i in range(60)]
+    base = " ".join(f"tok{i}" for i in range(40))
+    # identical text => hamming 0: the honest pair lives in a size-2 bucket
+    rows += [(1000, base), (1001, base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.simhash(docs, "text", "doc_id")
+    pairs = dedup.simhash_pairs(
+        fps, "doc_id", max_hamming=3, max_bucket_size=50
+    ).collect()
+    ids = {(r.doc_a, r.doc_b) for r in pairs}
+    assert not any(a < 60 and b < 60 for a, b in ids)
+    assert (1000, 1001) in ids
+
+
+def test_embedding_degenerate_bucket_is_capped(spark):
+    from pyspark.sql import Observation
+
+    from dwh_etl_framework_spark.operators import similarity
+
+    dim = 8
+    junk = [(i, [0.0] * dim) for i in range(60)]  # all sign to one bucket
+    near = [
+        (1000, [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.9]),
+        (1001, [1.0, 0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.89]),
+    ]
+    emb = spark.createDataFrame(
+        junk + near, "vec_id long, embedding array<double>"
+    )
+    obs = Observation("emb_cap")
+    pairs = similarity.lsh_near_dup_pairs(
+        emb,
+        dim,
+        threshold=0.99,
+        max_bucket_size=50,
+        bucket_observation=obs,
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert ids == {(1000, 1001)}
+    assert obs.get["dropped_buckets"] >= 1
+
+
 def test_driver_memory_default_adapts_to_host(monkeypatch):
     """ADVICE r4 (low): the driver-heap default must not be an
 

@@ -206,6 +206,54 @@ def test_embedding_degenerate_bucket_is_capped(spark):
     assert obs.get["dropped_buckets"] >= 1
 
 
+def test_cc_runs_one_job_per_iteration(spark):
+    """VERDICT r3 item 4: the convergence count must ride the propagation
+
+    job as an observe metric, not run as a second join+count job — long
+    chains pay 2× the scheduling otherwise. A 0-1-2-...-7 chain needs 7
+    propagation iterations + 1 to detect fixpoint; with the 2 setup
+    checkpoints (edges, initial labels) the whole call must stay within
+    iterations + 3 jobs (the old shape was 2 per iteration)."""
+    from dwh_etl_framework_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own job, which hides the
+    # 1-vs-2-jobs-per-iteration distinction this test pins — count without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc_job_count", "cc job-count probe")
+    try:
+        labels = {
+            r.node: r.component
+            for r in connected_components(chain, max_iter=20).collect()
+        }
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert labels == {i: 0 for i in range(8)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_job_count")
+    # 8 iterations + 2 setup checkpoints + the final collect
+    assert len(jobs) <= 8 + 3, (
+        f"{len(jobs)} jobs for 8 iterations — convergence count is running "
+        "as a separate job again"
+    )
+
+
+def test_cc_long_chain_converges(spark):
+    from dwh_etl_framework_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.node: r.component
+        for r in connected_components(chain, max_iter=40).collect()
+    }
+    assert labels == {i: 0 for i in range(31)}
+
+
 def test_driver_memory_default_adapts_to_host(monkeypatch):
     """ADVICE r4 (low): the driver-heap default must not be an
 

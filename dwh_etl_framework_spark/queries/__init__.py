@@ -37,11 +37,15 @@ from dwh_etl_framework_spark.queries import multimodal_ops  # noqa: F401
 #: distinct operator gets driver evidence every round. Redundant b/c/d
 #: variants stay registered (pytest still runs every entry) but sort past slot 50.
 #: ``tools/coverage_check.py`` fails CI if this prefix drifts.
+#: Round-4 rotation (VERDICT r3 item 6 / ADVICE): the six newest oracled
+#: queries (x28-x31, r32, r33b) entered the window in slots previously held
+#: by trivially-stable queries (f04/f05 roundtrips, r07 distinct, r09
+#: top-k, r12 truncate-reload, r21 intersect — all still oracled and green
+#: in the local parity suite every pytest run), so the streaming twins and
+#: curation operators get driver-hash evidence.
 DRIVER_WINDOW: list[str] = [
-    # framework ops: file formats + the reference's core journal-merge
-    # protocol (airflow_etl.py:131-223)
-    "f04_csv_roundtrip",
-    "f05_orc_roundtrip",
+    # framework ops: the reference's core journal-merge protocol
+    # (airflow_etl.py:131-223)
     "f19_merge_full",
     "f20_merge_delta",
     "f21_state_flip",
@@ -52,12 +56,9 @@ DRIVER_WINDOW: list[str] = [
     "r04_top1_per_group",
     "r05_left_join",
     "r06_case_when",
-    "r07_distinct",
     "r08_anti_join",
-    "r09_sort_topk",
     "r10_update_where",
     "r11_union_append",
-    "r12_truncate_reload",
     "r13_param_predicate",
     "r14_inner_join_agg",
     "r15_semi_join",
@@ -67,7 +68,6 @@ DRIVER_WINDOW: list[str] = [
     "r18c_grouping_sets",
     "r19_window_analytics",
     "r20_topk_per_group",
-    "r21_intersect",
     "r22_string_fns",
     "r23_date_fns",
     "r24_math_fns",
@@ -79,6 +79,8 @@ DRIVER_WINDOW: list[str] = [
     "r29_incremental_watermark",
     "r30_tumbling_window",
     "r31_sliding_window",
+    "r32_watermark_late_filter",
+    "r33b_interval_join_twin",
     # LLM-data-pipeline components (X1-X4), one per component
     "x01_exact_dedup",
     "x02_ngram_jaccard",
@@ -92,6 +94,10 @@ DRIVER_WINDOW: list[str] = [
     "x15_tfidf",
     "x19_curation_pipeline",
     "x20_dedup_clusters",
+    "x28_repetition_metrics",
+    "x29_decontamination",
+    "x30_train_test_split",
+    "x31_per_source_cap",
 ]
 
 

@@ -69,6 +69,28 @@ def check_post_window_evidence() -> list[str]:
     return problems
 
 
+def check_parity_artifact_fresh() -> list[str]:
+    """The newest PARITY_r*.json must cover EVERY registry entry (VERDICT
+    r3 item 2: the artifact silently went stale when new queries were
+    registered after it was generated). Regenerate with
+    ``python tools/run_parity.py <round>`` whenever this fires."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    artifacts = sorted(repo.glob("PARITY_r*.json"))
+    if not artifacts:
+        return ["no PARITY_r*.json artifact exists — run tools/run_parity.py"]
+    latest = artifacts[-1]
+    covered = set(json.loads(latest.read_text()))
+    missing = sorted(set(QUERIES) - covered)
+    if missing:
+        return [
+            f"{latest.name} is stale: registry entries without parity "
+            f"evidence: {missing} — rerun tools/run_parity.py"
+        ]
+    return []
+
+
 def main() -> int:
     text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     mentioned = set(re.findall(r"`([frx]\d{2}[a-z0-9_]*)`", text))
@@ -92,7 +114,11 @@ def main() -> int:
             f"({len(QUERIES)}, {n_oracles})"
         )
         return 1
-    window_problems = check_driver_window() + check_post_window_evidence()
+    window_problems = (
+        check_driver_window()
+        + check_post_window_evidence()
+        + check_parity_artifact_fresh()
+    )
     if window_problems:
         for p in window_problems:
             print(p)

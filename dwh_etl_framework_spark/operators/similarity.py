@@ -96,6 +96,150 @@ def brute_force_topk(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """X2 k-NN join: top-``k`` cosine neighbors from ``embeddings`` for
+
+    EVERY row of ``queries`` (the batch generalization of
+    ``brute_force_topk``; self-join when both sides are the corpus).
+    Returns (query_id, neighbor_id, cosine_sim, rk), rk 1..k, total order
+    via (cosine DESC, neighbor_id ASC).
+
+    Scale shape: the QUERY side is broadcast (a query batch is small
+    relative to a 100 TB corpus), so scoring is an embarrassingly parallel
+    map over corpus partitions — no corpus shuffle. The rank<=k filter
+    rewrites to WindowGroupLimit: each partition prunes to its local top-k
+    per query BEFORE the single (query_id)-keyed exchange, so the shuffle
+    ships ≤ partitions·queries·k rows, never the corpus. For
+    corpus-×-corpus self-joins at scale use ``knn_join_ivf`` — brute force
+    is O(|corpus|·|queries|) by construction.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+        )
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", cosine(F.col(vec_col), F.col("__qvec"), exact=exact)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+def knn_join_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """X2 approximate k-NN SELF-join at corpus scale: every vector finds
+
+    its top-``k`` neighbors among vectors whose inverted list (nearest
+    centroid) is one of the vector's ``n_probe`` closest lists.
+
+    Scale shape — this is the shape a corpus-×-corpus k-NN actually runs
+    at 100 TB, where brute force is O(n²):
+
+    1. one broadcast-codebook map pass ranks centroids per vector (no
+       shuffle, same collapsed-array argmax as ``ivf_topk``);
+    2. the candidate side keeps its top-1 list (each vector indexed
+       once), the query side explodes its ``n_probe`` lists;
+    3. ONE equi-join on ``centroid_id`` (at ingest the table is
+       partitioned by centroid, so this is partition-pruned, not
+       shuffled) generates ~n_probe·|list| candidates per query instead
+       of n;
+    4. exact cosine re-rank inside candidates, WindowGroupLimit top-k.
+
+    Recall is tunable via n_probe/codebook size; asserted vs brute force
+    in tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+            ).alias("__cents")
+        )
+    )
+    # array_sort on struct(neg_sim, centroid_id) sorts ascending — negated
+    # sim first ⇒ the probe list is the n_probe HIGHEST-cosine centroids,
+    # ties broken by lowest centroid_id (same order ivf_topk's argmax uses)
+    with_lists = (
+        embeddings.crossJoin(cent_arr)
+        .withColumn(
+            "__scored",
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    (-cosine(F.col(vec_col), c["centroid_vec"], exact=exact)).alias(
+                        "neg_sim"
+                    ),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            ),
+        )
+        .withColumn(
+            "__probe",
+            F.expr(
+                f"transform(slice(array_sort(__scored), 1, {int(n_probe)}), "
+                "s -> s.centroid_id)"
+            ),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("__probe"))
+        .localCheckpoint(eager=True)  # both join sides read it
+    )
+    cand = with_lists.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+        F.col("__probe")[0].alias("centroid_id"),  # indexed under top-1 list
+    )
+    qry = with_lists.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode("__probe").alias("centroid_id"),
+    )
+    pairs = (
+        qry.join(cand, on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine_sim", cosine(F.col("__qvec"), F.col("__nvec"), exact=exact)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes (Box-Muller over an LCG) —
 

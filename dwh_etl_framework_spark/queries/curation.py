@@ -121,6 +121,108 @@ def x30_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source sampling rates for x33, expressed as 6-hex-digit md5-prefix
+#: thresholds (rate r ⇒ keep docs whose md5 prefix < floor(r·16⁶) as hex).
+#: String comparison of hex prefixes is engine-portable; 'zzzzzz' sorts
+#: after every hex string ⇒ keep-all.
+_SAMPLE_RATES: dict[str, float] = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_DEFAULT_RATE = 0.125
+
+
+def _rate_threshold(rate: float) -> str:
+    if rate >= 1.0:
+        return "zzzzzz"
+    return format(int(rate * 16**6), "06x")
+
+
+@query(
+    "x33_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 6)
+          < CASE source
+              WHEN 'src0' THEN '{_rate_threshold(1.0)}'
+              WHEN 'src1' THEN '{_rate_threshold(0.5)}'
+              WHEN 'src2' THEN '{_rate_threshold(0.25)}'
+              ELSE '{_rate_threshold(_DEFAULT_RATE)}'
+            END
+    """,
+)
+def x33_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 deterministic stratified sampling: each source is downsampled at
+
+    its own rate (the corpus-mixing knob of a pretraining data recipe —
+    e.g. keep all of a high-quality source, an eighth of a crawl) by
+    comparing a per-doc md5 prefix against the rate's hex threshold.
+    Like x30 the assignment is a pure function of doc_id: stable under
+    corpus growth, repartitioning, and engine choice — none of which holds
+    for ``df.sample()``. Map-only pass; no shuffle at any scale."""
+    t = fixtures(spark, sf_dir)
+    h6 = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    threshold = None
+    for src, rate in _SAMPLE_RATES.items():
+        clause = (F.col("source") == src, F.lit(_rate_threshold(rate)))
+        threshold = (
+            F.when(*clause) if threshold is None else threshold.when(*clause)
+        )
+    threshold = threshold.otherwise(F.lit(_rate_threshold(_DEFAULT_RATE)))
+    return t.documents.filter(h6 < threshold).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "x34_quality_percentile_gate",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, uniq_ratio,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY uniq_ratio ASC, doc_id ASC
+               ) AS pr
+        FROM scored
+    )
+    SELECT doc_id, source, uniq_ratio, pr
+    FROM ranked WHERE pr >= 0.25
+    """,
+)
+def x34_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 relative quality gate: drop each source's bottom quartile by
+
+    lexical diversity (distinct-token ratio) — the "filter relative to the
+    source's own distribution" pattern real curation uses when absolute
+    thresholds would gut some sources and pass everything in others.
+    percent_rank carries RANK semantics over a unique key (ratio, doc_id)
+    so both engines agree exactly. One shuffle (per-source window); the
+    per-doc scoring is map-side."""
+    t = fixtures(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("uniq_ratio").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "source", "uniq_ratio", "pr")
+    )
+
+
 @query(
     "x31_per_source_cap",
     oracle="""

@@ -288,6 +288,86 @@ def x06c_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x32_knn_join",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS n2
+        FROM ev GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               SUM(CAST(floor(CAST(q.embedding[q.i] AS DOUBLE)
+                              * CAST(e.embedding[q.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM ev q JOIN ev e ON e.i = q.i AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ne.n2 AS DOUBLE)))
+                   AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                            / (sqrt(CAST(nq.n2 AS DOUBLE))
+                               * sqrt(CAST(ne.n2 AS DOUBLE))) DESC,
+                            d.neighbor_id ASC
+               ) AS rk
+        FROM dots d
+        JOIN nrm nq ON nq.vec_id = d.query_id
+        JOIN nrm ne ON ne.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def x32_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 k-NN join: top-3 cosine neighbors from the whole corpus for each
+
+    of the first 50 vectors (a query batch), exact fixed-point arithmetic
+    so the oracle reproduces every similarity bit-for-bit. The query batch
+    broadcasts; scoring is a map over corpus partitions and the rank<=k
+    filter rewrites to WindowGroupLimit (per-partition top-k pruned before
+    the one query_id-keyed shuffle). The corpus-×-corpus scale path is
+    x32b (IVF candidate lists)."""
+    t = fixtures(spark, sf_dir)
+    return similarity.knn_join(
+        t.embeddings,
+        t.embeddings.filter(F.col("vec_id") < 50),
+        k=3,
+        exact=True,
+    )
+
+
+@query("x32b_knn_join_ivf", oracle=None)
+def x32b_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 approximate k-NN SELF-join: every vector's top-3 neighbors among
+
+    vectors sharing one of its 4 probed IVF lists — the O(n·probe·list)
+    shape a corpus-×-corpus neighbor search runs at 100 TB instead of the
+    O(n²) brute force. No oracle (candidate sets are codebook-dependent);
+    tests/test_similarity.py asserts recall vs the exact x32 join."""
+    t = fixtures(spark, sf_dir)
+    centroids = t.embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return similarity.knn_join_ivf(
+        t.embeddings, centroids, k=3, n_probe=4
+    )
+
+
 @query("x06b_ivf_topk", oracle=None)
 def x06b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 IVF-style ANN top-10: coarse centroids (first 16 vectors as a

@@ -10,6 +10,7 @@ semantic invariant against its exact twin where one exists.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.queries import QUERIES
@@ -113,3 +114,34 @@ def test_x12_media_features_query_deterministic_stub(spark):
         assert r.doc_id is not None
     # stub decode is deterministic: running twice yields identical rows
     assert rows == df.collect()
+
+
+def test_x32b_knn_join_ivf_subset_of_exact_candidates(spark):
+    """x32b_knn_join_ivf (rows-only): every approximate neighbor must be a
+
+    real corpus vector ranked by true cosine — i.e. each (query, neighbor)
+    edge must appear in the exact x32-style join at some rank, and rk
+    must be 1..3 per query. (Recall bounds live in tests/test_similarity.py.)"""
+    from dwh_etl_framework_spark.operators import similarity
+
+    approx = _run(spark, "x32b_knn_join_ivf").collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = similarity.knn_join(emb, emb, k=50).collect()
+    true_sim = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    by_query = {}
+    matched = 0
+    for r in approx:
+        by_query.setdefault(r.query_id, []).append((r.rk, r.cosine_sim))
+        assert r.neighbor_id != r.query_id
+        if (r.query_id, r.neighbor_id) in true_sim:
+            # similarity reported for the pair must BE the true cosine
+            assert r.cosine_sim == pytest.approx(
+                true_sim[(r.query_id, r.neighbor_id)], abs=1e-9
+            )
+            matched += 1
+    assert matched > 0  # the deep-rank overlap is never empty in practice
+    for qid, rows in by_query.items():
+        rks = sorted(rk for rk, _ in rows)
+        assert rks == list(range(1, len(rks) + 1)), (qid, rks)
+        sims = [s for _, s in sorted(rows)]
+        assert sims == sorted(sims, reverse=True), f"rk order != sim order: {qid}"

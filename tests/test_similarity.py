@@ -94,3 +94,69 @@ def test_ivf_topk_overlaps_brute_force(spark, embeddings, query_vec):
            similarity.ivf_topk(others, query_vec, centroids, k=10, n_probe=4).collect()]
     overlap = len(set(got) & set(truth))
     assert overlap >= 3, f"IVF(4/16 probes) overlap with exact top-10 too low: {overlap}"
+
+
+def test_knn_join_matches_per_query_brute_force(spark, embeddings):
+    """x32's operator: for a sample of query ids, the k-NN join row set
+
+    must equal running brute_force_topk per query."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    joined = similarity.knn_join(embeddings, queries, k=3).collect()
+    by_query = {}
+    for r in joined:
+        by_query.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for qid, rows in by_query.items():
+        assert [rk for rk, _ in sorted(rows)] == [1, 2, 3]
+        qv = embeddings.filter(F.col("vec_id") == qid)
+        brute = [
+            r.vec_id
+            for r in similarity.brute_force_topk(
+                embeddings.filter(F.col("vec_id") != qid), qv, k=3
+            ).collect()
+        ]
+        assert [n for _, n in sorted(rows)] == brute, f"query {qid}"
+
+
+def test_knn_join_ivf_recall_vs_exact(spark, embeddings):
+    """On the uniform-random synthetic corpus "neighbors" are arbitrary
+
+    (max pairwise cosine ≈ 0.5), the worst case for list-restricted
+    candidates — still require better-than-baseline recall (probing 6/16
+    lists blind would cover ~37%; require 0.5)."""
+    centroids = embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    approx = similarity.knn_join_ivf(embeddings, centroids, k=3, n_probe=6).collect()
+    exact = similarity.knn_join(embeddings, embeddings, k=3).collect()
+    a_set = {(r.query_id, r.neighbor_id) for r in approx}
+    e_set = {(r.query_id, r.neighbor_id) for r in exact}
+    recall = len(a_set & e_set) / len(e_set)
+    assert recall >= 0.5, f"IVF knn-join recall too low: {recall:.2f}"
+
+
+def test_knn_join_ivf_finds_planted_near_neighbors(spark, embeddings):
+    """The case IVF exists for: a GENUINE near-duplicate (tiny perturbation
+
+    ⇒ same or adjacent inverted list) must appear as its twin's rank-1
+    neighbor in the approximate join."""
+    base = embeddings.limit(50)
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * 1.0001
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"), "label"
+    ).unionByName(planted)
+    centroids = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    got = similarity.knn_join_ivf(corpus, centroids, k=1, n_probe=4).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in got}
+    hits = sum(1 for qid in range(50) if rank1.get(qid + 100000) == qid)
+    assert hits >= 45, f"only {hits}/50 planted twins found at rank 1"

@@ -19,12 +19,16 @@ DuckDB-oracle checks; the double variants are the fast path for bench.
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+
+#: unique Observation names across repeated trainer calls in one session
+_OBS_SEQ = itertools.count()
 
 
 def _dot_double(a: Column, b: Column) -> Column:
@@ -238,6 +242,131 @@ def knn_join_ivf(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def train_kmeans_codebook(
+    embeddings: DataFrame,
+    n_centroids: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol_changed: int = 0,
+) -> DataFrame:
+    """Train an IVF codebook with Lloyd's k-means on DataFrames — the
+
+    ingest-time step that makes ``ivf_topk``/``knn_join_ivf`` recall good
+    on REAL corpora (cluster structure), instead of seeding the codebook
+    with arbitrary vectors.
+
+    Spark-first shape, one job per iteration:
+
+    - **assign**: broadcast the collapsed codebook array, per-row argmax —
+      embarrassingly parallel, zero shuffle (same pattern as ``ivf_topk``);
+    - **update**: posexplode dims → two-level partial aggregation
+      ((centroid, dim) sums, then per-centroid array re-assembly via
+      sort_array+collect_list) — the only shuffles, both map-side-combined;
+    - **convergence**: the number of vectors that switched centroid rides
+      the update job as an ``observe`` metric (no second job, same trick
+      as operators/graph).
+
+    Deterministic: initial centroids are the ``n_centroids`` lowest-id
+    vectors, ties in assignment break to the lowest centroid id, and means
+    are double (IEEE, but iteration-stable within one engine — the trained
+    codebook is engine-local state, like any ML artifact; queries over it
+    get rows-only/recall evidence, not value oracles).
+
+    Returns (centroid_id, centroid_vec, n_members).
+    """
+    from pyspark.sql import Observation, Window
+
+    centroids = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1
+            ).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=True)
+
+    prev_assign = None
+    for it in range(max_iter):
+        cent_arr = F.broadcast(
+            centroids.agg(
+                F.collect_list(
+                    F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+                ).alias("__cents")
+            )
+        )
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine(F.col("__v"), c["centroid_vec"]).alias("sim_c"),
+                (-c["centroid_id"]).alias("neg_id"),
+            ),
+        )
+        assigned = (
+            vecs.crossJoin(cent_arr)
+            .withColumn("__best", F.array_max(scored))
+            .select(
+                id_col, "__v", (-F.col("__best.neg_id")).alias("centroid_id")
+            )
+        )
+        if prev_assign is not None:
+            obs = Observation(f"kmeans_changed_{it}_{next(_OBS_SEQ)}")
+            assigned = assigned.join(
+                prev_assign.select(
+                    F.col(id_col), F.col("centroid_id").alias("__prev")
+                ),
+                on=id_col,
+                how="left",
+            ).observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("centroid_id") != F.col("__prev")).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            ).drop("__prev")
+        else:
+            obs = None
+        assigned = assigned.localCheckpoint(eager=True)
+        # update step: per-(centroid, dim) partial sums, then re-assemble
+        dims = assigned.select(
+            "centroid_id", F.posexplode("__v").alias("dim", "val")
+        )
+        per_dim = dims.groupBy("centroid_id", "dim").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_centroids = (
+            per_dim.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", F.col("s"), F.col("n")))
+                    ),
+                    lambda t: t["s"] / t["n"].cast("double"),
+                ).alias("centroid_vec"),
+                F.max("n").alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        centroids = new_centroids.select(
+            "centroid_id", "centroid_vec", "n_members"
+        )
+        if obs is not None and obs.get["changed"] <= tol_changed:
+            break
+        prev_assign = assigned.select(id_col, "centroid_id")
+    return centroids
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:

@@ -224,6 +224,62 @@ def x34_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x36_token_shards",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard
+    FROM packed
+    """,
+)
+def x36_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 token-budget shard packing: assign each document to a ~2000-token
+
+    training shard within its source — the step that turns a curated
+    corpus into fixed-budget training files. Order is md5(doc_id) (a
+    deterministic shuffle, so shards are content-mixed, not ingest-ordered)
+    and the shard id is floor(preceding-cumsum / budget): a doc starts a
+    new shard when the budget is already consumed. One window shuffle per
+    source; at 100 TB you run it per (source, date) partition so no single
+    ordering gets huge."""
+    t = fixtures(spark, sf_dir)
+    sized = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0)
+            ).cast("bigint"),
+        )
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "shard")
+    )
+
+
+@query(
     "x31_per_source_cap",
     oracle="""
     WITH ranked AS (

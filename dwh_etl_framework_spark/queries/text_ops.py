@@ -308,6 +308,55 @@ def x28_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x37_rare_token_score",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    )
+    SELECT dt.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(df.df) AS BIGINT) AS sum_df,
+           CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+    FROM dt JOIN df ON df.tok = dt.tok
+    GROUP BY dt.doc_id
+    """,
+)
+def x37_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 rare-token quality signal WITHOUT libm: per document, the mean
+
+    corpus document-frequency of its distinct tokens plus its hapax count
+    — a log-free stand-in for unigram-LM surprisal (docs full of
+    corpus-rare tokens score low mean_df / high hapax; boilerplate scores
+    high mean_df). All reductions are BIGINT so the oracle matches
+    bit-for-bit; one double division at the end.
+
+    Scale shape: distinct (doc, token) pairs explode once; the df table is
+    vocabulary-sized (≪ corpus, Zipf) so the join back broadcasts at real
+    scale; two partial-agg shuffles."""
+    t = fixtures(spark, sf_dir)
+    dt = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dt.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_hapax"),
+        )
+    )
+
+
+@query(
     "x29_decontamination",
     oracle="""
     WITH w AS (

@@ -368,6 +368,29 @@ def x32b_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x35_kmeans_ivf_topk", oracle=None)
+def x35_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 the full trained-ANN pipeline: Lloyd's k-means codebook
+
+    (operators/similarity.train_kmeans_codebook — one Spark job per
+    iteration, convergence via observe) feeding ivf_topk. No oracle
+    (double means are engine-local, like any trained artifact);
+    tests/test_similarity.py pins convergence, membership totals and
+    planted-cluster recall."""
+    t = fixtures(spark, sf_dir)
+    codebook = similarity.train_kmeans_codebook(
+        t.embeddings, n_centroids=8, max_iter=4
+    )
+    qv = t.embeddings.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(
+        t.embeddings.filter(F.col("vec_id") != 0),
+        qv,
+        codebook.select("centroid_id", "centroid_vec"),
+        k=10,
+        n_probe=3,
+    )
+
+
 @query("x06b_ivf_topk", oracle=None)
 def x06b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 IVF-style ANN top-10: coarse centroids (first 16 vectors as a

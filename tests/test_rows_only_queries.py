@@ -145,3 +145,25 @@ def test_x32b_knn_join_ivf_subset_of_exact_candidates(spark):
         assert rks == list(range(1, len(rks) + 1)), (qid, rks)
         sims = [s for _, s in sorted(rows)]
         assert sims == sorted(sims, reverse=True), f"rk order != sim order: {qid}"
+
+
+def test_x35_kmeans_ivf_topk_returns_true_cosines(spark):
+    """x35_kmeans_ivf_topk (rows-only): the trained-codebook ANN must
+
+    return k=10 rows whose cosine_sim values are the TRUE similarities to
+    the query vector (re-ranking is exact even when the candidate set is
+    approximate), in descending order."""
+    from dwh_etl_framework_spark.operators import similarity
+
+    rows = _run(spark, "x35_kmeans_ivf_topk").collect()
+    assert len(rows) == 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0)
+    truth = {
+        r.neighbor_id: r.cosine_sim
+        for r in similarity.knn_join(emb, qv, k=400).collect()
+    }
+    for r in rows:
+        assert r.cosine_sim == pytest.approx(truth[r.vec_id], abs=1e-6)

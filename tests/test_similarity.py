@@ -160,3 +160,36 @@ def test_knn_join_ivf_finds_planted_near_neighbors(spark, embeddings):
     rank1 = {r.query_id: r.neighbor_id for r in got}
     hits = sum(1 for qid in range(50) if rank1.get(qid + 100000) == qid)
     assert hits >= 45, f"only {hits}/50 planted twins found at rank 1"
+
+
+def test_kmeans_codebook_trains_and_converges(spark, embeddings):
+    cb = similarity.train_kmeans_codebook(embeddings, n_centroids=8, max_iter=6)
+    rows = cb.collect()
+    assert 1 <= len(rows) <= 8
+    assert sum(r.n_members for r in rows) == embeddings.count()
+    dim = len(rows[0].centroid_vec)
+    assert all(len(r.centroid_vec) == dim for r in rows)
+
+
+def test_kmeans_codebook_improves_planted_cluster_recall(spark, embeddings):
+    """Train on a corpus with planted tight clusters: the trained codebook
+
+    must put each planted twin pair in the same inverted list, so the
+    IVF knn-join finds every twin at rank 1 with n_probe=1."""
+    base = embeddings.limit(40)
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.0001).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    ).unionByName(planted)
+    cb = similarity.train_kmeans_codebook(corpus, n_centroids=6, max_iter=5)
+    centroids = cb.select("centroid_id", "centroid_vec")
+    got = similarity.knn_join_ivf(corpus, centroids, k=1, n_probe=1).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in got}
+    hits = sum(1 for r in base.collect() if rank1.get(r.vec_id + 100000) == r.vec_id)
+    assert hits >= 38, f"only {hits}/40 planted twins at rank 1 with trained codebook"

@@ -391,6 +391,76 @@ def x35_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x40_embedding_quantize",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(mx * 1e12) AS BIGINT) AS scale_fp,
+           list_transform(embedding,
+               x -> CAST(CASE WHEN mx > 0
+                    THEN floor(CAST(x AS DOUBLE) / mx * 127)
+                    ELSE 0 END AS INTEGER)) AS q_embedding,
+           CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(floor(
+                   (CAST(x AS DOUBLE)
+                    - CASE WHEN mx > 0
+                          THEN floor(CAST(x AS DOUBLE) / mx * 127)
+                          ELSE 0 END * mx / 127)
+                   * (CAST(x AS DOUBLE)
+                      - CASE WHEN mx > 0
+                            THEN floor(CAST(x AS DOUBLE) / mx * 127)
+                            ELSE 0 END * mx / 127)
+                   * 1e18) AS BIGINT)), 'sum') AS BIGINT) AS err_fp
+    FROM m
+    """,
+)
+def x40_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 int8 scalar quantization: per-vector symmetric scale (max |v|),
+
+    q_i = floor(v_i/scale·127) ∈ [-127,127], plus the squared
+    reconstruction error — the 4× storage/bandwidth cut an embedding
+    store applies before ANN indexing at 100 TB. Map-only JVM array
+    expressions, zero shuffles. Every emitted number is engine-portable:
+    the scale and error ship as fixed-point int64 (per-element floor
+    before the sum, so the reduction is order-free), and the quantized
+    codes are exact by construction; the whole operator is value-checked
+    by the DuckDB oracle."""
+    t = fixtures(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    with_m = t.embeddings.select(
+        "vec_id",
+        v.alias("__v"),
+        F.array_max(F.transform(v, F.abs)).alias("__mx"),
+    )
+    mx = F.col("__mx")
+    q_of = lambda x: F.when(  # noqa: E731 — shared by q/err expressions
+        mx > 0, F.floor(x / mx * 127)
+    ).otherwise(F.lit(0))
+    err_term = lambda x: F.floor(  # noqa: E731
+        (x - q_of(x) * mx / 127) * (x - q_of(x) * mx / 127) * F.lit(1e18)
+    )
+    return with_m.select(
+        "vec_id",
+        F.floor(mx * F.lit(1e12)).cast("bigint").alias("scale_fp"),
+        F.transform(F.col("__v"), lambda x: q_of(x).cast("int")).alias(
+            "q_embedding"
+        ),
+        F.aggregate(
+            F.transform(F.col("__v"), err_term),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("err_fp"),
+    )
+
+
 @query("x06b_ivf_topk", oracle=None)
 def x06b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 IVF-style ANN top-10: coarse centroids (first 16 vectors as a

@@ -88,17 +88,32 @@ def main() -> None:
         "r25c_map_fns",
         "x08_quality_score",
     ]:
-        QUERIES[warm].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            QUERIES[warm].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warm-up is best-effort
+            pass
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Per-query error isolation: one broken plan must never zero the whole
+    # artifact (round 4 lost its bench to a single AnalysisException). A
+    # query that errors is dropped from further rounds and reported in
+    # "errors" with the exception's first line.
+    errors: dict[str, str] = {}
     for _ in range(n_runs):
         for name in HEADLINE:
-            samples[name].append(run(name))
-    timings = {n: round(statistics.median(v), 4) for n, v in samples.items()}
-    cold = {n: round(v[0], 4) for n, v in samples.items()}
+            if name in errors:
+                continue
+            try:
+                samples[name].append(run(name))
+            except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+                errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+    timings = {
+        n: round(statistics.median(v), 4) for n, v in samples.items() if v
+    }
+    cold = {n: round(v[0], 4) for n, v in samples.items() if v}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -110,6 +125,7 @@ def main() -> None:
                 "sf": sf,
                 "runs": n_runs,
                 "cold_queries": cold,
+                "errors": errors,
             }
         )
     )

@@ -51,6 +51,11 @@ from dwh_etl_framework_spark.queries import mixing_pq  # noqa: F401
 #: x13 pivot — r18's rollup/grouping-sets stay as the multi-dim agg
 #: evidence). Every rotated-out query keeps its oracle and runs in the
 #: local parity suite + tools/run_parity.py artifact each round.
+#: Round-5b rotation (VERDICT r4 item 5): x41-x43 (temperature mixing,
+#: product quantization, source overlap) replace three 4-round-stable
+#: relational rows — r03 (window evidence stays via r04/r19/r20),
+#: r05 (join evidence stays via r14/r15/r28), r23 (scalar-fn evidence
+#: stays via r22/r24). All three keep their oracles in the local suite.
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -58,9 +63,7 @@ DRIVER_WINDOW: list[str] = [
     "f20_merge_delta",
     "f21_state_flip",
     # relational ops, one canonical query each
-    "r03_window_row_number",
     "r04_top1_per_group",
-    "r05_left_join",
     "r14_inner_join_agg",
     "r15_semi_join",
     "r16_agg_pricing_summary",
@@ -70,7 +73,6 @@ DRIVER_WINDOW: list[str] = [
     "r19_window_analytics",
     "r20_topk_per_group",
     "r22_string_fns",
-    "r23_date_fns",
     "r24_math_fns",
     "r25_array_explode",
     "r26_json_extract",
@@ -108,6 +110,10 @@ DRIVER_WINDOW: list[str] = [
     "x38_doc_chunking",
     "x39_bigram_lm_score",
     "x40_embedding_quantize",
+    # round-5b entrants: temperature mixing, PQ, source overlap
+    "x41_temperature_mix",
+    "x42_product_quantize",
+    "x43_source_overlap",
 ]
 
 

@@ -60,8 +60,8 @@ def x21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_purchase_after").isNotNull().alias("converted"),
             F.when(
                 F.col("first_purchase_after").isNotNull(),
-                F.col("first_purchase_after").cast("long")
-                - F.col("first_signup").cast("long"),
+                F.unix_timestamp("first_purchase_after")
+                - F.unix_timestamp("first_signup"),
             ).alias("seconds_to_convert"),
         )
     )

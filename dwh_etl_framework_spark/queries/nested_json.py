@@ -99,7 +99,15 @@ def r26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The parse is projected ONCE before the aggregate: referencing the
     get_json_object expression inside sum/min/max directly would re-parse
     the JSON string per aggregate function (3× the CPU — measured 8.5×
-    scaling vs ~3× for peer row-linear queries at the sf0.1→sf1 bench)."""
+    scaling vs ~3× for peer row-linear queries at the sf0.1→sf1 bench).
+
+    A pruned ``from_json(props, 'k BIGINT')`` schema was measured as the
+    alternative (round 5, sf0.1, 5-run medians): 0.48 s vs 0.42 s for
+    get_json_object — the Jackson struct materialization costs more than
+    the path evaluation saves at one extracted key, so the residual
+    super-linear slope at sf1 is raw JSON tokenizer cost on a string
+    column that grows with rows: irreducible without changing the storage
+    format (e.g. shredding props into parquet columns at ingest)."""
     t = fixtures(spark, sf_dir)
     parsed = t.events.select(
         "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")

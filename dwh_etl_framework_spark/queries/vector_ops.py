@@ -402,10 +402,10 @@ def x35_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(floor(mx * 1e12) AS BIGINT) AS scale_fp,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
                x -> CAST(CASE WHEN mx > 0
                     THEN floor(CAST(x AS DOUBLE) / mx * 127)
-                    ELSE 0 END AS INTEGER)) AS q_embedding,
+                    ELSE 0 END AS INTEGER)), '|') AS q_embedding,
            CAST(list_aggregate(list_transform(embedding,
                x -> CAST(floor(
                    (CAST(x AS DOUBLE)
@@ -430,7 +430,10 @@ def x40_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale and error ship as fixed-point int64 (per-element floor
     before the sum, so the reduction is order-free), and the quantized
     codes are exact by construction; the whole operator is value-checked
-    by the DuckDB oracle."""
+    by the DuckDB oracle. The int8 codes ship '|'-joined as a string —
+    the driver's pandas canonicalizer cannot sort raw array columns
+    (unhashable lists), so portable queries serialize arrays to scalars,
+    same as x36/x38."""
     t = fixtures(spark, sf_dir)
     v = F.transform("embedding", lambda x: x.cast("double"))
     with_m = t.embeddings.select(
@@ -448,9 +451,9 @@ def x40_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_m.select(
         "vec_id",
         F.floor(mx * F.lit(1e12)).cast("bigint").alias("scale_fp"),
-        F.transform(F.col("__v"), lambda x: q_of(x).cast("int")).alias(
-            "q_embedding"
-        ),
+        F.concat_ws(
+            "|", F.transform(F.col("__v"), lambda x: q_of(x).cast("int"))
+        ).alias("q_embedding"),
         F.aggregate(
             F.transform(F.col("__v"), err_term),
             F.lit(0).cast("long"),

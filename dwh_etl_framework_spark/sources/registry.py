@@ -166,25 +166,42 @@ def register_sources(
     return out
 
 
-#: Fixture columns stored as TIMESTAMP(NANOS) parquet — read as ns longs
-#: (see session.RUNTIME_CONFS) and converted to µs TimestampType here, the
-#: same truncation DuckDB applies casting ns→µs.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: Fixture timestamp columns whose parquet flavor has varied across driver
+#: data generations — normalized to session-TZ TimestampType at load time.
+_FLAVORED_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_ts_flavor(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize a timestamp column to session-TZ ``TimestampType`` whatever
+
+    flavor the parquet writer used. The driver fixtures have shipped both
+    TIMESTAMP(NANOS) (read as ns longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``, see session.RUNTIME_CONFS) and
+    naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ by Spark 4). With the
+    session timezone pinned to UTC both conversions preserve the wall-clock
+    value and match DuckDB's ``CAST(ts AS TIMESTAMP)`` semantics.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dtype = dtypes.get(col)
+        if dtype == "bigint":  # ns-since-epoch long → µs timestamp
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":  # naive µs → session-TZ (UTC) timestamp
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_fixture_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES
 ) -> dict[str, DataFrame]:
     """Register the driver-provided parquet fixtures as temp views."""
-    from pyspark.sql import functions as F
-
     out: dict[str, DataFrame] = {}
     for name in tables:
         spec = SourceSpec(alias=name, format="parquet", path=f"{sf_dir}/{name}.parquet")
         df = load_source(spark, spec)
-        for col in _NANOS_TS_COLS.get(name, ()):
-            if dict(df.dtypes).get(col) == "bigint":
-                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        df = normalize_ts_flavor(df, _FLAVORED_TS_COLS.get(name, ()))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

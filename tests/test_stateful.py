@@ -10,13 +10,11 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.streaming.stateful import running_totals_per_user
 from dwh_etl_framework_spark.streaming.windows import events_file_stream
 
-from conftest import SF_DIR
+from conftest import load_events
 
 
 def test_stateful_running_totals_matches_batch(spark, tmp_path):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = load_events(spark)
     src = str(tmp_path / "src")
     events.repartition(3).write.parquet(src)
 
@@ -79,9 +77,7 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         running_totals_per_user_tws,
     )
 
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = load_events(spark)
     src = str(tmp_path / "src")
     events.repartition(3).write.parquet(src)
 

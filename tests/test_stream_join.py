@@ -12,15 +12,14 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.streaming.join import interval_join
 from dwh_etl_framework_spark.streaming.windows import events_file_stream
 
-from conftest import SF_DIR
+from conftest import load_events
 
 COLS = ["user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"]
 
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return load_events(spark)
 
 
 @pytest.fixture(scope="module")

@@ -22,13 +22,12 @@ from dwh_etl_framework_spark.streaming.windows import (
     tumbling_window_agg,
 )
 
-from conftest import SF_DIR
+from conftest import load_events
 
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return load_events(spark)
 
 
 @pytest.fixture(scope="module")

@@ -62,7 +62,25 @@ def _hash(schema_names, rows) -> str:
 
 
 def main() -> int:
-    round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    """CLI: ``run_parity.py [round_no] [--subset n1,n2,...] [--out FILE]``.
+
+    Default writes PARITY_r{NN}.json over the whole registry at
+    $SPARK_GRAFT_SF_DIR (sf0.01). ``--subset``/``--out`` support scale
+    sweeps (e.g. the sf1 headliner parity artifact) without touching the
+    round artifact that tools/coverage_check.py freshness-guards.
+    """
+    argv = sys.argv[1:]
+    subset: list[str] | None = None
+    out_name: str | None = None
+    if "--subset" in argv:
+        i = argv.index("--subset")
+        subset = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_name = argv[i + 1]
+        del argv[i : i + 2]
+    round_no = int(argv[0]) if argv else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = SessionFactory(app_name="parity-runner", shuffle_partitions=8).build()
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,9 +91,12 @@ def main() -> int:
             f"SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    todo = (
+        {n: QUERIES[n] for n in subset} if subset is not None else dict(QUERIES)
+    )
     out: dict[str, dict] = {}
     fails = []
-    for name, qd in QUERIES.items():
+    for name, qd in todo.items():
         rec: dict = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -106,7 +127,7 @@ def main() -> int:
             fails.append(name)
         out[name] = rec
 
-    dest = REPO / f"PARITY_r{round_no:02d}.json"
+    dest = REPO / (out_name or f"PARITY_r{round_no:02d}.json")
     dest.write_text(json.dumps(out, indent=2) + "\n")
     n_oracle = sum(1 for r in out.values() if not r.get("rows_only"))
     print(

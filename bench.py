@@ -59,6 +59,9 @@ HEADLINE = [
     "x23_quality_report",        # data-quality gate (4 checks, one pass)
     "x24_range_join",            # interval join via bucket expansion
     "x26_date_dimension",        # generated calendar spine
+    "x44_sequence_pack",         # concat-and-cut packing (window cumsum)
+    "x45_dup_ngram_rate",        # cross-doc duplicate 5-gram rate
+    "x46_lang_vocab_confidence", # per-lang vocab coverage (broadcast probe)
 ]
 
 

@@ -34,28 +34,59 @@ except ImportError:  # pragma: no cover
 def cap_bucket_size(
     df: DataFrame,
     keys: Sequence[str],
-    max_bucket_size: int,
+    max_bucket_size: "int | None" = None,
     observation: "Observation | None" = None,
+    max_bucket_fraction: "float | None" = None,
+    min_bucket_cap: int = 16,
 ) -> DataFrame:
-    """Drop all rows of ``keys``-groups with more than ``max_bucket_size``
+    """Drop all rows of ``keys``-groups larger than the cap, making the
 
-    rows, making the downstream per-bucket self-join at most
-    O(max_bucket_size²) per key.
+    downstream per-bucket self-join at most O(cap²) per key.
+
+    The cap is either absolute (``max_bucket_size`` rows) or — the
+    self-tuning flavor — a fraction of the input
+    (``max_bucket_fraction``): cap = max(min_bucket_cap,
+    floor(fraction · total_rows)). A fixed 5000 is right when you know
+    the corpus; the fraction tracks corpus growth, so the same pipeline
+    config keeps the same *relative* degeneracy bound from sf0.01 to
+    100 TB without retuning. Exactly one of the two must be given.
 
     Plan shape: one count-aggregate over the bucket key (same key the
     self-join shuffles on, with map-side partial agg), then a BROADCAST
     anti-join of the few oversized keys back onto the rows — the row table
-    itself is never re-shuffled. Metrics ride the aggregate via
+    itself is never re-shuffled. The fractional cap adds a 1-row total
+    (sum over the bucket counts — NOT a second scan of ``df``) that
+    cross-joins into the threshold comparison as a broadcast, so it costs
+    no extra pass over the data. Metrics ride the aggregate via
     ``observe`` when ``observation`` is given: they materialize with the
-    first action that executes the plan (e.g. the candidate-pair job) with
-    no extra Spark job.
+    first action that executes the plan (e.g. the candidate-pair job)
+    with no extra Spark job.
     """
-    if max_bucket_size <= 1:
+    if (max_bucket_size is None) == (max_bucket_fraction is None):
+        raise ValueError(
+            "give exactly one of max_bucket_size / max_bucket_fraction"
+        )
+    if max_bucket_size is not None and max_bucket_size <= 1:
         raise ValueError("max_bucket_size must be > 1")
+    if max_bucket_fraction is not None and not 0 < max_bucket_fraction <= 1:
+        raise ValueError("max_bucket_fraction must be in (0, 1]")
     keys = list(keys)
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bucket_n"))
+    if max_bucket_fraction is not None:
+        total = sizes.agg(
+            F.coalesce(F.sum("__bucket_n"), F.lit(0)).alias("__total_n")
+        )
+        cap_expr = F.greatest(
+            F.lit(min_bucket_cap),
+            F.floor(F.col("__total_n") * F.lit(max_bucket_fraction)),
+        )
+        sizes = sizes.crossJoin(F.broadcast(total)).withColumn(
+            "__cap", cap_expr
+        )
+    else:
+        sizes = sizes.withColumn("__cap", F.lit(max_bucket_size))
+    over = F.col("__bucket_n") > F.col("__cap")
     if observation is not None:
-        over = F.col("__bucket_n") > max_bucket_size
         sizes = sizes.observe(
             observation,
             F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias(
@@ -66,5 +97,5 @@ def cap_bucket_size(
             ).alias("dropped_rows"),
             F.coalesce(F.max("__bucket_n"), F.lit(0)).alias("largest_bucket"),
         )
-    big = sizes.filter(F.col("__bucket_n") > max_bucket_size).select(*keys)
+    big = sizes.filter(over).select(*keys)
     return df.join(F.broadcast(big), keys, "left_anti")

@@ -29,13 +29,17 @@ def _QTY():
     "r16_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS sum_qty_fp,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS sum_base_price_fp,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000
+               AS BIGINT) AS sum_disc_price_fp,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 1000000
+               AS BIGINT) AS sum_charge_fp,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -49,21 +53,31 @@ def r16_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     transform-step aggregation, spark.sql surface airflow_etl.py:251).
     Map-side partial aggregation + one shuffle on the 2 group keys; decimal
-    sums are exact so the result is reduction-order-independent."""
+    sums are exact so the result is reduction-order-independent.
+
+    The money sums ship as fixed-point BIGINT at each expression's natural
+    decimal scale (qty/price ×100, disc_price ×10⁴, charge ×10⁶): a
+    decimal→DOUBLE cast stops being engine-exact once the unscaled value
+    passes 2⁵³ (DuckDB's int128→double path double-rounds — observed as a
+    1-ULP sum_charge mismatch at sf1), while the fixed-point integer is
+    exact at any scale. The avg columns keep the one-double-division rule:
+    their unscaled sums stay far below 2⁵³ at any test SF."""
     t = fixtures(spark, sf_dir)
     cnt = F.count(F.lit(1))
     return (
         t.lineitem.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # exact decimal reductions; terminal cast to DOUBLE because
+            # exact decimal reductions; terminal cast to BIGINT because
             # DECIMAL must never reach the output schema (driver-hasher rule)
-            F.sum(_QTY()).cast("double").alias("sum_qty"),
-            F.sum(_PRICE()).cast("double").alias("sum_base_price"),
-            F.sum(_PRICE() * (F.lit(1) - _DISC())).cast("double").alias("sum_disc_price"),
-            F.sum(_PRICE() * (F.lit(1) - _DISC()) * (F.lit(1) + _TAX()))
-            .cast("double")
-            .alias("sum_charge"),
+            (F.sum(_QTY()) * 100).cast("bigint").alias("sum_qty_fp"),
+            (F.sum(_PRICE()) * 100).cast("bigint").alias("sum_base_price_fp"),
+            (F.sum(_PRICE() * (F.lit(1) - _DISC())) * 10000)
+            .cast("bigint")
+            .alias("sum_disc_price_fp"),
+            (F.sum(_PRICE() * (F.lit(1) - _DISC()) * (F.lit(1) + _TAX())) * 1000000)
+            .cast("bigint")
+            .alias("sum_charge_fp"),
             (F.sum(_QTY()).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_DISC()).cast("double") / cnt).alias("avg_disc"),
             cnt.alias("count_order"),

@@ -24,6 +24,9 @@ AUDIT = {
     "r09_sort_topk": "TakeOrderedAndProject: per-partition top-25 merged on the driver, no global sort.",
     "x05b_cosine_topk_fast": "1-row query vector broadcast (BroadcastNestedLoopJoin), cosine in JVM higher-order fns, TakeOrderedAndProject top-k.",
     "r04_top1_per_group": "Single WindowExec over one hash shuffle of the group key (the journal-merge core).",
+    "x44_sequence_pack": "One exchange on the bounded source key, then Window cumsum + map-side projects — the packing decision never leaves the partition.",
+    "x45_dup_ngram_rate": "Shingle doc-frequency agg joined back on the same shingle key; AQE broadcasts the df table at this SF and flips to a key-co-located sort-merge (one reusable exchange) when it outgrows the threshold.",
+    "x46_lang_vocab_confidence": "Top-100 vocab via partial+final WindowGroupLimit (never sorts the full freq table), broadcast to the token probe; per-doc agg is partial (map-side) before its one doc_id shuffle.",
 }
 
 HEADER = [

@@ -62,6 +62,8 @@ HEADLINE = [
     "x44_sequence_pack",         # concat-and-cut packing (window cumsum)
     "x45_dup_ngram_rate",        # cross-doc duplicate 5-gram rate
     "x46_lang_vocab_confidence", # per-lang vocab coverage (broadcast probe)
+    "x47_sessionize",            # 30-min-gap sessionization (lag+cumsum)
+    "x49_embedding_outliers",    # per-label centroid distance screen
 ]
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "x46_lang_vocab_confidence", # per-lang vocab coverage (broadcast probe)
     "x47_sessionize",            # 30-min-gap sessionization (lag+cumsum)
     "x49_embedding_outliers",    # per-label centroid distance screen
+    "x50_incremental_dedup",     # batch-vs-corpus exact + cross-LSH dedup
 ]
 
 

@@ -287,43 +287,25 @@ def minhash_signatures_portable(
     return shingle_sets.select(id_col, sig.alias("signature"))
 
 
-def lsh_candidate_pairs(
+def _band_table(
     signatures: DataFrame,
     id_col: str,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    est_threshold: float = 0.5,
-    max_bucket_size: int | None = 5000,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None,
     bucket_observation=None,
 ) -> DataFrame:
-    """X1 LSH banding: explode each signature into ``bands`` band-hashes,
+    """(id, band_idx, band_hash) table for LSH joins.
 
-    self-join on (band index, band hash) → candidate pairs, then estimate
-    similarity as the fraction of matching minhashes. Only candidates are
-    ever compared: the all-pairs O(n²) never materializes.
+    Band table WITHOUT the signature payload: the 16× band explode and the
+    band join shuffle only (id, band_idx, band_hash) — 24 bytes/row —
+    instead of dragging the k-wide signature array through both (the
+    difference between shuffling ~100 B/doc and ~8 KB/doc at corpus scale).
 
-    ``max_bucket_size`` guards the remaining quadratic hole: one
-    degenerate ``(band_idx, band_hash)`` bucket (e.g. millions of
-    identically-hashing empty docs) would still blow up as size² inside
-    that key. Buckets above the cap are dropped from the join
-    (``operators.bucket_cap``); pass a ``pyspark.sql.Observation`` as
-    ``bucket_observation`` to read dropped_buckets/dropped_rows/
-    largest_bucket after the action. ``None`` disables the cap.
+    Runtime guard: slicing past the signature end would hash an EMPTY
+    slice to one constant for every document — those bands degenerate to
+    an all-pairs join. raise_error fires on the first row instead.
     """
-    # est_jaccard divides by the ACTUAL signature length (not bands×rows):
-    # a k=128 signature banded as 16×4 would otherwise estimate up to 2.0
-    # and band over only half the signature. Guard the banding range too.
-    # The signature table is referenced three times below (band explode +
-    # both candidate join-backs); materialize it once so the shingle
-    # explode + hashing doesn't recompute per reference. Tiny: k longs/doc.
-    signatures = signatures.localCheckpoint(eager=True)
-    # Band table WITHOUT the signature payload: the 16× band explode and the
-    # band self-join shuffle only (id, band_idx, band_hash) — 24 bytes/row —
-    # instead of dragging the k-wide signature array through both (the
-    # difference between shuffling ~100 B/doc and ~8 KB/doc at corpus scale).
-    # runtime guard: slicing past the signature end would hash an EMPTY
-    # slice to one constant for every document — those bands degenerate to
-    # an all-pairs join. raise_error fires on the first row instead.
     k_needed = bands * rows_per_band
     checked_sig = F.when(
         F.size(F.col("signature")) >= F.lit(k_needed), F.col("signature")
@@ -359,6 +341,47 @@ def lsh_candidate_pairs(
             max_bucket_size,
             observation=bucket_observation,
         )
+    return banded
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    est_threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
+) -> DataFrame:
+    """X1 LSH banding: explode each signature into ``bands`` band-hashes,
+
+    self-join on (band index, band hash) → candidate pairs, then estimate
+    similarity as the fraction of matching minhashes. Only candidates are
+    ever compared: the all-pairs O(n²) never materializes.
+
+    ``max_bucket_size`` guards the remaining quadratic hole: one
+    degenerate ``(band_idx, band_hash)`` bucket (e.g. millions of
+    identically-hashing empty docs) would still blow up as size² inside
+    that key. Buckets above the cap are dropped from the join
+    (``operators.bucket_cap``); pass a ``pyspark.sql.Observation`` as
+    ``bucket_observation`` to read dropped_buckets/dropped_rows/
+    largest_bucket after the action. ``None`` disables the cap.
+    """
+    # est_jaccard divides by the ACTUAL signature length (not bands×rows):
+    # a k=128 signature banded as 16×4 would otherwise estimate up to 2.0
+    # and band over only half the signature. Guard the banding range too.
+    # The signature table is referenced three times below (band explode +
+    # both candidate join-backs); materialize it once so the shingle
+    # explode + hashing doesn't recompute per reference. Tiny: k longs/doc.
+    signatures = signatures.localCheckpoint(eager=True)
+    banded = _band_table(
+        signatures,
+        id_col,
+        bands,
+        rows_per_band,
+        max_bucket_size,
+        bucket_observation,
+    )
     a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -386,6 +409,66 @@ def lsh_candidate_pairs(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def lsh_candidate_pairs_cross(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    est_threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
+    bucket_observation=None,
+) -> DataFrame:
+    """Incremental-ingest LSH: candidates ONLY between the existing corpus
+
+    and the incoming batch — the dedup an ingest pipeline runs per
+    increment, where batch×batch and corpus×corpus pairs are out of scope
+    (the corpus is already deduped; the batch self-join is a separate,
+    much smaller job). The corpus band table is the reusable "index": at
+    scale it is written once, partitioned by (band_idx, band_hash), and
+    every increment's (much smaller) band table shuffles against it —
+    cost per increment is corpus-index-probe, not corpus-rescan.
+
+    Returns (doc_corpus, doc_batch, est_jaccard) for estimated Jaccard ≥
+    ``est_threshold``. Ids on the two sides are assumed disjoint (caller
+    splits the corpus). Both band tables are bucket-capped independently:
+    a degenerate key on EITHER side re-opens the quadratic hole.
+    """
+    corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
+    batch_sigs = batch_sigs.localCheckpoint(eager=True)
+    banded_c = _band_table(
+        corpus_sigs, id_col, bands, rows_per_band, max_bucket_size,
+        bucket_observation,
+    ).select(F.col(id_col).alias("doc_corpus"), "band_idx", "band_hash")
+    banded_b = _band_table(
+        batch_sigs, id_col, bands, rows_per_band, max_bucket_size
+    ).select(F.col(id_col).alias("doc_batch"), "band_idx", "band_hash")
+    cands = (
+        banded_c.join(banded_b, on=["band_idx", "band_hash"])
+        .select("doc_corpus", "doc_batch")
+        .dropDuplicates(["doc_corpus", "doc_batch"])
+    )
+    sig_c = corpus_sigs.select(
+        F.col(id_col).alias("doc_corpus"), F.col("signature").alias("sig_a")
+    )
+    sig_b = batch_sigs.select(
+        F.col(id_col).alias("doc_batch"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.size(F.col("sig_a")).cast("double")
+    return (
+        cands.join(sig_c, "doc_corpus")
+        .join(sig_b, "doc_batch")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_corpus", "doc_batch", "est_jaccard")
     )
 
 

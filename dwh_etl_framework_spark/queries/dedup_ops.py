@@ -232,3 +232,120 @@ def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(fp, "doc_id", max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "x50_incremental_dedup",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, text,
+               substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS p
+        FROM documents
+    ),
+    corpus AS (SELECT doc_id, text FROM split WHERE p < 'cc'),
+    batch  AS (SELECT doc_id, text FROM split WHERE p >= 'cc'),
+    exact AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM split
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    mins AS (
+        SELECT doc_id, p.i AS perm,
+               MIN(md5(CAST(p.i AS VARCHAR) || '|' || shingle)) AS m
+        FROM sh, (SELECT unnest(generate_series(0, 63)) AS i) p
+        GROUP BY doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+               md5(string_agg(m, '|' ORDER BY perm)) AS band_hash
+        FROM mins GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+    ),
+    cands AS (
+        SELECT DISTINCT ca.doc_id AS doc_corpus, bb.doc_id AS doc_batch
+        FROM bands ba
+        JOIN corpus ca ON ca.doc_id = ba.doc_id
+        JOIN bands bb ON bb.band = ba.band AND bb.band_hash = ba.band_hash
+        JOIN batch  cb ON cb.doc_id = bb.doc_id
+    ),
+    near AS (
+        SELECT DISTINCT c.doc_batch AS doc_id
+        FROM cands c
+        JOIN mins ma ON ma.doc_id = c.doc_corpus
+        JOIN mins mb ON mb.doc_id = c.doc_batch AND mb.perm = ma.perm
+        GROUP BY c.doc_corpus, c.doc_batch
+        HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 64.0 >= 0.5
+    )
+    SELECT b.doc_id,
+           e.doc_id IS NOT NULL AS dup_exact,
+           n.doc_id IS NOT NULL AS dup_near,
+           e.doc_id IS NULL AND n.doc_id IS NULL AS kept
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near  n ON n.doc_id = b.doc_id
+    """,
+)
+def x50_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental-ingest dedup: the ~20% newest slice of the corpus
+
+    (md5-threshold split, stable under growth like x30) is treated as the
+    incoming batch and screened against the ~80% existing corpus — exact
+    tier by text digest anti-probe, near tier by portable-minhash LSH
+    restricted to corpus×batch candidates
+    (operators/dedup.lsh_candidate_pairs_cross). This is the per-increment
+    shape of a crawl pipeline: cost is index-probe per batch, and
+    batch×batch or corpus×corpus pairs are never generated.
+
+    Per batch doc: dup_exact / dup_near / kept. The oracle replays the
+    whole portable pipeline (split → digests → shingles → 64 md5 minima →
+    16×4 bands → cross candidates → estimated Jaccard ≥ 0.5) so the
+    driver hash-checks the discovery tier, not just row counts."""
+    t = fixtures(spark, sf_dir)
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    docs = t.documents.withColumn("__p", pfx)
+    corpus = docs.filter(F.col("__p") < "cc").select("doc_id", "text")
+    batch = docs.filter(F.col("__p") >= "cc").select("doc_id", "text")
+
+    exact_ids = (
+        batch.alias("b")
+        .join(
+            corpus.select(F.md5("text").alias("__h")).distinct().alias("c"),
+            F.md5(F.col("b.text")) == F.col("c.__h"),
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    sig_c = dedup.minhash_signatures_portable(corpus, "text", "doc_id", n=3, k=64)
+    sig_b = dedup.minhash_signatures_portable(batch, "text", "doc_id", n=3, k=64)
+    near_ids = (
+        dedup.lsh_candidate_pairs_cross(
+            sig_c, sig_b, "doc_id", bands=16, rows_per_band=4,
+            est_threshold=0.5,
+        )
+        .select(F.col("doc_batch").alias("doc_id"))
+        .distinct()
+    )
+    ex = exact_ids.withColumn("__ex", F.lit(True))
+    nr = near_ids.withColumn("__nr", F.lit(True))
+    return (
+        batch.join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__ex"), F.lit(False)).alias("dup_exact"),
+            F.coalesce(F.col("__nr"), F.lit(False)).alias("dup_near"),
+            (F.col("__ex").isNull() & F.col("__nr").isNull()).alias("kept"),
+        )
+    )

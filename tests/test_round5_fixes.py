@@ -84,3 +84,31 @@ def test_r16_money_sums_are_fixed_point(spark):
     for col in ("sum_qty_fp", "sum_base_price_fp", "sum_disc_price_fp",
                 "sum_charge_fp"):
         assert dt[col] == "bigint", (col, dt[col])
+
+
+def test_lsh_cross_finds_only_corpus_batch_pairs(spark):
+    """Incremental LSH must surface corpus×batch near-dups and NEVER
+    batch×batch ones (the increment screens against the index only)."""
+    from dwh_etl_framework_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    twin = " ".join(f"w{i}" for i in range(39)) + " zz"
+    corpus = spark.createDataFrame(
+        [(0, base)] + [(i, f"unique text number {i} " * 10) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, twin), (101, "dup pair body " * 15), (102, "dup pair body " * 15)],
+        "doc_id long, text string",
+    )
+    sig_c = dedup.minhash_signatures_portable(corpus, "text", "doc_id", n=3, k=64)
+    sig_b = dedup.minhash_signatures_portable(batch, "text", "doc_id", n=3, k=64)
+    pairs = dedup.lsh_candidate_pairs_cross(
+        sig_c, sig_b, "doc_id", est_threshold=0.5
+    ).collect()
+    assert (0, 100) in {(r.doc_corpus, r.doc_batch) for r in pairs}
+    # 101/102 are identical to each other but alien to the corpus: the
+    # cross join must not emit them on either side
+    assert all(r.doc_batch not in (101, 102) or r.doc_corpus not in (101, 102)
+               for r in pairs)
+    assert not any(r.doc_corpus in (101, 102) for r in pairs)

@@ -58,6 +58,13 @@ from dwh_etl_framework_spark.queries import event_features  # noqa: F401
 #: relational rows — r03 (window evidence stays via r04/r19/r20),
 #: r05 (join evidence stays via r14/r15/r28), r23 (scalar-fn evidence
 #: stays via r22/r24). All three keep their oracles in the local suite.
+#: Round-5c rotation (same policy, applied to the seven operators built
+#: later in round 5): x44-x50 replace r15 (semi-join evidence stays via
+#: r14/r28), r17 (distinct-agg evidence stays via r16/r18), r18c (r18
+#: stays), r20 (window evidence stays via r04/r19), r24 (r22 stays),
+#: r25 (nested evidence stays via the critical r26), r27d (r27c stays).
+#: Every rotated-out query keeps its oracle in the local parity suite
+#: and the full-registry PARITY_r{NN} artifact.
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -67,19 +74,12 @@ DRIVER_WINDOW: list[str] = [
     # relational ops, one canonical query each
     "r04_top1_per_group",
     "r14_inner_join_agg",
-    "r15_semi_join",
     "r16_agg_pricing_summary",
-    "r17_count_distinct",
     "r18_rollup",
-    "r18c_grouping_sets",
     "r19_window_analytics",
-    "r20_topk_per_group",
     "r22_string_fns",
-    "r24_math_fns",
-    "r25_array_explode",
     "r26_json_extract",
     "r27c_grouped_agg_udf",
-    "r27d_grouped_map",
     "r28_asof_join",
     "r29_incremental_watermark",
     "r30_tumbling_window",
@@ -116,6 +116,15 @@ DRIVER_WINDOW: list[str] = [
     "x41_temperature_mix",
     "x42_product_quantize",
     "x43_source_overlap",
+    # round-5c entrants: packing, cross-doc dup rate, vocab coverage,
+    # sessionization, user features, embedding outliers, incremental dedup
+    "x44_sequence_pack",
+    "x45_dup_ngram_rate",
+    "x46_lang_vocab_confidence",
+    "x47_sessionize",
+    "x48_user_features",
+    "x49_embedding_outliers",
+    "x50_incremental_dedup",
 ]
 
 

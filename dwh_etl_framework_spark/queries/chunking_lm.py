@@ -153,3 +153,107 @@ def x39_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_micro"),
         )
     )
+
+
+#: x51: collocations need at least this many occurrences (PMI of rare
+#: pairs is noise) and the report keeps the top-K scored pairs.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+@query(
+    "x51_token_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    uni AS (
+        SELECT unnest(w) AS tok FROM toks
+    ),
+    uc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT w[i] AS tok_a, w[i + 1] AS tok_b
+        FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+    ),
+    bc AS (
+        SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY tok_a, tok_b
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT tok_a, tok_b, c_ab,
+           CAST(CAST(bc.c_ab AS HUGEINT) * n.n * 1000000
+                // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS pmi_ratio_fp
+    FROM bc, n
+    JOIN uc ua ON ua.tok = bc.tok_a
+    JOIN uc ub ON ub.tok = bc.tok_b
+    ORDER BY pmi_ratio_fp DESC, tok_a, tok_b
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def x51_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 collocation extraction: the top-100 adjacent token pairs by a
+
+    PMI-style lift ratio — P(a,b)/(P(a)P(b)) as the exact integer
+    ``c_ab·N·10⁶ / (c_a·c_b)`` (log-free: libm log differs across
+    engines at the last ulp, the rational score is bit-exact; the
+    ordering is the same because log is monotone). Pairs under 5
+    occurrences are dropped (rare-pair PMI is noise). The corpus-stat
+    a curation pipeline mines for boilerplate phrases and multi-word
+    expressions worth protecting during tokenization.
+
+    Scale shape: the unigram-count table is vocabulary-sized and
+    broadcasts onto the (already aggregated, HAVING-trimmed) bigram
+    table twice; the wide exchanges are the two count aggregates, both
+    map-side combinable; the final top-100 is TakeOrderedAndProject
+    (per-partition heads merged on the driver), never a global sort.
+    128-bit intermediates (DECIMAL(38,0) / HUGEINT) keep ``c_ab·N·10⁶``
+    exact at any corpus size — it overflows BIGINT past N≈3·10⁶ tokens."""
+    t = fixtures(spark, sf_dir)
+    toks = F.split("text", " ")
+    docs = t.documents.select("doc_id", toks.alias("__w"))
+    uni = docs.select(F.explode("__w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.agg(F.count(F.lit(1)).alias("n"))
+    bc = (
+        docs.filter(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__w", i).alias("tok_a"),
+                        F.element_at("__w", i + 1).alias("tok_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    ua = uc.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bc.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.expr(
+                "CAST(CAST(c_ab AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("pmi_ratio_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio_fp"), "tok_a", "tok_b"
+    ).limit(PMI_TOP_K)

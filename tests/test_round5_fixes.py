@@ -112,3 +112,40 @@ def test_lsh_cross_finds_only_corpus_batch_pairs(spark):
     assert all(r.doc_batch not in (101, 102) or r.doc_corpus not in (101, 102)
                for r in pairs)
     assert not any(r.doc_corpus in (101, 102) for r in pairs)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x44_single_exchange(spark):
+    """Sequence packing must plan exactly one wide exchange (the source
+    key); a second exchange would mean the window and the projects are
+    not sharing the partitioning."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+
+    plan = _physical_plan(QUERIES["x44_sequence_pack"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_x46_vocab_broadcasts(spark):
+    """The per-language vocabulary probe must be a broadcast join — a
+    shuffled join here would re-exchange every exploded token row."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+
+    plan = _physical_plan(
+        QUERIES["x46_lang_vocab_confidence"].fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_x49_centroid_and_mean_broadcast(spark):
+    """Both x49 join-backs (centroid table, per-label means) are
+    dimension-sized and must broadcast."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+
+    plan = _physical_plan(QUERIES["x49_embedding_outliers"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

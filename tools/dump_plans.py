@@ -27,6 +27,9 @@ AUDIT = {
     "x44_sequence_pack": "One exchange on the bounded source key, then Window cumsum + map-side projects — the packing decision never leaves the partition.",
     "x45_dup_ngram_rate": "Shingle doc-frequency agg joined back on the same shingle key; AQE broadcasts the df table at this SF and flips to a key-co-located sort-merge (one reusable exchange) when it outgrows the threshold.",
     "x46_lang_vocab_confidence": "Top-100 vocab via partial+final WindowGroupLimit (never sorts the full freq table), broadcast to the token probe; per-doc agg is partial (map-side) before its one doc_id shuffle.",
+    "x47_sessionize": "lag + running-sum windows and the session aggregate share one user-keyed sort/exchange; no second wide shuffle of event rows.",
+    "x49_embedding_outliers": "Dims explode map-side; centroid (|labels|x64) and per-label mean (|labels|) tables broadcast back; wide exchanges are only the two keyed partial aggregates.",
+    "x51_token_pmi": "Unigram counts broadcast twice onto the HAVING-trimmed bigram table, 1-row N cross-broadcasts, top-100 is TakeOrderedAndProject (per-partition heads, no global sort); PMI ratio in DECIMAL(38,0).",
 }
 
 HEADER = [

@@ -149,3 +149,71 @@ def test_x49_centroid_and_mean_broadcast(spark):
 
     plan = _physical_plan(QUERIES["x49_embedding_outliers"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_x44_packing_invariants(spark):
+    """Structural invariants of concat-and-cut packing, independent of the
+    oracle: offsets live inside the budget, pack ids are monotone within a
+    source stream, the running sum reconstructs, and the straddle flag is
+    exactly the offset+length overflow condition."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+    from dwh_etl_framework_spark.queries.packing_vocab import PACK_TOKENS
+
+    rows = QUERIES["x44_sequence_pack"].fn(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < PACK_TOKENS
+        assert r.spans_packs == (r.pack_offset + r.n_tokens > PACK_TOKENS)
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        last_pack = 0
+        for r in docs:
+            assert r.pack_id == cum // PACK_TOKENS
+            assert r.pack_offset == cum % PACK_TOKENS
+            assert r.pack_id >= last_pack
+            last_pack = r.pack_id
+            cum += r.n_tokens
+
+
+def test_x47_session_invariants(spark):
+    """Sessions per user are disjoint, ordered, and separated by more than
+    the gap; event counts are conserved."""
+    from conftest import SF_DIR, load_events
+    from dwh_etl_framework_spark.queries import QUERIES
+    from dwh_etl_framework_spark.queries.event_features import SESSION_GAP_S
+
+    rows = QUERIES["x47_sessionize"].fn(spark, SF_DIR).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        assert r.duration_s == r.end_s - r.start_s >= 0
+        assert 1 <= r.n_events
+        assert 0 <= r.n_purchases <= r.n_events
+        per_user.setdefault(r.user_id, []).append(r)
+    for sess in per_user.values():
+        sess.sort(key=lambda r: r.session_seq)
+        assert [s.session_seq for s in sess] == list(
+            range(1, len(sess) + 1)
+        )
+        for prev, nxt in zip(sess, sess[1:]):
+            assert nxt.start_s - prev.end_s > SESSION_GAP_S
+    n_total = sum(r.n_events for r in rows)
+    assert n_total == load_events(spark).count()
+
+
+def test_x50_partition_and_flag_consistency(spark):
+    """The batch slice is screened completely: every batch doc appears
+    exactly once, kept == not(dup_exact or dup_near), and batch+corpus
+    partition the corpus."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+
+    rows = QUERIES["x50_incremental_dedup"].fn(spark, SF_DIR).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r.kept == (not r.dup_exact and not r.dup_near)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert 0 < len(ids) < n_docs

@@ -65,6 +65,10 @@ from dwh_etl_framework_spark.queries import event_features  # noqa: F401
 #: r25 (nested evidence stays via the critical r26), r27d (r27c stays).
 #: Every rotated-out query keeps its oracle in the local parity suite
 #: and the full-registry PARITY_r{NN} artifact.
+#: Round-6 rotation (VERDICT r5 item 2): x51 (PMI collocations) and
+#: x52 (canonical-per-cluster) replace r22 (string-fn evidence stays via
+#: the many string-built queries + local r22/r22b/r22c oracles) and r26
+#: (JSON evidence stays via the local oracle; r27c keeps the UDF slot).
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -77,8 +81,6 @@ DRIVER_WINDOW: list[str] = [
     "r16_agg_pricing_summary",
     "r18_rollup",
     "r19_window_analytics",
-    "r22_string_fns",
-    "r26_json_extract",
     "r27c_grouped_agg_udf",
     "r28_asof_join",
     "r29_incremental_watermark",
@@ -125,6 +127,9 @@ DRIVER_WINDOW: list[str] = [
     "x48_user_features",
     "x49_embedding_outliers",
     "x50_incremental_dedup",
+    # round-6 entrants: PMI collocations, canonical-per-cluster selection
+    "x51_token_pmi",
+    "x52_cluster_canonical",
 ]
 
 

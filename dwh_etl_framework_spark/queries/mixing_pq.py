@@ -133,7 +133,8 @@ def x41_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT vec_id,
-           list(CAST(code AS INTEGER) ORDER BY s) AS codes,
+           array_to_string(list(CAST(code AS INTEGER) ORDER BY s), '|')
+               AS codes,
            CAST(SUM(dist) AS BIGINT) AS err_fp
     FROM best GROUP BY vec_id
     """,
@@ -197,12 +198,17 @@ def x42_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("__dmat"),
     )
+    # codes ship '|'-joined: the driver's pandas canonicalizer cannot sort
+    # raw array columns (same contract as x40's int8 codes).
     return with_dmat.select(
         "vec_id",
-        F.transform(
-            "__dmat",
-            lambda row: (F.array_position(row, F.array_min(row)) - 1).cast(
-                "int"
+        F.concat_ws(
+            "|",
+            F.transform(
+                "__dmat",
+                lambda row: (
+                    F.array_position(row, F.array_min(row)) - 1
+                ).cast("int"),
             ),
         ).alias("codes"),
         F.aggregate(

@@ -21,7 +21,9 @@ CRITICAL = [
     "f20_merge_delta",
     "f21_state_flip",
     "r28_asof_join",
-    "r26_json_extract",
+    # r26_json_extract rotated out of the window in round 6 (VERDICT r5
+    # item 2) after five straight green rounds; its oracle stays in the
+    # local parity suite + PARITY_r{NN}.
     "r30_tumbling_window",
     "x01_exact_dedup",
     "x03b_minhash_lsh_portable",

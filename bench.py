@@ -125,9 +125,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": total,
+                # ADVICE r5: a partial total (some queries errored) must not
+                # read as a full-set total — value is null unless every
+                # headline query was timed; the per-query medians stay.
+                "value": total if not errors else None,
                 "unit": "sec",
                 "queries": timings,
+                "n_timed": len(timings),
+                "n_headline": len(HEADLINE),
                 "sf": sf,
                 "runs": n_runs,
                 "cold_queries": cold,

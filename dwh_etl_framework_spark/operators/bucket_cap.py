@@ -58,9 +58,11 @@ def cap_bucket_size(
     (sum over the bucket counts — NOT a second scan of ``df``) that
     cross-joins into the threshold comparison as a broadcast, so it costs
     no extra pass over the data. Metrics ride the aggregate via
-    ``observe`` when ``observation`` is given: they materialize with the
-    first action that executes the plan (e.g. the candidate-pair job)
-    with no extra Spark job.
+    ``observe`` when ``observation`` is given; the observed bucket-count
+    aggregate is then eagerly materialized (localCheckpoint) so the
+    metrics resolve even when zero buckets are dropped — see the inline
+    comment. ``observation.get`` is readable as soon as this function
+    returns.
     """
     if (max_bucket_size is None) == (max_bucket_fraction is None):
         raise ValueError(
@@ -97,5 +99,24 @@ def cap_bucket_size(
             ).alias("dropped_rows"),
             F.coalesce(F.max("__bucket_n"), F.lit(0)).alias("largest_bucket"),
         )
+        # Observability fix (round 6, latent since r4): with ZERO oversized
+        # buckets the broadcast build side materializes empty and AQE
+        # rewrites the LeftAnti to its left child, pruning the
+        # CollectMetrics branch out of the final plan — so
+        # ``observation.get`` never resolves, and zero drops is exactly
+        # what a production alert wants to read. Sentinel rows on the
+        # build side don't survive Catalyst (all-NULL keys trigger the
+        # AQE all-null-keys LeftAnti rewrite; marker columns are
+        # constant-folded and constraint-pushed into the build, statically
+        # re-emptying it — both observed empirically). Instead: eagerly
+        # materialize the observed aggregate. The checkpoint's own
+        # execution carries the CollectMetrics node, so the metrics
+        # resolve no matter what AQE later does to the join; the
+        # downstream broadcast reads the (tiny: one row per bucket KEY,
+        # the row table is never checkpointed) materialized result instead
+        # of recomputing the aggregate. Cost: the bucket-count job runs at
+        # operator-construction time rather than inside the first action —
+        # one job either way.
+        sizes = sizes.localCheckpoint(eager=True)
     big = sizes.filter(over).select(*keys)
     return df.join(F.broadcast(big), keys, "left_anti")

@@ -421,6 +421,7 @@ def lsh_candidate_pairs_cross(
     est_threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
     bucket_observation=None,
+    batch_bucket_observation=None,
 ) -> DataFrame:
     """Incremental-ingest LSH: candidates ONLY between the existing corpus
 
@@ -435,7 +436,11 @@ def lsh_candidate_pairs_cross(
     Returns (doc_corpus, doc_batch, est_jaccard) for estimated Jaccard ≥
     ``est_threshold``. Ids on the two sides are assumed disjoint (caller
     splits the corpus). Both band tables are bucket-capped independently:
-    a degenerate key on EITHER side re-opens the quadratic hole.
+    a degenerate key on EITHER side re-opens the quadratic hole — which is
+    why BOTH sides take their own Observation (``bucket_observation`` for
+    the corpus index, ``batch_bucket_observation`` for the increment): a
+    silent batch-side drop would hide exactly the degeneracy the cap
+    exists to surface (ADVICE r5).
     """
     corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
     batch_sigs = batch_sigs.localCheckpoint(eager=True)
@@ -444,7 +449,8 @@ def lsh_candidate_pairs_cross(
         bucket_observation,
     ).select(F.col(id_col).alias("doc_corpus"), "band_idx", "band_hash")
     banded_b = _band_table(
-        batch_sigs, id_col, bands, rows_per_band, max_bucket_size
+        batch_sigs, id_col, bands, rows_per_band, max_bucket_size,
+        batch_bucket_observation,
     ).select(F.col(id_col).alias("doc_batch"), "band_idx", "band_hash")
     cands = (
         banded_c.join(banded_b, on=["band_idx", "band_hash"])

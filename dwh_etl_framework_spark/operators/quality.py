@@ -41,7 +41,10 @@ def unique_key_check(df: DataFrame, key: Sequence[str]) -> DataFrame:
         .filter(F.col("n") > 1)
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("violations"))
     )
-    total = df.agg(F.count(F.lit(1)).alias("total"))
+    # pin the 1-row total as the broadcast side (bucket_cap.py does the
+    # same): the plan shape is then guaranteed BroadcastNestedLoopJoin with
+    # the scalar broadcast, not left to AQE to discover.
+    total = F.broadcast(df.agg(F.count(F.lit(1)).alias("total")))
     return dups.crossJoin(total).select(
         F.lit("unique_key").alias("check"),
         F.lit(",".join(key)).alias("column"),
@@ -59,7 +62,7 @@ def referential_check(
     orphans = child.join(
         parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti"
     ).agg(F.count(F.lit(1)).alias("violations"))
-    total = child.agg(F.count(F.lit(1)).alias("total"))
+    total = F.broadcast(child.agg(F.count(F.lit(1)).alias("total")))
     return orphans.crossJoin(total).select(
         F.lit("referential").alias("check"),
         F.lit(f"{fk}->{pk}").alias("column"),

@@ -26,6 +26,8 @@ Three operators from the data-recipe layer of a pretraining pipeline:
 
 from __future__ import annotations
 
+from types import SimpleNamespace
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -103,9 +105,9 @@ def x41_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x42_product_quantize",
-    oracle=f"""
+#: Shared oracle CTE: PQ assignment per (vec_id, subspace) — reused by
+#: x42 (encoding) and x53 (code-bucket dedup).
+PQ_BEST_CTE = f"""
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
     c AS (SELECT vec_id AS cid, embedding AS cvec
           FROM embeddings WHERE vec_id < {_PQ_K}),
@@ -132,6 +134,13 @@ def x41_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d
         ) WHERE rn = 1
     )
+"""
+
+
+@query(
+    "x42_product_quantize",
+    oracle=PQ_BEST_CTE
+    + """
     SELECT vec_id,
            array_to_string(list(CAST(code AS INTEGER) ORDER BY s), '|')
                AS codes,
@@ -159,6 +168,15 @@ def x42_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, matching the oracle's ``ORDER BY dist, cid``) and err_fp are
     engine-exact."""
     t = fixtures(spark, sf_dir)
+    return pq_encode(t.embeddings)
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """PQ-encode ``embeddings`` → (vec_id, codes '|'-joined, err_fp).
+
+    Shared by x42 (the encoding itself) and x53 (code-bucket coarse
+    dedup). See x42's docstring for the plan-shape analysis."""
+    t = SimpleNamespace(embeddings=embeddings)
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     # one row: the 16 centroid vectors ordered by centroid id
     codebook = (

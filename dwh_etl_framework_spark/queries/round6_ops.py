@@ -11,6 +11,12 @@ training, each fixture-honest and value-oracled:
   most frequent adjacent token pair, apply the merge corpus-wide
   (leftmost non-overlapping, the BPE greedy rule), report per-doc token
   counts before/after. The tokenizer-induction inner loop.
+- **x55_chunk_dedup** — exact dedup at CHUNK granularity (x38's window
+  geometry, md5 digests): catches repeated boilerplate blocks inside
+  otherwise-distinct documents — what a RAG index dedups on.
+- **x57_mutual_knn_graph** — per-node in-degree and mutual-edge count of
+  the exact top-3 cosine graph over a node sample: hubness / mutuality
+  QA before ANN index construction.
 - **x56_quality_decile_calibration** — per-language deciles of a
   vocabulary-richness score: the calibration matrix a curation team
   reads before picking per-language quality thresholds (x34 applies one
@@ -35,6 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dwh_etl_framework_spark.operators import similarity
+from dwh_etl_framework_spark.queries.chunking_lm import (
+    CHUNK_STRIDE as _CHUNK_STRIDE,
+    CHUNK_TOKENS as _CHUNK_TOKENS,
+)
 from dwh_etl_framework_spark.queries.mixing_pq import PQ_BEST_CTE, pq_encode
 from dwh_etl_framework_spark.queries.registry import fixtures, query
 
@@ -44,6 +55,10 @@ BPE_GLUE = "+"
 
 #: x56: decile count.
 N_TILES = 10
+
+#: x57: node-set bound and k for the mutual-kNN graph.
+KNN_GRAPH_NODES = 200
+KNN_GRAPH_K = 3
 
 #: x58: global token budget the mix is planned against, and the
 #: temperature (alpha=0.5 ⇒ sqrt weights, the mT5/XLM-R recipe x41 uses
@@ -182,6 +197,74 @@ def x54_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x55_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(1, n, {_CHUNK_STRIDE})) AS start
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               md5(array_to_string(
+                   w[start:least(start + {_CHUNK_TOKENS - 1}, n)], ' '))
+                   AS digest
+        FROM starts
+    )
+    SELECT digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM chunks
+    GROUP BY digest HAVING COUNT(*) >= 2
+    """,
+)
+def x55_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3 chunk-level exact dedup: the x38 chunking geometry (32-token
+
+    windows every 24) digested with md5 and grouped — the dedup a RAG /
+    retrieval index runs at CHUNK granularity, where document-level dedup
+    (x01) misses repeated boilerplate blocks inside otherwise-distinct
+    documents. Reports each duplicated chunk with its copy count, how
+    many distinct documents carry it, and the canonical (min-doc_id)
+    survivor.
+
+    Scale shape: chunking is map-only (x38); only the 32-char md5 digest
+    shuffles into the map-side-combined group — text never leaves its
+    input partition (the x01 digest rule at chunk granularity)."""
+    t = fixtures(spark, sf_dir)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+    chunks = t.documents.select(
+        "doc_id",
+        toks.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__start"), _CHUNK_TOKENS), " "
+            )
+        ).alias("digest"),
+    )
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+@query(
     "x56_quality_decile_calibration",
     oracle=f"""
     WITH scored AS (
@@ -244,6 +327,110 @@ def x56_quality_decile_calibration(
             "n_docs",
             "min_score_ppm",
             "max_score_ppm",
+        )
+    )
+
+
+@query(
+    "x57_mutual_knn_graph",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id < {KNN_GRAPH_NODES}
+    ),
+    nrm AS (
+        SELECT vec_id,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS n2
+        FROM ev GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               SUM(CAST(floor(CAST(q.embedding[q.i] AS DOUBLE)
+                              * CAST(e.embedding[q.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM ev q JOIN ev e ON e.i = q.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY CAST(d.dot AS DOUBLE)
+                                / (sqrt(CAST(nq.n2 AS DOUBLE))
+                                   * sqrt(CAST(ne.n2 AS DOUBLE))) DESC,
+                                d.neighbor_id ASC
+                   ) AS rk
+            FROM dots d
+            JOIN nrm nq ON nq.vec_id = d.query_id
+            JOIN nrm ne ON ne.vec_id = d.neighbor_id
+        ) WHERE rk <= {KNN_GRAPH_K}
+    ),
+    ind AS (
+        SELECT neighbor_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+        FROM edges GROUP BY neighbor_id
+    ),
+    mut AS (
+        SELECT a.query_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_mutual
+        FROM edges a JOIN edges b
+          ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+        GROUP BY a.query_id
+    )
+    SELECT n.vec_id,
+           CAST({KNN_GRAPH_K} AS BIGINT) AS out_degree,
+           COALESCE(ind.in_degree, 0) AS in_degree,
+           COALESCE(mut.n_mutual, 0) AS n_mutual
+    FROM nrm n
+    LEFT JOIN ind USING (vec_id)
+    LEFT JOIN mut USING (vec_id)
+    """,
+)
+def x57_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 k-NN graph health: over a node set (vec_id < 200), the exact
+
+    top-3 cosine graph's per-node in-degree and mutual-edge count. ANN
+    index QA: hub nodes (huge in-degree) and low mutuality predict poor
+    recall before any index is built; kNN-graph symmetrization is also
+    the first step of graph-based ANN (HNSW/NSG) construction. Cosines
+    are exact fixed-point (the x32 convention) and every rank has an id
+    tie-break, so edges — and therefore all three degree counts — are
+    engine-identical integers.
+
+    Scale shape: reuses ``similarity.knn_join`` (query side broadcast,
+    rank≤k lowered to WindowGroupLimit before the one query-keyed
+    exchange); the edge table is k·|nodes| rows, so the in-degree
+    aggregate and the mutual self-join are index-sized, never
+    corpus-sized. At full scale the node set is the IVF/HNSW entry-point
+    sample, not the corpus."""
+    t = fixtures(spark, sf_dir)
+    nodes = t.embeddings.filter(F.col("vec_id") < KNN_GRAPH_NODES)
+    edges = similarity.knn_join(
+        nodes, nodes, k=KNN_GRAPH_K, exact=True
+    ).select("query_id", "neighbor_id")
+    ind = edges.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    rev = edges.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+    )
+    mut = (
+        edges.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy(F.col("query_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_mutual"))
+    )
+    return (
+        nodes.select("vec_id")
+        .join(ind, "vec_id", "left")
+        .join(mut, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.lit(KNN_GRAPH_K).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+            F.coalesce("n_mutual", F.lit(0)).cast("bigint").alias("n_mutual"),
         )
     )
 

@@ -65,6 +65,12 @@ HEADLINE = [
     "x47_sessionize",            # 30-min-gap sessionization (lag+cumsum)
     "x49_embedding_outliers",    # per-label centroid distance screen
     "x50_incremental_dedup",     # batch-vs-corpus exact + cross-LSH dedup
+    "x55_chunk_dedup",           # chunk-granularity exact dedup (r6)
+    "x60_shingle_containment",   # asymmetric containment scoring (r6)
+    "x62_centroid_confusion",    # broadcast nearest-centroid eval (r6)
+    "x63_token_spectrum",        # token frequency-of-frequencies (r6)
+    "r14b_regional_supply_chain",  # TPC-H-Q5-shaped six-table join (r6)
+    "x65_source_drift_tv",       # per-source TV drift vs corpus (r6)
 ]
 
 

@@ -66,7 +66,9 @@ HEADLINE = [
     "x49_embedding_outliers",    # per-label centroid distance screen
     "x50_incremental_dedup",     # batch-vs-corpus exact + cross-LSH dedup
     "x55_chunk_dedup",           # chunk-granularity exact dedup (r6)
-    "x60_shingle_containment",   # asymmetric containment scoring (r6)
+    "x60b_containment_capped",   # df-capped containment tier (r6; the
+                                 # uncapped x60 self-join is correctness-
+                                 # only, the x02/x02b policy)
     "x62_centroid_confusion",    # broadcast nearest-centroid eval (r6)
     "x63_token_spectrum",        # token frequency-of-frequencies (r6)
     "r14b_regional_supply_chain",  # TPC-H-Q5-shaped six-table join (r6)

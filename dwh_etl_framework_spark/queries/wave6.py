@@ -637,3 +637,256 @@ def x65_source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_ppm"),
         )
     )
+
+
+@query(
+    "x66_split_leakage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                    WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    leaks AS (
+        SELECT p.doc_a, p.doc_b,
+               least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi
+        FROM pairs p
+        JOIN assigned sa ON sa.doc_id = p.doc_a
+        JOIN assigned sb ON sb.doc_id = p.doc_b
+        WHERE sa.split <> sb.split
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT d) FROM (
+                     SELECT l2.doc_a AS d FROM leaks l2
+                     WHERE l2.split_lo = l.split_lo AND l2.split_hi = l.split_hi
+                     UNION
+                     SELECT l2.doc_b AS d FROM leaks l2
+                     WHERE l2.split_lo = l.split_lo AND l2.split_hi = l.split_hi
+                )) AS BIGINT) AS n_docs
+    FROM leaks l
+    GROUP BY split_lo, split_hi
+    """,
+)
+def x66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3 train-eval contamination check: near-duplicate pairs (the
+
+    x02 exact 3-gram-Jaccard ≥ 0.5 verify tier) whose two documents fall
+    on DIFFERENT sides of the x30 deterministic train/val/test split —
+    the leak that silently inflates every eval metric if dedup runs
+    after splitting instead of before. Reported per unordered split pair
+    with the pair count and the number of distinct documents involved.
+    Composes two already-oracled operators, so the same md5 split rule
+    and the same shingle-Jaccard tier are reused verbatim.
+
+    Scale shape: the pair source is the contract of x02/x60 — at scale
+    the LSH cascade (x02b) feeds candidate pairs and this check scores
+    candidates only; the split assignment is a map-only md5 over doc_id
+    joined onto pair endpoints (two digest-keyed hash joins of a
+    pair-sized table). The leak aggregate is |splits|²-sized."""
+    from dwh_etl_framework_spark.operators import dedup
+
+    t = fixtures(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        t.documents, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    assigned = t.documents.select(
+        "doc_id",
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    n_pairs = leaks.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs = (
+        leaks.select("split_lo", "split_hi", F.col("doc_a").alias("d"))
+        .unionByName(
+            leaks.select("split_lo", "split_hi", F.col("doc_b").alias("d"))
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(docs, ["split_lo", "split_hi"])
+
+
+@query(
+    "x67_cross_source_dups",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS digest, source,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY md5(text), source
+    ),
+    m AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.source < b.source THEN a.c * b.c
+                    ELSE a.c * (a.c - 1) // 2 END AS np
+        FROM g a JOIN g b
+          ON b.digest = a.digest AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+    FROM m GROUP BY source_a, source_b
+    HAVING SUM(np) > 0
+    """,
+)
+def x67_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 duplication provenance matrix: exact-duplicate PAIR counts per
+
+    unordered source pair — which sources mirror each other (off-diagonal
+    mass: syndication/scrape overlap, dedup them jointly) vs which
+    self-duplicate (diagonal: n·(n−1)/2 within-group pairs). The routing
+    table for where dedup effort pays: a curation team reads this before
+    deciding per-source vs global dedup passes.
+
+    Scale shape: the x01 digest rule — group on md5(text) per source
+    (text never shuffles, only 32-char digests), then a digest-keyed
+    self-join of the GROUP table (rows = distinct (digest, source), with
+    per-key fan-out |sources| at most): all-pairs arithmetic happens on
+    group COUNTS (c_a·c_b), never by materializing document pairs. The
+    final aggregate is |sources|²-sized."""
+    t = fixtures(spark, sf_dir)
+    g = t.documents.groupBy(
+        F.md5("text").alias("digest"), "source"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = g.select(
+        "digest", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = g.select(
+        "digest", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    m = (
+        a.join(b, "digest")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") < F.col("source_b"),
+                F.col("ca") * F.col("cb"),
+            )
+            .otherwise(F.expr("ca * (ca - 1) div 2"))
+            .alias("np"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.sum("np").cast("bigint").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )
+
+
+#: x60b: document-frequency cap for the shingle blocking key — a shingle
+#: shared by more than this many docs is boilerplate, not evidence of
+#: pairwise duplication; dropping it bounds the self-join at O(cap²) per
+#: shingle (the bucket_cap rule applied to the shingle key).
+SHINGLE_DF_CAP = 64
+
+
+@query("x60b_containment_capped", oracle=None)
+def x60b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 the BENCHED containment tier: x60's asymmetric |A∩B|/|A| with
+
+    the shingle self-join bounded by a document-frequency cap
+    (``cap_bucket_size`` on the shingle key, the same guard every LSH
+    tier here uses) — the shape a 100 TB containment scan actually runs,
+    where the uncapped Σ·df² join of x60 is correctness-only (the exact
+    x02/x60 contract). Denominators (per-doc shingle counts) stay EXACT
+    — only the intersection is computed over capped shingles, so the
+    reported containment is a lower bound that equals the exact value
+    whenever no common shingle exceeds the cap. No SQL oracle (the cap
+    makes the result definitionally a subset); tests/test_wave6.py
+    proves (a) cap=∞ reproduces x60 exactly and (b) the capped result is
+    a pairwise subset with ppm ≤ the exact ppm.
+
+    Scale shape: one shingle-keyed exchange for the df-count + broadcast
+    anti-join of oversized keys (map-side, before the join's shuffle —
+    the bucket_cap plan), then the bounded self-join; sizes come from the
+    same checkpointed shingle table, never a second corpus pass."""
+    from dwh_etl_framework_spark.operators import dedup
+    from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+    from dwh_etl_framework_spark.queries.round6_ops import (
+        CONTAIN_MIN_PPM,
+        CONTAIN_MIN_SHINGLES,
+    )
+
+    t = fixtures(spark, sf_dir)
+    sh = dedup.shingle_table(t.documents, "text", "doc_id", n=5)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = cap_bucket_size(sh, ["shingle"], max_bucket_size=SHINGLE_DF_CAP)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ov = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), "n_sh")
+    return (
+        ov.join(sa, "doc_a")
+        .filter(F.col("n_sh") >= CONTAIN_MIN_SHINGLES)
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST(n_common * 1000000 div n_sh AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= CONTAIN_MIN_PPM)
+        .select("doc_a", "doc_b", "n_common", "containment_ppm")
+    )

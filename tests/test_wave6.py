@@ -160,3 +160,105 @@ def test_r14b_matches_unconstrained_rollup(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert (t_rev, t_cnt) == (agg.rev, agg.n)
+
+
+def test_x67_pair_counts_conserve(spark):
+    """Σ n_dup_pairs over the matrix equals the direct per-digest
+    Σ n·(n−1)/2 (every duplicate pair is attributed to exactly one
+    source cell)."""
+    rows = QUERIES["x67_cross_source_dups"].fn(spark, SF_DIR).collect()
+    total = sum(r.n_dup_pairs for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_digest = (
+        docs.groupBy(F.md5("text").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.sum(F.expr("n * (n - 1) div 2")).alias("t"))
+        .collect()[0][0]
+    )
+    assert total == (per_digest or 0)
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.n_dup_pairs > 0
+
+
+def test_x66_leakage_is_x02_cross_split_subset(spark):
+    """Leak pair counts equal x02's near-dup pairs filtered to split
+    mismatches, and doc counts are bounded by 2·pairs."""
+    from dwh_etl_framework_spark.operators import dedup
+
+    leaks = QUERIES["x66_split_leakage"].fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    assigned = docs.select(
+        "doc_id",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+        .alias("split"),
+    )
+    cross = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("sa")), "doc_a")
+        .join(assigned.select(F.col("doc_id").alias("doc_b"),
+                              F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert sum(r.n_pairs for r in leaks) == cross
+    for r in leaks:
+        assert r.split_lo < r.split_hi
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
+
+
+def test_x60b_capped_containment_is_lower_bound(spark):
+    """The capped tier is sound: every pair it reports appears in the
+    exact x60 result with n_common/ppm at least as large, and with the
+    cap effectively infinite the two results are identical."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_ppm)
+        for r in QUERIES["x60_shingle_containment"].fn(spark, SF_DIR).collect()
+    }
+    capped = QUERIES["x60b_containment_capped"].fn(spark, SF_DIR).collect()
+    for r in capped:
+        assert (r.doc_a, r.doc_b) in exact
+        en, eppm = exact[(r.doc_a, r.doc_b)]
+        assert r.n_common <= en
+        assert r.containment_ppm <= eppm
+
+    from dwh_etl_framework_spark.operators import dedup
+    from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
+    from dwh_etl_framework_spark.queries.round6_ops import (
+        CONTAIN_MIN_PPM,
+        CONTAIN_MIN_SHINGLES,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.shingle_table(docs, "text", "doc_id", n=5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    wide = cap_bucket_size(sh, ["shingle"], max_bucket_size=10**9)
+    ov = (
+        wide.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(wide.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    full = (
+        ov.join(sizes.select(F.col("doc_id").alias("doc_a"), "n_sh"), "doc_a")
+        .filter(F.col("n_sh") >= CONTAIN_MIN_SHINGLES)
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST(n_common * 1000000 div n_sh AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= CONTAIN_MIN_PPM)
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_ppm)
+        for r in full.collect()
+    }
+    assert uncapped == exact

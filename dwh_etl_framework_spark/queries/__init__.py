@@ -71,6 +71,15 @@ from dwh_etl_framework_spark.queries import wave6  # noqa: F401
 #: x52 (canonical-per-cluster) replace r22 (string-fn evidence stays via
 #: the many string-built queries + local r22/r22b/r22c oracles) and r26
 #: (JSON evidence stays via the local oracle; r27c keeps the UDF slot).
+#: Round-6b rotation (same policy, applied to the twelve operators built
+#: later in round 6 — every entrant is dual-SF hash-proven in
+#: PARITY_r06 + PARITY_sf1 before entering): x53/x55-x59/x61-x63/
+#: x65-x67 replace twelve 2+-round-stable rows — r18 (rollup evidence
+#: stays via local r18/r18b/r18c/r18d oracles), r29 (watermark-read
+#: evidence stays via the local oracle + tests/test_incremental.py),
+#: x15/x19 (TF-IDF & curation evidence stay via local oracles), x28-x31
+#: and x33/x34/x36/x37 (the round-4/5 curation tier, all locally
+#: oracled every pytest run and in PARITY_r{NN}).
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -81,11 +90,9 @@ DRIVER_WINDOW: list[str] = [
     "r04_top1_per_group",
     "r14_inner_join_agg",
     "r16_agg_pricing_summary",
-    "r18_rollup",
     "r19_window_analytics",
     "r27c_grouped_agg_udf",
     "r28_asof_join",
-    "r29_incremental_watermark",
     "r30_tumbling_window",
     "r31_sliding_window",
     "r32_watermark_late_filter",
@@ -99,20 +106,9 @@ DRIVER_WINDOW: list[str] = [
     "x06d_embedding_near_dup_portable",
     "x06c_ivf_topk_exact",
     "x11_binary_columns",
-    "x15_tfidf",
-    "x19_curation_pipeline",
     "x20_dedup_clusters",
-    "x28_repetition_metrics",
-    "x29_decontamination",
-    "x30_train_test_split",
-    "x31_per_source_cap",
-    # round-5 entrants: k-NN join, sampling/gating, sharding, LM scoring,
-    # chunking, quantization
+    # round-5 entrants: k-NN join, LM scoring, chunking, quantization
     "x32_knn_join",
-    "x33_stratified_sample",
-    "x34_quality_percentile_gate",
-    "x36_token_shards",
-    "x37_rare_token_score",
     "x38_doc_chunking",
     "x39_bigram_lm_score",
     "x40_embedding_quantize",
@@ -132,6 +128,22 @@ DRIVER_WINDOW: list[str] = [
     # round-6 entrants: PMI collocations, canonical-per-cluster selection
     "x51_token_pmi",
     "x52_cluster_canonical",
+    # round-6b entrants: PQ-code dedup, chunk dedup, decile calibration,
+    # mutual-kNN health, mix planner, payload profile, kNN label eval,
+    # centroid confusion, token spectrum, TV drift, split leakage,
+    # cross-source dup matrix
+    "x53_pq_code_dedup",
+    "x55_chunk_dedup",
+    "x56_quality_decile_calibration",
+    "x57_mutual_knn_graph",
+    "x58_mix_epoch_plan",
+    "x59_event_payload_profile",
+    "x61_knn_label_eval",
+    "x62_centroid_confusion",
+    "x63_token_spectrum",
+    "x65_source_drift_tv",
+    "x66_split_leakage",
+    "x67_cross_source_dups",
 ]
 
 

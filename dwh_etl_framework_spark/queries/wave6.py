@@ -765,20 +765,66 @@ def x66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_pairs.join(docs, ["split_lo", "split_hi"])
 
 
+def _chunk_digests(t) -> DataFrame:
+    """(doc_id, source, digest) of every x38/x55-geometry chunk —
+    the shared chunking rule (32-token windows every 24, md5)."""
+    from dwh_etl_framework_spark.queries.chunking_lm import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    return t.documents.select(
+        "doc_id",
+        "source",
+        toks.alias("__w"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__start"), CHUNK_TOKENS), " "
+            )
+        ).alias("digest"),
+    )
+
+
 @query(
     "x67_cross_source_dups",
     oracle="""
-    WITH g AS (
-        SELECT md5(text) AS digest, source,
-               CAST(COUNT(*) AS BIGINT) AS c
-        FROM documents GROUP BY md5(text), source
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, source, w, n,
+               unnest(generate_series(1, n, 24)) AS start
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(w[start:least(start + 31, n)], ' '))
+                   AS digest
+        FROM starts
+    ),
+    g AS (
+        SELECT digest, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chunks GROUP BY digest, source
+    ),
+    dup AS (
+        SELECT digest FROM g GROUP BY digest
+        HAVING SUM(c) >= 2
     ),
     m AS (
         SELECT a.source AS source_a, b.source AS source_b,
                CASE WHEN a.source < b.source THEN a.c * b.c
                     ELSE a.c * (a.c - 1) // 2 END AS np
-        FROM g a JOIN g b
-          ON b.digest = a.digest AND a.source <= b.source
+        FROM g a
+        JOIN g b ON b.digest = a.digest AND a.source <= b.source
+        JOIN dup d ON d.digest = a.digest
     )
     SELECT source_a, source_b,
            CAST(SUM(np) AS BIGINT) AS n_dup_pairs
@@ -787,24 +833,34 @@ def x66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x67_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 duplication provenance matrix: exact-duplicate PAIR counts per
+    """X1 duplication provenance matrix at CHUNK granularity: duplicated-
 
-    unordered source pair — which sources mirror each other (off-diagonal
-    mass: syndication/scrape overlap, dedup them jointly) vs which
-    self-duplicate (diagonal: n·(n−1)/2 within-group pairs). The routing
-    table for where dedup effort pays: a curation team reads this before
-    deciding per-source vs global dedup passes.
+    chunk PAIR counts per unordered source pair (x55's 32-token/24-stride
+    md5 geometry) — which sources share boilerplate blocks (off-diagonal
+    mass: syndication/scrape/template overlap, dedup them jointly) vs
+    which self-repeat (diagonal: c·(c−1)/2 within-source copy pairs). The
+    routing table for where dedup effort pays, read before choosing
+    per-source vs global passes. Chunk-level rather than whole-document
+    (x01) because document-exact cross-source copies are rare while
+    shared boilerplate is pervasive — and the fixtures reflect exactly
+    that (35 duplicated chunks vs 0 duplicated documents at sf0.01).
 
-    Scale shape: the x01 digest rule — group on md5(text) per source
-    (text never shuffles, only 32-char digests), then a digest-keyed
-    self-join of the GROUP table (rows = distinct (digest, source), with
-    per-key fan-out |sources| at most): all-pairs arithmetic happens on
-    group COUNTS (c_a·c_b), never by materializing document pairs. The
-    final aggregate is |sources|²-sized."""
+    Scale shape: the x01 digest rule at chunk granularity — chunking is
+    map-only (x38), only 32-char digests shuffle into the (digest,
+    source) group; the self-join runs on the GROUP table (per-key
+    fan-out ≤ |sources|), so all-pairs arithmetic happens on counts,
+    never on materialized chunk pairs. The final aggregate is
+    |sources|²-sized."""
     t = fixtures(spark, sf_dir)
-    g = t.documents.groupBy(
-        F.md5("text").alias("digest"), "source"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ch = _chunk_digests(t)
+    g = ch.groupBy("digest", "source").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        g.groupBy("digest")
+        .agg(F.sum("c").alias("tot"))
+        .filter(F.col("tot") >= 2)
+        .select("digest")
+    )
+    g = g.join(dup, "digest", "left_semi")
     a = g.select(
         "digest", F.col("source").alias("source_a"), F.col("c").alias("ca")
     )

@@ -163,20 +163,25 @@ def test_r14b_matches_unconstrained_rollup(spark):
 
 
 def test_x67_pair_counts_conserve(spark):
-    """Σ n_dup_pairs over the matrix equals the direct per-digest
-    Σ n·(n−1)/2 (every duplicate pair is attributed to exactly one
-    source cell)."""
+    """Σ n_dup_pairs over the matrix equals the direct per-chunk-digest
+    Σ n·(n−1)/2 (every duplicated-chunk pair lands in exactly one source
+    cell), and the matrix is non-empty at the driver SF (x55 finds
+    duplicated chunks here, so a vacuous result would be a bug)."""
+    from dwh_etl_framework_spark.queries.wave6 import _chunk_digests
+
     rows = QUERIES["x67_cross_source_dups"].fn(spark, SF_DIR).collect()
     total = sum(r.n_dup_pairs for r in rows)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ch = _chunk_digests(type("T", (), {"documents": docs})())
     per_digest = (
-        docs.groupBy(F.md5("text").alias("d"))
+        ch.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select(F.sum(F.expr("n * (n - 1) div 2")).alias("t"))
         .collect()[0][0]
     )
     assert total == (per_digest or 0)
+    assert total > 0
     for r in rows:
         assert r.source_a <= r.source_b
         assert r.n_dup_pairs > 0

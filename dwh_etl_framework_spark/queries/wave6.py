@@ -946,3 +946,147 @@ def x60b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_ppm") >= CONTAIN_MIN_PPM)
         .select("doc_a", "doc_b", "n_common", "containment_ppm")
     )
+
+
+#: x68: fixed-point output scale for cosine stats (micro-units).
+COS_MICRO = 1_000_000
+
+
+@query(
+    "x68_text_vector_consistency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM idx
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT i.doc_a, i.doc_b, 'near_dup' AS pair_class
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ),
+    ctrl_pairs AS (
+        SELECT e.vec_id AS doc_a, e.vec_id + 1 AS doc_b,
+               'adjacent_control' AS pair_class
+        FROM embeddings e
+        WHERE e.vec_id % 2 = 0
+          AND EXISTS (SELECT 1 FROM embeddings x
+                      WHERE x.vec_id = e.vec_id + 1)
+    ),
+    pairs AS (
+        SELECT * FROM dup_pairs UNION ALL SELECT * FROM ctrl_pairs
+    ),
+    ev AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS n2
+        FROM ev GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT p.pair_class, p.doc_a, p.doc_b,
+               SUM(CAST(floor(CAST(a.embedding[a.i] AS DOUBLE)
+                              * CAST(b.embedding[a.i] AS DOUBLE) * 1e12)
+                        AS BIGINT)) AS dot
+        FROM pairs p
+        JOIN ev a ON a.vec_id = p.doc_a
+        JOIN ev b ON b.vec_id = p.doc_b AND b.i = a.i
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT d.pair_class,
+               CAST(floor(CAST(d.dot AS DOUBLE)
+                          / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE)))
+                          * {COS_MICRO}) AS BIGINT) AS cos_micro
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.doc_a
+        JOIN nrm nb ON nb.vec_id = d.doc_b
+    )
+    SELECT pair_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cos_micro) // COUNT(*) AS BIGINT) AS mean_cos_micro,
+           MIN(cos_micro) AS min_cos_micro,
+           MAX(cos_micro) AS max_cos_micro
+    FROM scored GROUP BY pair_class
+    """,
+)
+def x68_text_vector_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X1 cross-modal QA: exact fixed-point cosine statistics for
+
+    text-near-duplicate pairs (x02's J ≥ 0.5 tier, vec_id = doc_id) vs a
+    deterministic adjacent-id control group. If the embedding space is
+    any good, near-dup text pairs must score far above the control — if
+    they don't, embedding-based dedup (x06) and ANN retrieval are
+    operating on noise, and this two-row report catches it before either
+    runs. All outputs are exact integers (per-pair cosine floored to
+    micro-units, mean via integer division).
+
+    Scale shape: the near-dup pair list comes from the dedup cascade at
+    scale (the x60/x66 contract); embeddings join the pair list by id —
+    two broadcast-able hash joins of a pair-sized table against the
+    vector store, dot products JVM-side via the shared fixed-point
+    ``similarity.cosine(exact=True)`` expression. The stats aggregate is
+    2 rows."""
+    from dwh_etl_framework_spark.operators import dedup, similarity
+
+    t = fixtures(spark, sf_dir)
+    dup = dedup.ngram_jaccard_pairs(
+        t.documents, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit("near_dup").alias("pair_class"))
+    ids = t.embeddings.select("vec_id")
+    ctrl = (
+        t.embeddings.filter(F.col("vec_id") % 2 == 0)
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            (F.col("vec_id") + 1).alias("doc_b"),
+        )
+        .join(ids.select(F.col("vec_id").alias("doc_b")), "doc_b", "left_semi")
+        .select("doc_a", "doc_b", F.lit("adjacent_control").alias("pair_class"))
+    )
+    pairs = dup.unionByName(ctrl)
+    ea = t.embeddings.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("__va")
+    )
+    eb = t.embeddings.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("__vb")
+    )
+    scored = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn(
+            "cos_micro",
+            F.floor(
+                similarity.cosine(F.col("__va"), F.col("__vb"), exact=True)
+                * COS_MICRO
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("pair_class").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST(sum(cos_micro) div count(1) AS BIGINT)").alias(
+            "mean_cos_micro"
+        ),
+        F.min("cos_micro").alias("min_cos_micro"),
+        F.max("cos_micro").alias("max_cos_micro"),
+    )

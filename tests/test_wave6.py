@@ -267,3 +267,26 @@ def test_x60b_capped_containment_is_lower_bound(spark):
         for r in full.collect()
     }
     assert uncapped == exact
+
+
+def test_x68_groups_and_bounds(spark):
+    """Both pair classes are present, the control-group size matches the
+    even-id/successor construction, and all cosine stats are valid
+    micro-unit values."""
+    rows = {
+        r.pair_class: r
+        for r in QUERIES["x68_text_vector_consistency"].fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"near_dup", "adjacent_control"}
+    emb_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    n_ctrl = sum(1 for v in emb_ids if v % 2 == 0 and v + 1 in emb_ids)
+    assert rows["adjacent_control"].n_pairs == n_ctrl
+    for r in rows.values():
+        assert -1_000_000 <= r.min_cos_micro <= r.mean_cos_micro
+        assert r.mean_cos_micro <= r.max_cos_micro <= 1_000_000

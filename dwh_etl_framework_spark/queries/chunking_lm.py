@@ -218,8 +218,16 @@ def x51_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     docs = t.documents.select("doc_id", toks.alias("__w"))
     uni = docs.select(F.explode("__w").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = uni.agg(F.count(F.lit(1)).alias("n"))
+    # lineage cut (the x65 rule): uc feeds THREE consumers (ua, ub,
+    # n_total) — uncut, Catalyst clones the corpus explode per consumer
+    # (4 text scans, plan-audited round 6). n_total = Σc over the
+    # vocabulary table: same value as counting the explode, zero scans.
+    uc = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_total = uc.agg(F.sum("c").alias("n"))
     bc = (
         docs.filter(F.size("__w") >= 2)
         .select(

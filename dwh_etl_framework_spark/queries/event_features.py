@@ -247,6 +247,14 @@ def x49_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum(diff * diff).cast("bigint").alias("dist_fp"))
     )
+    # lineage cut (the x65 rule) at the SMALL table: dist (one row per
+    # vector) feeds two consumers (lab + the final join) — uncut,
+    # Catalyst clones the whole explode→centroid→distance subtree per
+    # consumer and the embedding array column scans 4× (plan-audited
+    # round 6). The exploded q table is NOT checkpointed deliberately:
+    # long-form is ~7× the array's bytes, so materializing it would cost
+    # more than its two remaining scans.
+    dist = dist.localCheckpoint(eager=False)
     lab = dist.groupBy("label").agg(
         F.floor(F.sum("dist_fp").cast("double") / F.count(F.lit(1)))
         .cast("bigint")

@@ -278,9 +278,17 @@ def x43_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over at most |sources|² groups; the per-source vocabulary
     sizes broadcast back onto that tiny result."""
     t = fixtures(spark, sf_dir)
-    tok = t.documents.select(
-        "source", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    # lineage cut (the x65 rule): tok feeds three consumers (n + both
+    # join sides) — uncut, Catalyst clones the explode+distinct per
+    # consumer (4 corpus text scans, plan-audited round 6); cut, the
+    # vocabulary-sized distinct table materializes once
+    tok = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = tok.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = tok.select(F.col("source").alias("source_a"), "token")
     b = tok.select(F.col("source").alias("source_b"), "token")

@@ -154,9 +154,20 @@ def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_count"))
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_tokens"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # lineage cut (the x65 rule) + refinement aggregates: tf is the only
+    # consumer of the corpus explode; doc_len (Σ term_count per doc) and
+    # df (rows per term — tf is already distinct per (doc, term)) derive
+    # from the tf table, so the text column is scanned ONCE instead of
+    # three explode clones (plan-audited round 6)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .localCheckpoint(eager=False)
+    )
+    doc_len = tf.groupBy("doc_id").agg(
+        F.sum("term_count").alias("doc_tokens")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = t.documents.count()
     return (
         tf.join(doc_len, "doc_id")

@@ -853,7 +853,14 @@ def x67_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|²-sized."""
     t = fixtures(spark, sf_dir)
     ch = _chunk_digests(t)
-    g = ch.groupBy("digest", "source").agg(F.count(F.lit(1)).alias("c"))
+    # lineage cut (the x65 rule): g feeds three consumers (dup filter +
+    # both join sides) — without it Catalyst clones the chunk explode
+    # per consumer and the corpus text scans 4× (plan-audited round 6)
+    g = (
+        ch.groupBy("digest", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     dup = (
         g.groupBy("digest")
         .agg(F.sum("c").alias("tot"))
@@ -915,6 +922,21 @@ def x60b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join of oversized keys (map-side, before the join's shuffle —
     the bucket_cap plan), then the bounded self-join; sizes come from the
     same checkpointed shingle table, never a second corpus pass."""
+    t = fixtures(spark, sf_dir)
+    return containment_capped(t.documents)
+
+
+def containment_capped(
+    documents: DataFrame,
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """x60b's operator body, parameterized so a production caller (or the
+
+    drop-metrics test) can pass its own cap and a ``pyspark.sql.
+    Observation`` — dropped_buckets/dropped_rows/largest_bucket resolve
+    after the first action, per the bucket_cap contract. The registry
+    query uses the defaults."""
     from dwh_etl_framework_spark.operators import dedup
     from dwh_etl_framework_spark.operators.bucket_cap import cap_bucket_size
     from dwh_etl_framework_spark.queries.round6_ops import (
@@ -922,11 +944,15 @@ def x60b_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         CONTAIN_MIN_SHINGLES,
     )
 
-    t = fixtures(spark, sf_dir)
-    sh = dedup.shingle_table(t.documents, "text", "doc_id", n=5)
+    sh = dedup.shingle_table(documents, "text", "doc_id", n=5)
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    capped = cap_bucket_size(sh, ["shingle"], max_bucket_size=SHINGLE_DF_CAP)
+    capped = cap_bucket_size(
+        sh,
+        ["shingle"],
+        max_bucket_size=max_bucket_size or SHINGLE_DF_CAP,
+        observation=observation,
+    )
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     ov = (

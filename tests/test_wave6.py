@@ -290,3 +290,29 @@ def test_x68_groups_and_bounds(spark):
     for r in rows.values():
         assert -1_000_000 <= r.min_cos_micro <= r.mean_cos_micro
         assert r.mean_cos_micro <= r.max_cos_micro <= 1_000_000
+
+
+def test_x60b_drop_metrics_observable(spark):
+    """The capped containment tier surfaces its drop metrics: with a
+    tiny cap, oversized shingle keys are dropped AND reported through
+    the Observation (the bucket_cap alerting contract); with the default
+    cap on this fixture nothing drops and the metrics still resolve."""
+    from pyspark.sql import Observation
+
+    from dwh_etl_framework_spark.queries.wave6 import containment_capped
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    obs = Observation()
+    out = containment_capped(docs, max_bucket_size=2, observation=obs)
+    n_capped = out.count()
+    m = obs.get
+    assert m["dropped_buckets"] > 0
+    assert m["dropped_rows"] > 0
+    assert m["largest_bucket"] > 2
+
+    obs2 = Observation()
+    out2 = containment_capped(docs, observation=obs2)
+    n_default = out2.count()
+    m2 = obs2.get
+    assert m2["dropped_buckets"] >= 0  # resolves even at zero drops
+    assert n_capped <= n_default

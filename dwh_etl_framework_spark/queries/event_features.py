@@ -209,7 +209,9 @@ def x48_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dist JOIN lab ON lab.label = dist.label
     """,
 )
-def x49_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x49_embedding_outliers(
+    spark: SparkSession, sf_dir: str, *, lineage_cut: bool = True
+) -> DataFrame:
     """X2 embedding QA: per-label centroid in integer µ-units, per-vector
 
     squared L2 distance to its own centroid, outlier flag past 4× the
@@ -254,7 +256,8 @@ def x49_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6). The exploded q table is NOT checkpointed deliberately:
     # long-form is ~7× the array's bytes, so materializing it would cost
     # more than its two remaining scans.
-    dist = dist.localCheckpoint(eager=False)
+    if lineage_cut:
+        dist = dist.localCheckpoint(eager=False)
     lab = dist.groupBy("label").agg(
         F.floor(F.sum("dist_fp").cast("double") / F.count(F.lit(1)))
         .cast("bigint")

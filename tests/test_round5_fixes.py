@@ -147,8 +147,18 @@ def test_x49_centroid_and_mean_broadcast(spark):
     from conftest import SF_DIR
     from dwh_etl_framework_spark.queries import QUERIES
 
-    plan = _physical_plan(QUERIES["x49_embedding_outliers"].fn(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    from dwh_etl_framework_spark.queries.event_features import (
+        x49_embedding_outliers,
+    )
+
+    # The production plan cuts lineage at `dist` (the x65 rule), which
+    # hides the upstream centroid join inside a Scan ExistingRDD — so the
+    # two-broadcast assertion runs against the uncut plan, and the cut
+    # itself is asserted on the production plan separately.
+    full = _physical_plan(x49_embedding_outliers(spark, SF_DIR, lineage_cut=False))
+    assert full.count("BroadcastHashJoin") >= 2, full
+    prod = _physical_plan(QUERIES["x49_embedding_outliers"].fn(spark, SF_DIR))
+    assert "Scan ExistingRDD" in prod and "BroadcastHashJoin" in prod, prod
 
 
 def test_x44_packing_invariants(spark):

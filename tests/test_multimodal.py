@@ -44,3 +44,62 @@ def test_decode_media_deterministic_stub(media):
 def test_decode_media_real_path_is_marked_stub(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         multimodal.decode_media(media, fake=False).collect()
+
+
+# --- round-6 real decoders (uncompressed formats; numpy/stdlib only) -----
+
+
+def test_ppm_decode_known_literal():
+    """Parse a hand-written PPM literal — independent of encode_ppm, so
+    an encoder/decoder bug pair can't cancel."""
+    import numpy as np
+    from dwh_etl_framework_spark.operators import multimodal as M
+
+    blob = b"P6\n2 2\n255\n" + bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    w, h, pix = M.decode_ppm(blob)
+    assert (w, h) == (2, 2)
+    assert pix[0, 1].tolist() == [40, 50, 60]
+    assert pix[1, 0].tolist() == [70, 80, 90]
+
+
+def test_wav_decode_known_literal():
+    """A 2-sample WAV with a hand-computed 44-byte header parses to the
+    exact samples at the declared rate."""
+    import numpy as np
+    from dwh_etl_framework_spark.operators import multimodal as M
+
+    blob = M.encode_wav_pcm16(8000, np.array([-1, 32767], dtype=np.int16))
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 4
+    rate, s = M.decode_wav_pcm16(blob)
+    assert rate == 8000 and s.tolist() == [-1, 32767]
+
+
+def test_corrupt_blobs_fail_loud():
+    import numpy as np
+    import pytest
+    from dwh_etl_framework_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P5\n2 2\n255\n" + b"\0" * 12)  # P5 = grayscale, unsupported
+    with pytest.raises(ValueError):
+        M.decode_rvid(b"XVID" + b"\0" * 20)
+    with pytest.raises(Exception):
+        M.decode_wav_pcm16(b"RIFFjunk")
+
+
+def test_rvid_frame_sampling_geometry(spark):
+    """Frame indices in x76 are exactly the stride-3 subset of each doc's
+    frame count, and frame counts match the generator."""
+    from conftest import SF_DIR
+    from dwh_etl_framework_spark.queries import QUERIES
+    from dwh_etl_framework_spark.queries.multimodal_ops import _VID, _vid_frames
+
+    rows = QUERIES["x76_video_framesample"].fn(spark, SF_DIR).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.n_frames == _vid_frames(r.doc_id)
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        n = _vid_frames(doc_id)
+        assert sorted(idxs) == list(range(0, n, _VID["stride"]))

@@ -39,10 +39,15 @@ def x21_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with time-to-convert. Two keyed aggregations + one left join; at scale
     both aggregate map-side before one shuffle each."""
     t = fixtures(spark, sf_dir)
+    # lineage cut at the SMALL table (the x65 rule): `su` (one row per
+    # signed-up user) feeds both the purchase match and the final join —
+    # uncut, the signup scan+agg runs twice (round-6 audit: 3 events
+    # scans; now 2, one per event_type filter).
     su = (
         t.events.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_signup"))
+        .localCheckpoint(eager=False)
     )
     pu = (
         t.events.filter(F.col("event_type") == "purchase")

@@ -407,9 +407,14 @@ def x57_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, not the corpus."""
     t = fixtures(spark, sf_dir)
     nodes = t.embeddings.filter(F.col("vec_id") < KNN_GRAPH_NODES)
+    # lineage cut at the SMALL table (the x65 rule): `edges` is
+    # k·|nodes| rows but feeds three consumers (in-degree, both sides of
+    # the mutual semi-join) — uncut, Catalyst clones the whole kNN
+    # scoring subtree per consumer and embeddings.parquet scans 7×
+    # (round-6 audit).
     edges = similarity.knn_join(
         nodes, nodes, k=KNN_GRAPH_K, exact=True
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
     ind = edges.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )

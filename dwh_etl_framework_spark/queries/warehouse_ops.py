@@ -79,9 +79,18 @@ def x23_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential-integrity and range checks over orders, one report row per
     check — the pre-merge guardrail a production DWH runs every load."""
     t = fixtures(spark, sf_dir)
+    # fused pass (round-6 audit: the per-check composition scanned orders
+    # 6× — map-only checks now share one scan, and the shared total feeds
+    # the two structural checks instead of two more count(*) scans)
+    scalar, total = quality.scalar_checks(
+        t.orders,
+        ["o_custkey", "o_orderdate"],
+        [("o_totalprice", 0, 1_000_000)],
+    )
     return quality.quality_report(
-        quality.not_null_check(t.orders, ["o_custkey", "o_orderdate"]),
-        quality.unique_key_check(t.orders, ["o_orderkey"]),
-        quality.referential_check(t.orders, t.customer, "o_custkey", "c_custkey"),
-        quality.range_check(t.orders, "o_totalprice", 0, 1_000_000),
+        scalar,
+        quality.unique_key_check(t.orders, ["o_orderkey"], total=total),
+        quality.referential_check(
+            t.orders, t.customer, "o_custkey", "c_custkey", total=total
+        ),
     )

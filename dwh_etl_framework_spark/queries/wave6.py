@@ -750,6 +750,12 @@ def x66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("sa", "sb").alias("split_lo"),
             F.greatest("sa", "sb").alias("split_hi"),
         )
+        # lineage cut at the SMALL table (the x65 rule): `leaks` is a
+        # pair-sized table feeding three consumers (the pair count and
+        # both halves of the distinct-doc union) — uncut, each consumer
+        # re-runs the shingle self-join and documents.parquet scans 6×
+        # (round-6 audit).
+        .localCheckpoint(eager=False)
     )
     n_pairs = leaks.groupBy("split_lo", "split_hi").agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -128,15 +128,21 @@ def x69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("dl"),
         F.explode(F.split("text", " ")).alias("tok"),
     ).filter(F.col("tok").isin(*BM25_TERMS))
+    # `tf` (≤ |terms| rows per matching doc) feeds both idf and scored —
+    # cut it too, or the token explode over text runs twice.
     tf = toks.groupBy("doc_id", "tok").agg(
         F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint(eager=False)
+    # lineage cut at the SMALL table (the x65 rule): the 1-row corpus
+    # aggregate feeds three consumers (idf + scored's crossJoin + its own
+    # broadcast); uncut, Catalyst clones the whole text-scanning subtree
+    # per consumer and documents.parquet scans 3×.
     corpus = t.documents.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.expr(
             "CAST(SUM(size(split(text, ' '))) AS BIGINT) DIV COUNT(*)"
         ).alias("avgdl_fp"),
-    )
+    ).localCheckpoint(eager=False)
     idf = (
         tf.crossJoin(F.broadcast(corpus))
         .groupBy("tok", "n_docs")
@@ -197,7 +203,9 @@ def x69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev v JOIN mad m USING (source)
     """,
 )
-def x70_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x70_robust_scale(
+    spark: SparkSession, sf_dir: str, *, lineage_cut: bool = True
+) -> DataFrame:
     """X3 robust scaling: per-source median/MAD z-score of doc length
 
     with a 3-MAD clip flag. The median is computed the scale-honest way:
@@ -232,6 +240,10 @@ def x70_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = _median(base.withColumn("n_chars", F.col("n_chars").cast("double")), "n_chars", "med")
+    # lineage cut at `dev` (the x65 rule): it feeds both the MAD median
+    # and the final projection — uncut, each consumer re-scans documents
+    # and re-runs the first median window. Five numeric columns per doc,
+    # far smaller than a re-scan.
     dev = base.join(F.broadcast(med), "source").select(
         "doc_id",
         "source",
@@ -239,6 +251,8 @@ def x70_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
     )
+    if lineage_cut:
+        dev = dev.localCheckpoint(eager=False)
     mad = _median(dev, "dev", "mad")
     return dev.join(F.broadcast(mad), "source").select(
         "doc_id",

@@ -35,9 +35,16 @@ def test_x70_robust_scale_plan_and_medians(spark):
     and the window-sort median must agree with Spark's own percentile
     aggregate (the memory-unsafe exact formulation we deliberately avoid
     in the operator)."""
+    from dwh_etl_framework_spark.queries.wave7 import x70_robust_scale
+
+    # production plan lineage-cuts `dev` (the x65 rule), hiding the first
+    # broadcast inside a Scan ExistingRDD — assert both broadcasts on the
+    # uncut plan and the cut itself on the production plan.
+    full = _physical_plan(x70_robust_scale(spark, SF_DIR, lineage_cut=False))
+    assert full.count("BroadcastHashJoin") >= 2, full
     df = QUERIES["x70_robust_scale"].fn(spark, SF_DIR)
     plan = _physical_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Scan ExistingRDD" in plan and "BroadcastHashJoin" in plan, plan
 
     got = {
         (r["source"]): (r["med"], r["mad"])

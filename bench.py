@@ -73,6 +73,15 @@ HEADLINE = [
     "x63_token_spectrum",        # token frequency-of-frequencies (r6)
     "r14b_regional_supply_chain",  # TPC-H-Q5-shaped six-table join (r6)
     "x65_source_drift_tv",       # per-source TV drift vs corpus (r6)
+    "x57_mutual_knn_graph",      # kNN-graph health (r6; post lineage cut)
+    "x69_bm25_topk",             # BM25 retrieval scoring (r6 wave 3)
+    "x70_robust_scale",          # per-source median/MAD winsorize (r6w3)
+    "x71_key_skew_profile",      # key-skew Gini report (r6w3)
+    "x72_bloom_prefilter_join",  # hand-rolled bloom join prefilter (r6w3)
+    "x73_epoch_shuffle",         # deterministic epoch shuffle (r6w3)
+    "x74_image_decode",          # REAL PPM decode roundtrip (r6w3;
+                                 # x75/x76 share the same two-stage
+                                 # mapInPandas shape)
 ]
 
 

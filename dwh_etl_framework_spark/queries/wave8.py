@@ -1,0 +1,220 @@
+"""Round-6 wave-4 operators: iterative graph ranking and trailing-window
+anomaly detection.
+
+- **x77_knn_pagerank** — 5 fixed power-iteration steps of PageRank over
+  the x57/x61 exact kNN graph, entirely in fixed-point ppb integers
+  (d = 0.85 as the rational 17/20, every division integer ``DIV``), so
+  Spark and the 5-CTE DuckDB oracle agree bit-for-bit. This is the
+  centrality pass graph-based ANN (HNSW entry-point selection) and
+  corpus-influence analyses run on a kNN graph; it also demonstrates the
+  engine's iterative-algorithm shape: one broadcast join per iteration
+  with per-iteration lineage truncation (the x35 k-means convention).
+- **x78_event_anomaly** — per event-type hourly counts scored against a
+  trailing 24-hour window (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING):
+  spike flag when the hour runs >2× its trailing mean, ratio in exact
+  ppm via count·n_prev·10⁶ DIV sum_prev (no float division). The
+  streaming-shaped drift alarm x64's static profile can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators import similarity
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+from dwh_etl_framework_spark.queries.wave6 import _KNN_EDGES_CTE, EVAL_K, EVAL_NODES
+
+#: x77: damping d = 0.85 ≡ 17/20; ranks in parts-per-billion; 5 iterations.
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000
+
+#: x78: trailing window length (hours) and the spike multiple.
+ANOMALY_LOOKBACK = 24
+SPIKE_FACTOR = 2
+
+
+def _pr_oracle() -> str:
+    """Generate the 5-iteration PageRank oracle: the shared kNN-edge CTE,
+    then one CTE per power-iteration step (same integer recurrence as the
+    Spark loop: r' = 0.15·S DIV N + 17·Σ_in r DIV 60)."""
+    parts = [
+        _KNN_EDGES_CTE,
+        f""", nodes AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < {EVAL_NODES}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    it0 AS (
+        SELECT vec_id, CAST({PR_SCALE} // nn.n AS BIGINT) AS r
+        FROM nodes, nn
+    )""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+    it{i} AS (
+        SELECT nd.vec_id,
+               CAST(({PR_SCALE * 3 // 20} // nn.n)
+                    + ((17 * COALESCE(s.sum_r, 0)) // 60) AS BIGINT) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.neighbor_id AS vec_id, SUM(p.r) AS sum_r
+            FROM edges e JOIN it{i - 1} p ON p.vec_id = e.query_id
+            GROUP BY 1
+        ) s ON s.vec_id = nd.vec_id
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT vec_id, r AS rank_ppb FROM it{PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+@query("x77_knn_pagerank", oracle=_pr_oracle())
+def x77_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 graph centrality: PageRank over the exact kNN graph (node set
+
+    vec_id < 200, k = 3, the x57/x61 edge geometry), 5 power iterations,
+    damping 17/20, ranks in ppb integers:
+
+        r₀ = S DIV N
+        rᵢ = 0.15·S DIV N  +  17·Σ_{q→v} rᵢ₋₁(q) DIV 60
+
+    (out-degree is constant k=3, so d·r/outdeg = 17·r/60; every node has
+    out-edges, so there is no dangling mass). All-integer means the
+    5-CTE oracle matches bit-for-bit — float PageRank would diverge
+    across engines in reduction order.
+
+    Scale shape: the expensive part (edge construction) runs ONCE behind
+    a lineage cut; each iteration is one broadcast-joinable rank table
+    (|nodes| rows) against the k·|nodes| edge list plus a node-keyed
+    aggregate, with per-iteration localCheckpoint so the plan does not
+    grow with the iteration count (the x35 k-means convention). At full
+    scale nodes are an index sample (HNSW entry-point candidates), and
+    the same loop runs with the rank table broadcast."""
+    t = fixtures(spark, sf_dir)
+    nodes = t.embeddings.filter(F.col("vec_id") < EVAL_NODES).select("vec_id")
+    edges = (
+        similarity.knn_join(
+            t.embeddings.filter(F.col("vec_id") < EVAL_NODES),
+            t.embeddings.filter(F.col("vec_id") < EVAL_NODES),
+            k=EVAL_K,
+            exact=True,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    base = nodes.crossJoin(F.broadcast(nn))
+    ranks = base.select(
+        "vec_id", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r")
+    ).localCheckpoint(eager=False)
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(
+                    ranks.select(F.col("vec_id").alias("query_id"), "r")
+                ),
+                "query_id",
+            )
+            .groupBy(F.col("neighbor_id").alias("vec_id"))
+            .agg(F.sum("r").alias("sum_r"))
+        )
+        ranks = (
+            base.join(contrib, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST(({PR_SCALE * 3 // 20} DIV n)"
+                    " + ((17 * COALESCE(sum_r, 0)) DIV 60) AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("vec_id", F.col("r").alias("rank_ppb"))
+
+
+@query(
+    "x78_event_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+        SELECT event_type, hour_bucket, n_events,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+               CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS sum_prev
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour_bucket
+            ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hour_bucket, n_events, n_prev, sum_prev,
+           CASE WHEN sum_prev > 0
+                THEN CAST(n_events * n_prev * 1000000 // sum_prev AS BIGINT)
+           END AS ratio_ppm,
+           n_prev > 0 AND n_events * n_prev > {SPIKE_FACTOR} * sum_prev
+               AS is_spike
+    FROM trail
+    """,
+)
+def x78_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R31/X3 trailing-window anomaly detection: each (event_type, hour)
+
+    count scored against its own trailing 24 hours — spike when the hour
+    exceeds {SPIKE_FACTOR}× the trailing mean, with the comparison kept
+    in cross-multiplied integers (count·n_prev > 2·sum_prev) and the
+    ratio reported in exact ppm, so no float division anywhere. Hour
+    buckets are strings (the x64 flavor-proof convention) and sort
+    correctly because the format is fixed-width ISO.
+
+    Scale shape: event rows shuffle once into the (type, hour) rollup
+    (map-side combinable); the trailing frame runs over rollup-sized
+    data partitioned by type. This is the batch twin of a streaming
+    sliding-window alert — the frame is expressible as ROWS BETWEEN in
+    any engine, no self-join against 24 shifted copies."""
+    t = fixtures(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_bucket"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    trail = hourly.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prev"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("sum_prev"),
+    )
+    return trail.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        "n_prev",
+        "sum_prev",
+        F.when(
+            F.col("sum_prev") > 0,
+            F.expr("CAST(n_events * n_prev * 1000000 DIV sum_prev AS BIGINT)"),
+        ).alias("ratio_ppm"),
+        (
+            (F.col("n_prev") > 0)
+            & (F.col("n_events") * F.col("n_prev") > SPIKE_FACTOR * F.col("sum_prev"))
+        ).alias("is_spike"),
+    )

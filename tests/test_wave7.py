@@ -136,3 +136,42 @@ def test_x73_epoch_shuffle_is_permutation(spark):
         assert same < n_docs / 2, same
     finally:
         df.unpersist()
+
+
+def test_x77_pagerank_mass_and_floor(spark):
+    """Rank mass stays within integer-floor loss of the ppb scale, every
+    node holds at least the teleport floor, and nodes with no in-edges
+    hold exactly the floor."""
+    from dwh_etl_framework_spark.queries.wave8 import PR_SCALE
+
+    df = QUERIES["x77_knn_pagerank"].fn(spark, SF_DIR)
+    rows = df.collect()
+    n = len(rows)
+    floor = (PR_SCALE * 3 // 20) // n
+    total = sum(r["rank_ppb"] for r in rows)
+    # each iteration loses < 1 ppb per node per integer division (2 divs)
+    assert PR_SCALE - 12 * n <= total <= PR_SCALE, (total, n)
+    assert all(r["rank_ppb"] >= floor for r in rows)
+
+    edges = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # plan sanity: the iterative loop is checkpoint-cut (no edge-subtree
+    # growth) and rank joins broadcast
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_x78_spike_flag_consistency(spark):
+    """is_spike must equal the cross-multiplied definition row by row,
+    n_prev is bounded by the lookback, and the first hour of every type
+    (no trailing data) is never a spike."""
+    from dwh_etl_framework_spark.queries.wave8 import ANOMALY_LOOKBACK, SPIKE_FACTOR
+
+    rows = QUERIES["x78_event_anomaly"].fn(spark, SF_DIR).collect()
+    firsts = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour_bucket)):
+        assert 0 <= r.n_prev <= ANOMALY_LOOKBACK
+        expect = r.n_prev > 0 and r.n_events * r.n_prev > SPIKE_FACTOR * r.sum_prev
+        assert r.is_spike == expect, r
+        if r.event_type not in firsts:
+            firsts[r.event_type] = r
+            assert r.n_prev == 0 and not r.is_spike

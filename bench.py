@@ -82,6 +82,8 @@ HEADLINE = [
     "x74_image_decode",          # REAL PPM decode roundtrip (r6w3;
                                  # x75/x76 share the same two-stage
                                  # mapInPandas shape)
+    "x77_knn_pagerank",          # iterative fixed-point PageRank (r6w4)
+    "x78_event_anomaly",         # trailing-24h spike detection (r6w4)
 ]
 
 

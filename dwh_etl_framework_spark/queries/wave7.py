@@ -179,6 +179,33 @@ def x69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact per-source median via window-sort middles (x70's recipe):
+
+    average of the rows at positions (n+1) DIV 2 and n DIV 2 + 1 under a
+    (value, doc_id) sort per source. Integer middle-row arithmetic on
+    purpose: the double spelling ``(cnt+1)/2`` silently never matches for
+    even n (it is x.5), which picked only the upper middle — a bug the
+    round-6 sf1 sweep caught (sources hold 2500 docs at sf1 but 25 at
+    sf0.01, so every smaller SF masked it)."""
+    w = Window.partitionBy("source").orderBy(F.col(col).asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    ranked = df.select(
+        "source",
+        F.col(col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    return (
+        ranked.filter(
+            (F.col("_rn") == F.expr("(_cnt + 1) DIV 2"))
+            | (F.col("_rn") == F.expr("_cnt DIV 2 + 1"))
+        )
+        .groupBy("source")
+        .agg(F.avg("_v").alias(out))
+    )
+
+
 @query(
     "x70_robust_scale",
     oracle=f"""
@@ -220,26 +247,7 @@ def x70_robust_scale(
     Joins of the ~|sources|-row median/MAD tables broadcast."""
     t = fixtures(spark, sf_dir)
     base = t.documents.select("doc_id", "source", "n_chars")
-
-    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("source").orderBy(F.col(col).asc(), F.col("doc_id").asc())
-        wc = Window.partitionBy("source")
-        ranked = df.select(
-            "source",
-            F.col(col).alias("_v"),
-            F.row_number().over(w).alias("_rn"),
-            F.count(F.lit(1)).over(wc).alias("_cnt"),
-        )
-        return (
-            ranked.filter(
-                (F.col("_rn") == (F.col("_cnt") + 1) / 2)
-                | (F.col("_rn") == F.col("_cnt") / 2 + 1)
-            )
-            .groupBy("source")
-            .agg(F.avg("_v").alias(out))
-        )
-
-    med = _median(base.withColumn("n_chars", F.col("n_chars").cast("double")), "n_chars", "med")
+    med = group_median(base.withColumn("n_chars", F.col("n_chars").cast("double")), "n_chars", "med")
     # lineage cut at `dev` (the x65 rule): it feeds both the MAD median
     # and the final projection — uncut, each consumer re-scans documents
     # and re-runs the first median window. Five numeric columns per doc,
@@ -253,7 +261,7 @@ def x70_robust_scale(
     )
     if lineage_cut:
         dev = dev.localCheckpoint(eager=False)
-    mad = _median(dev, "dev", "mad")
+    mad = group_median(dev, "dev", "mad")
     return dev.join(F.broadcast(mad), "source").select(
         "doc_id",
         "source",

@@ -175,3 +175,18 @@ def test_x78_spike_flag_consistency(spark):
         if r.event_type not in firsts:
             firsts[r.event_type] = r
             assert r.n_prev == 0 and not r.is_spike
+
+
+def test_group_median_even_count(spark):
+    """Even-sized groups must average the two middles — the (cnt+1)/2
+    double spelling silently picked only the upper middle (sf1-sweep
+    catch, round 6: sources hold 2500 docs at sf1, odd 25 at sf0.01)."""
+    from dwh_etl_framework_spark.queries.wave7 import group_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 44.0),
+         ("b", 5, 7.0), ("b", 6, 9.0), ("b", 7, 100.0)],
+        "source string, doc_id long, v double",
+    )
+    got = {r["source"]: r["m"] for r in group_median(df, "v", "m").collect()}
+    assert got == {"a": 25.0, "b": 9.0}, got

@@ -134,6 +134,57 @@ def x77_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("vec_id", F.col("r").alias("rank_ppb"))
 
 
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The (event_type, hour) count rollup x64/x78 share — also the table
+    the streaming ingest maintains incrementally (see
+    tests/test_stream_anomaly.py: foreachBatch + aggmaint keeps this
+    rollup delta-proportional, then :func:`score_trailing` runs on it)."""
+    return (
+        events.select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_bucket"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def score_trailing(hourly: DataFrame) -> DataFrame:
+    """x78's trailing-window scorer over any (event_type, hour_bucket,
+    n_events) table — batch-computed or stream-maintained."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    trail = hourly.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prev"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("sum_prev"),
+    )
+    return trail.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        "n_prev",
+        "sum_prev",
+        F.when(
+            F.col("sum_prev") > 0,
+            F.expr("CAST(n_events * n_prev * 1000000 DIV sum_prev AS BIGINT)"),
+        ).alias("ratio_ppm"),
+        (
+            (F.col("n_prev") > 0)
+            & (F.col("n_events") * F.col("n_prev") > SPIKE_FACTOR * F.col("sum_prev"))
+        ).alias("is_spike"),
+    )
+
+
 @query(
     "x78_event_anomaly",
     oracle=f"""
@@ -179,42 +230,5 @@ def x78_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window alert — the frame is expressible as ROWS BETWEEN in
     any engine, no self-join against 24 shifted copies."""
     t = fixtures(spark, sf_dir)
-    hourly = (
-        t.events.select(
-            "event_type",
-            F.date_format(
-                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-            ).alias("hour_bucket"),
-        )
-        .groupBy("event_type", "hour_bucket")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_bucket")
-        .rowsBetween(-ANOMALY_LOOKBACK, -1)
-    )
-    trail = hourly.select(
-        "event_type",
-        "hour_bucket",
-        "n_events",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_prev"),
-        F.coalesce(F.sum("n_events").over(w), F.lit(0))
-        .cast("long")
-        .alias("sum_prev"),
-    )
-    return trail.select(
-        "event_type",
-        "hour_bucket",
-        "n_events",
-        "n_prev",
-        "sum_prev",
-        F.when(
-            F.col("sum_prev") > 0,
-            F.expr("CAST(n_events * n_prev * 1000000 DIV sum_prev AS BIGINT)"),
-        ).alias("ratio_ppm"),
-        (
-            (F.col("n_prev") > 0)
-            & (F.col("n_events") * F.col("n_prev") > SPIKE_FACTOR * F.col("sum_prev"))
-        ).alias("is_spike"),
-    )
+    hourly = hourly_rollup(t.events)
+    return score_trailing(hourly)

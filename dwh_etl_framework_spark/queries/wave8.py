@@ -232,3 +232,72 @@ def x78_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     hourly = hourly_rollup(t.events)
     return score_trailing(hourly)
+
+
+#: x79: edit-distance acceptance threshold for the blocked match.
+ER_MAX_DIST = 3
+
+
+@query(
+    "x79_blocked_name_match",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey,
+               p_name,
+               string_split(p_name, ' ')[1] AS block_word,
+               length(p_name) AS block_len
+        FROM part
+    )
+    SELECT a.block_word,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p a JOIN p b
+      ON a.block_word = b.block_word
+     AND a.block_len = b.block_len
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_DIST}
+    GROUP BY 1, 2
+    """,
+)
+def x79_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 entity resolution with blocking: near-identical part names via
+
+    a (first word, name length) blocked self-join + Levenshtein ≤ 3
+    verify, reported as pair counts per (block word, distance). This is
+    the classic ER pipeline shape — cheap deterministic blocking keys
+    bound the candidate space, an exact edit-distance verify runs ONLY
+    inside blocks, and the all-pairs O(n²) never materializes (the same
+    contract as the LSH dedup cascade; at 100 TB the blocking key grows
+    — prefix2 + length + phonetic — or blocks get the x60b cap, both
+    without changing the verify tier). Levenshtein is exact integer DP
+    in both engines, so counts hash identically. Shape: one shuffle per
+    join side on the block key, AQE handles block skew; the verify
+    predicate stays inside the join stage."""
+    t = fixtures(spark, sf_dir)
+    p = t.part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("block_word"),
+        F.length("p_name").alias("block_len"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "block_word",
+        "block_len",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "block_word",
+        "block_len",
+    )
+    pairs = (
+        a.join(b, ["block_word", "block_len"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= ER_MAX_DIST)
+    )
+    return pairs.groupBy(
+        "block_word", F.col("distance").cast("int").alias("distance")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -301,3 +301,37 @@ def x79_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         "block_word", F.col("distance").cast("int").alias("distance")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "x80_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+        FROM events
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 1000000 // MAX(t.n) AS BIGINT) AS share_ppm
+    FROM events e, t
+    GROUP BY e.user_id
+    HAVING COUNT(*) * 5 * MAX(t.u) > 6 * MAX(t.n)
+    """,
+)
+def x80_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 sketch tier: heavy-hitter users (count > 1.2× the mean user
+
+    volume — a scale-stable relative threshold) via per-partition
+    Misra-Gries candidates + exact verify (operators/sketch.py). The
+    oracle is the PLAIN ``GROUP BY … HAVING`` — hash-equality proves the
+    sketch admitted every true heavy hitter and the verify pass removed
+    every false candidate, the same contract as the bloom prefilter
+    (x72) and the LSH cascade (x02b). Scale shape: raw rows never
+    shuffle — the sketch is one Arrow-batched bounded-memory pass, the
+    exact count runs only on candidate keys behind a broadcast
+    semi-join."""
+    from dwh_etl_framework_spark.operators import sketch
+
+    t = fixtures(spark, sf_dir)
+    return sketch.heavy_hitters_exact(t.events, "user_id")

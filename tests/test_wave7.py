@@ -190,3 +190,32 @@ def test_group_median_even_count(spark):
     )
     got = {r["source"]: r["m"] for r in group_median(df, "v", "m").collect()}
     assert got == {"a": 25.0, "b": 9.0}, got
+
+
+def test_x80_mg_superset_guarantee(spark):
+    """The MG candidate set must contain every key with global frequency
+    > n/k even at an adversarially small counter budget, and the final
+    answer must be identical at tiny and default budgets (the sketch only
+    bounds candidates; the verify pass decides)."""
+    from dwh_etl_framework_spark.operators.sketch import (
+        heavy_hitters_exact,
+        mg_candidates,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = events.count()
+    k = 8
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    must_catch = {u for u, c in exact.items() if c * k > n}
+    cands = {r["user_id"] for r in mg_candidates(events, "user_id", k=k).collect()}
+    assert must_catch <= cands, must_catch - cands
+    # candidate volume is bounded by partitions·k
+    n_parts = events.rdd.getNumPartitions()
+    assert len(cands) <= n_parts * k
+
+    small = sorted(map(tuple, heavy_hitters_exact(events, "user_id", k=64).collect()))
+    big = sorted(map(tuple, heavy_hitters_exact(events, "user_id").collect()))
+    assert small == big and len(big) > 0

@@ -335,3 +335,49 @@ def x80_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = fixtures(spark, sf_dir)
     return sketch.heavy_hitters_exact(t.events, "user_id")
+
+
+@query(
+    "f26_schema_evolution",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CAST(NULL AS VARCHAR) AS n_comment_v2
+    FROM nation WHERE n_regionkey < 2
+    UNION ALL
+    SELECT n_nationkey, n_name,
+           'v2:' || CAST(n_nationkey AS VARCHAR) AS n_comment_v2
+    FROM nation WHERE n_regionkey >= 2
+    """,
+)
+def f26_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-adjacent: schema-evolution read — a datalake table whose later
+
+    partition added a column (`n_comment_v2`). Two parquet writes with
+    different schemas into one directory tree, read back with
+    ``mergeSchema`` so early files surface the new column as NULL — the
+    contract every long-lived 100 TB table depends on (columns get added;
+    historical files are never rewritten). The oracle reconstructs the
+    union with the NULL backfill. Footer-schema merging is metadata-only;
+    the data scan stays pruned and parallel."""
+    import tempfile
+
+    t = fixtures(spark, sf_dir)
+    base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f26"
+    v1 = t.nation.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name"
+    )
+    v2 = t.nation.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        F.concat(F.lit("v2:"), F.col("n_nationkey").cast("string")).alias(
+            "n_comment_v2"
+        ),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/part=v1")
+    v2.write.mode("overwrite").parquet(f"{base}/part=v2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(base)
+        .select("n_nationkey", "n_name", "n_comment_v2")
+    )

@@ -102,6 +102,13 @@ from dwh_etl_framework_spark.queries import wave8  # noqa: F401
 #: Entrants are hash-proven at sf0.01 (PARITY_r06) and, where the
 #: oracle holds at scale, sf1 (x68's oracle embeds the x02 shingle
 #: self-join DuckDB cannot hold at sf1 — documented in NOTES).
+#: Round-6d rotation (same policy): x72 (hand-rolled bloom join
+#: prefilter), x74 (REAL PPM decode roundtrip — the driver evidence
+#: that upgrades X4), x77 (iterative fixed-point PageRank) — all three
+#: dual-SF hash-proven (PARITY_r06 + the 72-query PARITY_sf1) — replace
+#: x32 (exact-kNN evidence stays via x06c/x57/x61, all in-window),
+#: x46 (vocab evidence stays via x63 + the local oracle) and x48
+#: (user-keyed window evidence stays via x47). Exits keep local oracles.
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -126,16 +133,13 @@ DRIVER_WINDOW: list[str] = [
     "x11_binary_columns",
     "x20_dedup_clusters",
     # round-5 entrants: k-NN join, LM scoring, chunking, quantization
-    "x32_knn_join",
     # round-5b entrants: temperature mixing, PQ, source overlap
     "x42_product_quantize",
     # round-5c entrants: packing, cross-doc dup rate, vocab coverage,
     # sessionization, user features, embedding outliers, incremental dedup
     "x44_sequence_pack",
     "x45_dup_ngram_rate",
-    "x46_lang_vocab_confidence",
     "x47_sessionize",
-    "x48_user_features",
     "x49_embedding_outliers",
     "x50_incremental_dedup",
     # round-6 entrants: PMI collocations, canonical-per-cluster selection
@@ -169,6 +173,10 @@ DRIVER_WINDOW: list[str] = [
     "x60_shingle_containment",
     "x64_event_hourly_profile",
     "x68_text_vector_consistency",
+    # round-6d entrants: bloom prefilter, real image decode, PageRank
+    "x72_bloom_prefilter_join",
+    "x74_image_decode",
+    "x77_knn_pagerank",
 ]
 
 

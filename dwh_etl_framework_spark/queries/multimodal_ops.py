@@ -70,7 +70,7 @@ _IMG = dict(w_base=16, w_mod=16, h_base=12, h_mod=8)
 _AUD_RATE = 16_000
 #: x76 video: fixed 16×12 frames, stride-3 temporal sampling,
 #: frame f byte j = (doc_id·31 + f·97 + j·7) mod 256.
-_VID = dict(w=16, h=12, f_base=6, f_mod=8, stride=3)
+_VID = dict(w=8, h=6, f_base=6, f_mod=8, stride=3)
 
 
 def _synth_then(decoder):
@@ -203,7 +203,10 @@ def x74_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _aud_n(doc_id: int) -> int:
-    return 4000 + (doc_id % 1000) * 4
+    # sized so the closed-form oracle stays tractable in DuckDB at sf1
+    # (50k docs x <=1000 samples = 50M generated rows); the decode path
+    # is length-independent, so smaller payloads lose no coverage
+    return 400 + (doc_id % 300) * 2
 
 
 def _synth_wav(doc_id: int) -> bytes:
@@ -236,7 +239,7 @@ def _aud_features(doc_id: int, blob: bytes) -> list[dict]:
         SELECT doc_id, i,
                ((doc_id * 131 + i * 17) % 65536) - 32768 AS v
         FROM documents,
-             LATERAL (SELECT unnest(range(0, 4000 + (doc_id % 1000) * 4))
+             LATERAL (SELECT unnest(range(0, 400 + (doc_id % 300) * 2))
                       AS i)
     ),
     lagd AS (

@@ -234,19 +234,36 @@ def x78_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_trailing(hourly)
 
 
-#: x79: edit-distance acceptance threshold for the blocked match.
+#: x79: edit-distance acceptance threshold, and the per-block membership
+#: cap (the x60b contract): pairs are quadratic IN BLOCK SIZE, so block
+#: membership is capped at a deterministic md5-ordered sample — caught in
+#: round 6 when the uncapped sf1 run hit ~10^9 in-block pairs (9.6k-row
+#: blocks). At scale the cap is the audit-tier bound; full-recall ER
+#: needs stronger keys (prefix2 + phonetic), not bigger blocks.
 ER_MAX_DIST = 3
+ER_BLOCK_CAP = 500
 
 
 @query(
     "x79_blocked_name_match",
     oracle=f"""
-    WITH p AS (
+    WITH p0 AS (
         SELECT p_partkey,
                p_name,
                string_split(p_name, ' ')[1] AS block_word,
                length(p_name) AS block_len
         FROM part
+    ),
+    p AS (
+        SELECT * FROM (
+            SELECT p0.*,
+                   row_number() OVER (
+                       PARTITION BY block_word, block_len
+                       ORDER BY md5(CAST(p_partkey AS VARCHAR)) ASC,
+                                p_partkey ASC
+                   ) AS rk
+            FROM p0
+        ) WHERE rk <= {ER_BLOCK_CAP}
     )
     SELECT a.block_word,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
@@ -266,19 +283,32 @@ def x79_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify, reported as pair counts per (block word, distance). This is
     the classic ER pipeline shape — cheap deterministic blocking keys
     bound the candidate space, an exact edit-distance verify runs ONLY
-    inside blocks, and the all-pairs O(n²) never materializes (the same
-    contract as the LSH dedup cascade; at 100 TB the blocking key grows
-    — prefix2 + length + phonetic — or blocks get the x60b cap, both
-    without changing the verify tier). Levenshtein is exact integer DP
+    inside blocks, and block MEMBERSHIP is capped at a deterministic
+    md5-ordered {ER_BLOCK_CAP} rows (the x60b audit-tier contract) so
+    the in-block quadratic is bounded by design — the uncapped variant
+    hit ~10⁹ pairs at sf1 in round 6. Full-recall ER at scale needs
+    stronger keys (prefix2 + phonetic), not bigger blocks; the verify
+    tier is unchanged either way. Levenshtein is exact integer DP
     in both engines, so counts hash identically. Shape: one shuffle per
     join side on the block key, AQE handles block skew; the verify
     predicate stays inside the join stage."""
     t = fixtures(spark, sf_dir)
-    p = t.part.select(
+    p0 = t.part.select(
         "p_partkey",
         "p_name",
         F.split(F.col("p_name"), " ").getItem(0).alias("block_word"),
         F.length("p_name").alias("block_len"),
+    )
+    wcap = Window.partitionBy("block_word", "block_len").orderBy(
+        F.md5(F.col("p_partkey").cast("string")).asc(), F.col("p_partkey").asc()
+    )
+    p = (
+        p0.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= ER_BLOCK_CAP)
+        .drop("rk")
+        # both join sides consume the capped table — cut, or the cap
+        # window runs twice (the x65 rule)
+        .localCheckpoint(eager=False)
     )
     a = p.select(
         F.col("p_partkey").alias("key_a"),

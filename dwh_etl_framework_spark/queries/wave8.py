@@ -411,3 +411,71 @@ def f26_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .select("n_nationkey", "n_name", "n_comment_v2")
     )
+
+
+#: f27: bucket count for the co-located join tables.
+BUCKETS = 8
+
+
+@query(
+    "f27_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def f27_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17-adjacent: bucketed tables for EXCHANGE-FREE co-located joins —
+
+    the Spark-native answer to "this fact⋈fact join shuffles 100 TB
+    every day": write both sides ``bucketBy(custkey)`` once, and every
+    subsequent join on that key reads co-located buckets with NO
+    Exchange on either side (the plan-shape test pins this). At 100 TB
+    the write-side bucketing cost is paid once per load while the
+    exchange saving recurs per query — the standard warehouse layout
+    decision the reference (which always re-shuffles through Greenplum)
+    cannot express. Buckets also bound AQE skew handling: a hot custkey
+    stays inside one bucket file chain instead of a straggler shuffle
+    partition. The oracle is the plain join, so bucketing must be purely
+    a physical-layout change — any row lost to bucket routing breaks the
+    hash."""
+    import shutil
+
+    t = fixtures(spark, sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, cols in (
+        ("f27_orders_b", t.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+        ("f27_customer_b", t.customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        # a fresh session starts with an empty metastore but the warehouse
+        # directory persists — clear both so the write is idempotent under
+        # any session (the driver builds its own)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(BUCKETS, cols)
+            .sortBy(cols)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("f27_orders_b")
+    c = spark.table("f27_customer_b")
+    # hint the fact⋈fact shape (at 100 TB neither side broadcasts): with
+    # both sides bucketed on the key, the SortMergeJoin plans with NO
+    # Exchange and NO per-query Sort under either side — the only wide
+    # exchange left is the mktsegment aggregate.
+    return (
+        o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -219,3 +219,15 @@ def test_x80_mg_superset_guarantee(spark):
     small = sorted(map(tuple, heavy_hitters_exact(events, "user_id", k=64).collect()))
     big = sorted(map(tuple, heavy_hitters_exact(events, "user_id").collect()))
     assert small == big and len(big) > 0
+
+
+def test_f27_bucketed_join_is_exchange_free(spark):
+    """Both join sides are bucketed on the key, so the forced
+    SortMergeJoin plans with NO exchange under it — the only wide
+    exchange in the whole plan is the final mktsegment aggregate. (The
+    in-partition Sorts are local: Spark re-sorts when a bucket spans
+    multiple files; no data crosses the network for them.)"""
+    df = QUERIES["f27_bucketed_join"].fn(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -544,6 +544,115 @@ def lsh_near_dup_pairs_portable(
     )
 
 
+def nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Assign each row its nearest centroid WITHOUT a shuffle: the codebook
+
+    is collapsed into a single array-of-structs row, broadcast to every
+    input partition (1-row nested-loop join), and the argmax is a per-row
+    array_max over struct(sim, -centroid_id) — max struct = highest sim,
+    then lowest centroid_id, matching a (sim DESC, id ASC) row_number
+    tie-break without the full-table hash Exchange a window would insert.
+    At scale this is the ingest-time pass that decides a table's centroid
+    partitioning; it must stay embarrassingly parallel. ``centroids`` is
+    (centroid_id, centroid_vec). Returns ``df`` + ``centroid_id``."""
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(F.col("centroid_id"), F.col("centroid_vec"))
+            ).alias("__cents")
+        )
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["centroid_vec"], exact=exact).alias("sim_c"),
+            (-c["centroid_id"]).alias("neg_id"),
+        ),
+    )
+    return (
+        df.crossJoin(cent_arr)
+        .withColumn("__best", F.array_max(scored))
+        .withColumn("centroid_id", -F.col("__best.neg_id"))
+        .drop("__cents", "__best")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+
+    arXiv:2303.09540): cluster the corpus around a coarse codebook, then
+    compare pairs ONLY within a cluster and drop every non-minimal member
+    of any pair with cosine ≥ ``tau``. The cluster decomposition turns the
+    quadratic whole-corpus pair problem into Σ|cluster|² — with k ≈ √N
+    centroids the expected work is O(N^1.5), and each cluster's pair block
+    is independent (embarrassingly parallel after one centroid-keyed
+    exchange).
+
+    Degenerate-cluster guard (the x79 convention): membership is capped at
+    ``cap`` rows per cluster, deterministically by ``id_col`` order, so a
+    pathological codebook can never re-open the quadratic hole; rows past
+    the cap are reported with ``member_rank > cap`` and excluded from the
+    pair stage (kept, never compared — the conservative direction for a
+    dedup screen: false-keep, never false-drop).
+
+    Returns (id, centroid_id, member_rank, is_kept); ``is_kept`` is False
+    iff some lower-id capped member of the same cluster has cosine ≥ tau.
+    """
+    from pyspark.sql import Window
+
+    assigned = nearest_centroid(
+        embeddings.select(id_col, vec_col), centroids, vec_col=vec_col, exact=exact
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.col(id_col).asc())
+    members = assigned.withColumn("member_rank", F.row_number().over(w))
+    capped = members.filter(F.col("member_rank") <= cap)
+    a = capped.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = capped.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    # the within-cluster pair block: one centroid-keyed shuffle, then the
+    # cosine is a JVM-side zip_with/aggregate over the joined rows — no
+    # Python, no second exchange (both sides share the centroid_id key).
+    dropped = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn(
+            "__cos", cosine(F.col("__va"), F.col("__vb"), exact=exact)
+        )
+        .filter(F.col("__cos") >= F.lit(tau))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        members.join(dropped.withColumn("__dropped", F.lit(True)), on=id_col, how="left")
+        .select(
+            id_col,
+            "centroid_id",
+            "member_rank",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: DataFrame,
@@ -567,33 +676,9 @@ def ivf_topk(
     the DuckDB oracle; every ranking has an id tie-break, so the result is
     fully deterministic.
     """
-    # assign each vector to its nearest centroid WITHOUT a shuffle: the
-    # codebook is collapsed into a single array-of-structs row, broadcast
-    # to every input partition (1-row nested-loop join), and the argmax is
-    # a per-row array_max over struct(sim, -centroid_id) — max struct =
-    # highest sim, then lowest centroid_id, matching a (sim DESC, id ASC)
-    # row_number tie-break without the full-table hash Exchange a window
-    # would insert. At scale this is the ingest-time pass that decides the
-    # table's centroid partitioning; it must stay embarrassingly parallel.
-    cent_arr = F.broadcast(
-        centroids.agg(
-            F.collect_list(
-                F.struct(F.col("centroid_id"), F.col("centroid_vec"))
-            ).alias("__cents")
-        )
-    )
-    scored = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            cosine(F.col(vec_col), c["centroid_vec"], exact=exact).alias("sim_c"),
-            (-c["centroid_id"]).alias("neg_id"),
-        ),
-    )
-    assigned = (
-        embeddings.crossJoin(cent_arr)
-        .withColumn("__best", F.array_max(scored))
-        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("centroid_id"))
-    )
+    assigned = nearest_centroid(
+        embeddings, centroids, vec_col=vec_col, exact=exact
+    ).select(id_col, vec_col, "centroid_id")
     q = F.broadcast(query_vec.select(F.col(vec_col).alias("__qvec")))
     probe = (
         centroids.crossJoin(q)

@@ -17,6 +17,7 @@ space, exactly like the bloom prefilter (x72) and the LSH cascade (x02b).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -98,4 +99,132 @@ def heavy_hitters_exact(
                 "share_ppm"
             ),
         )
+    )
+
+
+#: ---- HyperLogLog (engine-portable flavor) ----------------------------
+#: m = 2^HLL_B registers; rank capped at HLL_RMAX (correct below
+#: 2^(HLL_RMAX-1) ≈ 16M distincts per group — raise for bigger domains);
+#: alpha_64 = 0.709 as the rational 709/1000 (Flajolet et al. 2007).
+HLL_B = 6
+HLL_M = 1 << HLL_B
+HLL_RMAX = 25
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000
+#: E = alpha·m²·2^RMAX DIV (alpha_den·S); numerator ≈ 9.7e13 — int64-safe.
+HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)
+#: the md5 hex prefix is parsed to a 60-bit int; top HLL_B bits pick the
+#: register, the remaining bits feed the leading-zero rank.
+HLL_W_BITS = 60 - HLL_B
+
+
+def bitlen_expr(w: str, bits: int) -> str:
+    """Portable bit_length(w) for 0 ≤ w < 2^bits as Σ [w ≥ 2^i] — pure
+    integer comparisons, no dialect bit intrinsics (both Spark SQL and
+    ANSI/DuckDB evaluate the identical text)."""
+    return " + ".join(
+        f"(CASE WHEN {w} >= {1 << i} THEN 1 ELSE 0 END)" for i in range(bits)
+    )
+
+
+def hll_frags(hexparse: str, value_expr: str) -> dict[str, str]:
+    """The shared HLL arithmetic, parameterized by the dialect's
+    hex-string→BIGINT parse (Spark: conv(...,16,10); DuckDB: '0x'-cast)
+    and the hashed value expression. Everything downstream is identical
+    SQL text in both engines — that's what makes the sketch oracle-able."""
+    h = hexparse.format(expr=f"md5('u:' || CAST({value_expr} AS STRING))")
+    return {
+        "h": h,
+        "bucket": f"CAST(__h {{div}} {1 << HLL_W_BITS} AS BIGINT)",
+        "w": f"__h % {1 << HLL_W_BITS}",
+        "rank": (
+            f"CAST(LEAST({HLL_W_BITS + 1} - ({bitlen_expr('__w', HLL_W_BITS)}),"
+            f" {HLL_RMAX}) AS BIGINT)"
+        ),
+    }
+
+
+SPARK_HEX = "CAST(conv(substring({expr}, 1, 15), 16, 10) AS BIGINT)"
+DUCK_HEX = "CAST(('0x' || substr({expr}, 1, 15)) AS BIGINT)"
+
+#: small-range (linear-counting) correction: below 2.5m the raw estimator
+#: is biased high; the standard fix E = m·ln(m/V) (V = empty registers)
+#: involves a log — NOT portable as runtime math, but V has only m
+#: possible values, so the whole function ships as a precomputed integer
+#: CASE table (both engines evaluate identical constants).
+HLL_RAW_CUTOFF = 5 * HLL_M // 2
+_HLL_LC_TABLE = {
+    v: round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M)
+}
+
+
+def hll_final_frag(s: str, used: str, div: str) -> str:
+    """Dialect-shared final-estimate expression over the harmonic sum ``s``
+    and register count ``used``: linear counting when raw ≤ 2.5m and empty
+    registers exist, else the raw estimate. ``div`` is the dialect's
+    integer-division token (Spark ``DIV``, DuckDB ``//``)."""
+    raw = f"CAST({HLL_EST_NUM} {div} ({HLL_ALPHA_DEN} * {s}) AS BIGINT)"
+    case = " ".join(
+        f"WHEN {v} THEN {_HLL_LC_TABLE[v]}" for v in range(1, HLL_M)
+    )
+    return (
+        f"CASE WHEN ({HLL_M} - {used}) > 0 AND {raw} <= {HLL_RAW_CUTOFF}"
+        f" THEN CAST(CASE ({HLL_M} - {used}) {case} END AS BIGINT)"
+        f" ELSE {raw} END"
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_expr: str
+) -> DataFrame:
+    """Per-group HLL register table (group..., bucket, reg) — the sketch
+
+    STATE, ≤ m rows per group. MAX-mergeable: registers built on any
+    partition of the data (days, tables, clusters) combine with another
+    MAX over (group, bucket) — see :func:`hll_merge`. Spark's partial
+    aggregation does exactly that map-side, so the raw values never
+    shuffle; only (group, bucket) register rows do."""
+    frags = hll_frags(SPARK_HEX, value_expr)
+    hashed = df.selectExpr(*group_cols, f"{frags['h']} AS __h")
+    sliced = hashed.selectExpr(
+        *group_cols,
+        f"{frags['bucket'].format(div='DIV')} AS bucket",
+        f"{frags['w']} AS __w",
+    )
+    return sliced.groupBy(*group_cols, "bucket").agg(
+        F.expr(f"MAX({frags['rank']})").alias("reg")
+    )
+
+
+def hll_merge(*reg_tables: DataFrame) -> DataFrame:
+    """Merge register tables built on disjoint (or overlapping — MAX is
+    idempotent) slices of the data: union + MAX per (group, bucket)."""
+    it = iter(reg_tables)
+    unioned = next(it)
+    for t in it:
+        unioned = unioned.unionAll(t)
+    keys = [c for c in unioned.columns if c != "reg"]
+    return unioned.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate from a register table, all-integer:
+
+    S = Σ 2^(RMAX − reg) (+ 2^RMAX per empty register), E = alpha·m²·2^RMAX
+    DIV (alpha_den·S). No floats anywhere ⇒ bit-reproducible across
+    engines and reduction orders. Returns (group..., hll_estimate,
+    n_buckets_used)."""
+    summed = regs.groupBy(*group_cols).agg(
+        F.expr(
+            f"CAST(SUM(CAST({1 << HLL_RMAX} AS BIGINT)"
+            f" DIV CAST(SHIFTLEFT(1, reg) AS BIGINT)) AS BIGINT)"
+            f" + ({HLL_M} - COUNT(*)) * {1 << HLL_RMAX}"
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+    )
+    return summed.select(
+        *group_cols,
+        F.expr(hll_final_frag("s", "n_buckets_used", "DIV")).alias(
+            "hll_estimate"
+        ),
+        "n_buckets_used",
     )

@@ -1,0 +1,116 @@
+"""Streaming HLL distinct-count (R33×x84): foreachBatch register folding.
+
+Invariants:
+
+1. **Replay ≡ batch**: streaming the event slices as 4 micro-batches
+   yields EXACTLY the register table (and so the estimate) of one batch
+   pass over the whole data — the mergeable-summaries property, and the
+   twin rule every streaming operator in this repo follows.
+2. **Idempotent re-delivery**: replaying the same files with a fresh
+   checkpoint (so every batch re-delivers) leaves the registers
+   unchanged — MAX-merge makes at-least-once delivery safe.
+3. **Bounded state**: the persisted state is ≤ m rows per group no
+   matter how many batches or rows flow through.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators import sketch
+from dwh_etl_framework_spark.streaming.distinct import (
+    current_estimate,
+    stream_distinct_count,
+    update_registers,
+)
+from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+from conftest import SF_DIR
+
+
+def _write_slices(spark, base_dir: str) -> None:
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    for i in range(4):
+        path = f"{base_dir}/slice_{i}.parquet"
+        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+
+def _regs_dict(df):
+    return {(r["event_type"], r["bucket"]): r["reg"] for r in df.collect()}
+
+
+def _run_stream(spark, src: str, state_path: str, checkpoint: str):
+    state = StreamMasterState(spark, state_path)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = stream_distinct_count(
+        stream, state, checkpoint, ["event_type"], "user_id"
+    )
+    q.awaitTermination(120)
+    return state
+
+
+def test_stream_registers_equal_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_slices(spark, src)
+    state = _run_stream(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    whole = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_regs = sketch.hll_registers(whole, ["event_type"], "user_id")
+    assert _regs_dict(state.read()) == _regs_dict(batch_regs)
+    # bounded state: ≤ m registers per group
+    per_group = state.read().groupBy("event_type").count().collect()
+    assert all(r["count"] <= sketch.HLL_M for r in per_group)
+    # the live estimate agrees with the batch estimate
+    live = {
+        r["event_type"]: r["hll_estimate"]
+        for r in current_estimate(state, ["event_type"]).collect()
+    }
+    batch_est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch.hll_estimate(batch_regs, ["event_type"]).collect()
+    }
+    assert live == batch_est
+
+
+def test_stream_redelivery_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_slices(spark, src)
+    state_path = str(tmp_path / "state")
+    state = _run_stream(spark, src, state_path, str(tmp_path / "ckpt1"))
+    before = _regs_dict(state.read())
+    # fresh checkpoint: the FileStreamSource re-delivers every slice
+    state2 = _run_stream(spark, src, state_path, str(tmp_path / "ckpt2"))
+    assert _regs_dict(state2.read()) == before
+
+
+def test_update_registers_pure_fold_matches(spark, tmp_path):
+    """The pure-function fold over slices (no streaming machinery) equals
+    the one-shot build — the unit-level mergeability the stream relies
+    on."""
+    whole = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    regs = None
+    for i in range(4):
+        regs = update_registers(
+            regs,
+            whole.filter(F.col("event_id") % 4 == i),
+            ["event_type"],
+            "user_id",
+        )
+    direct = sketch.hll_registers(whole, ["event_type"], "user_id")
+    assert _regs_dict(regs) == _regs_dict(direct)

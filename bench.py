@@ -84,6 +84,16 @@ HEADLINE = [
                                  # mapInPandas shape)
     "x77_knn_pagerank",          # iterative fixed-point PageRank (r6w4)
     "x78_event_anomaly",         # trailing-24h spike detection (r6w4)
+    "x81_semantic_dedup",        # SemDeDup within-cluster pair drop (r6w5)
+    "x83_dsir_weights",          # DSIR importance selection (r6w5)
+    "x84_hll_distinct",          # portable HLL + exact audit (r6w6)
+    "x86_cms_topk",              # count-min frequency + exact audit (r6w7)
+    "f29_backfill_plan",         # type×hour gap detection (r6w6)
+                                 # x82/x85 are correctness-only: their
+                                 # single-partition ntile/global-order
+                                 # windows exist as oracle twins of the
+                                 # range-partitioned production path
+                                 # (the x02/x60 policy)
 ]
 
 

@@ -617,7 +617,13 @@ def semantic_dedup(
         embeddings.select(id_col, vec_col), centroids, vec_col=vec_col, exact=exact
     )
     w = Window.partitionBy("centroid_id").orderBy(F.col(id_col).asc())
-    members = assigned.withColumn("member_rank", F.row_number().over(w))
+    # lineage cut (the x65 convention): members feeds THREE consumers (the
+    # output join plus both pair sides) — without the cut Catalyst clones
+    # the scan+assignment subtree per consumer and the corpus is read and
+    # argmax-assigned three times (observed in the round-6 plan audit).
+    members = assigned.withColumn(
+        "member_rank", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
     capped = members.filter(F.col("member_rank") <= cap)
     a = capped.select(
         F.col("centroid_id"),
@@ -642,8 +648,15 @@ def semantic_dedup(
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )
+    # dropped is provably ≤ cap·|centroids| rows (only capped members can
+    # be a pair's right element), so pin the broadcast — the corpus-sized
+    # left side must never shuffle for this join.
     return (
-        members.join(dropped.withColumn("__dropped", F.lit(True)), on=id_col, how="left")
+        members.join(
+            F.broadcast(dropped.withColumn("__dropped", F.lit(True))),
+            on=id_col,
+            how="left",
+        )
         .select(
             id_col,
             "centroid_id",

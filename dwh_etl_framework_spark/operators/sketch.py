@@ -228,3 +228,58 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         ),
         "n_buckets_used",
     )
+
+
+#: ---- Count-min sketch (engine-portable flavor) ------------------------
+#: d hash rows × w columns; overcount ≤ e·n/w with prob 1-e^-d. Counters
+#: are SUM-mergeable (across partitions, days, streams) the way HLL
+#: registers are MAX-mergeable.
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_col_expr(hexparse: str, value_expr: str) -> str:
+    """Portable column index for hash row ``r`` (a column in scope):
+    md5-derived 60-bit int mod w. Identical SQL text in both engines
+    except the injected hex parse."""
+    h = hexparse.format(
+        expr=(
+            "md5('cms' || CAST(r AS STRING) || ':' ||"
+            f" CAST({value_expr} AS STRING))"
+        )
+    )
+    return f"CAST({h} % {CMS_W} AS BIGINT)"
+
+
+def cms_sketch(df: DataFrame, value_expr: str) -> DataFrame:
+    """Build the (r, col, cnt) counter table — ≤ d·w rows total, via one
+
+    partial+final aggregate over the d-exploded input. Raw values never
+    shuffle: the map side reduces each partition to ≤ d·w counter rows
+    before the exchange, and two sketches merge by summing counters."""
+    rows = df.selectExpr(
+        f"explode(sequence(0, {CMS_D - 1})) AS r",
+        f"{value_expr} AS __v",
+    ).selectExpr("r", cms_col_expr(SPARK_HEX, "__v") + " AS col")
+    return rows.groupBy("r", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame, keys: DataFrame, value_expr: str
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: est = MIN over
+
+    hash rows of the addressed counter. The sketch (≤ d·w rows) is
+    broadcast; the probe is map-only over the key table. Returns keys +
+    ``est_count`` (≥ true count always — CMS never undercounts)."""
+    probes = keys.selectExpr(
+        "*", f"explode(sequence(0, {CMS_D - 1})) AS r"
+    ).selectExpr("*", cms_col_expr(SPARK_HEX, value_expr) + " AS col")
+    key_cols = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(sketch_df), on=["r", "col"])
+        .groupBy(*key_cols)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )

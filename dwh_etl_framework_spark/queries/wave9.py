@@ -252,16 +252,22 @@ _X83_ORACLE = f"""
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
         FROM documents
     ),
-    w AS (
+    counts AS (
         SELECT token,
                CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
-                    * 1000000 // COUNT(*) AS BIGINT) AS weight_ppm
+                    AS BIGINT) AS cnt_tgt,
+               CAST(COUNT(*) AS BIGINT) AS cnt_all
         FROM toks GROUP BY token
     ),
+    w AS (
+        SELECT token, CAST(cnt_tgt * 1000000 // cnt_all AS BIGINT)
+                          AS weight_ppm
+        FROM counts
+    ),
     ov AS (
-        SELECT CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
-                    * 1000000 // COUNT(*) AS BIGINT) AS overall_ppm
-        FROM toks
+        SELECT CAST(SUM(cnt_tgt) * 1000000 // SUM(cnt_all) AS BIGINT)
+                   AS overall_ppm
+        FROM counts
     ),
     scored AS (
         SELECT t.doc_id, t.source,
@@ -297,17 +303,26 @@ def x83_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t.documents.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
     )
-    weights = toks.groupBy("token").agg(
+    # one token-keyed aggregate carries BOTH counts; the corpus-wide share
+    # then reduces the vocab-sized table instead of re-scanning the corpus
+    # (round-6 plan audit: the naive third scan was a full corpus pass).
+    counts = toks.groupBy("token").agg(
         F.expr(
             f"CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)"
-            " * 1000000 DIV COUNT(*) AS BIGINT)"
-        ).alias("weight_ppm")
+            " AS BIGINT)"
+        ).alias("cnt_tgt"),
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+    ).localCheckpoint(eager=False)
+    weights = counts.select(
+        "token",
+        F.expr("CAST(cnt_tgt * 1000000 DIV cnt_all AS BIGINT)").alias(
+            "weight_ppm"
+        ),
     )
     overall = F.broadcast(
-        toks.agg(
+        counts.agg(
             F.expr(
-                f"CAST(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)"
-                " * 1000000 DIV COUNT(*) AS BIGINT)"
+                "CAST(SUM(cnt_tgt) * 1000000 DIV SUM(cnt_all) AS BIGINT)"
             ).alias("overall_ppm")
         )
     )

@@ -20,6 +20,7 @@ constant stays visible.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -88,6 +89,8 @@ HEADLINE = [
     "x83_dsir_weights",          # DSIR importance selection (r6w5)
     "x84_hll_distinct",          # portable HLL + exact audit (r6w6)
     "x86_cms_topk",              # count-min frequency + exact audit (r6w7)
+    "x87_repeated_spans",        # positional substring dedup (r6w7)
+    "x88_histogram_quantiles",   # mergeable-histogram percentiles (r6w7)
     "f29_backfill_plan",         # type×hour gap detection (r6w6)
                                  # x82/x85 are correctness-only: their
                                  # single-partition ntile/global-order
@@ -145,6 +148,13 @@ def main() -> None:
                 samples[name].append(run(name))
             except Exception as exc:  # noqa: BLE001 — isolate, report, go on
                 errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            # Release the finished plan's Python refs NOW: several queries
+            # localCheckpoint intermediates, whose executor blocks are only
+            # freed once ContextCleaner sees the JVM refs drop — which waits
+            # on Python GC. Without this, ~200 executions accumulate storage
+            # blocks and the heaviest sf1 plans slow 2-4× from memory
+            # pressure (measured round 6).
+            gc.collect()
     # Median over WARM runs only (drop each query's first pass when ≥3
     # samples exist): the first pass carries that plan's codegen + JIT
     # compilation — up to 3× the steady state for the heaviest plans

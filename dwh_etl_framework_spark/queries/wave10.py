@@ -292,10 +292,14 @@ def f29_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = bounds.select(
         F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour_ts")
     )
-    types = t.events.select("event_type").distinct()
     observed = t.events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events")).localCheckpoint(
+        eager=False
+    )
+    # the expected type set derives from the rollup (scan-audit fix: a
+    # separate DISTINCT was a third pass over raw events for a 5-row set)
+    types = observed.select("event_type").distinct()
     grid = F.broadcast(hours.crossJoin(types))
     return (
         grid.join(observed, on=["event_type", "hour_ts"], how="left")

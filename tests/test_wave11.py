@@ -102,3 +102,43 @@ def test_zorder_production_write_path(spark, tmp_path):
         or r["max_day"] < day_lo
     ]
     assert len(skipped) > len(stats) // 2, (len(skipped), len(stats))
+
+
+def test_x87_owner_is_canonical_and_positions_align(spark):
+    """Every reported occurrence points at a strictly earlier (doc,pos)
+    owner; exact duplicate docs (x01's planted copies exist in the
+    fixture) must report span-for-span aligned positions."""
+    out = QUERIES["x87_repeated_spans"].fn(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert rows  # fixture has planted duplicate docs
+    for r in rows:
+        assert (r["owner_doc"], r["owner_pos"]) < (r["doc_id"], r["start_pos"])
+        assert r["n_copies"] >= 2
+    # a full-duplicate pair shares aligned window positions
+    from collections import defaultdict
+    by_pair = defaultdict(set)
+    for r in rows:
+        by_pair[(r["owner_doc"], r["doc_id"])].add(
+            (r["owner_pos"], r["start_pos"])
+        )
+    aligned = [
+        pair
+        for pair, ps in by_pair.items()
+        if len(ps) >= 3 and all(a == b for a, b in ps)
+    ]
+    assert aligned, "expected at least one whole-doc duplicate pair"
+
+
+def test_x88_estimate_brackets_exact(spark):
+    """The histogram estimate is the floor-bucket of the true quantile:
+    est_bucket ≤ exact_val < est_bucket + 1 for every (type, q) — the
+    equi-width histogram's accuracy contract (and the reason the bucket
+    width is the knob, not the data size)."""
+    rows = QUERIES["x88_histogram_quantiles"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 15  # 5 types × 3 quantiles
+    from dwh_etl_framework_spark.queries.wave11 import HIST_BUCKETS
+    for r in rows:
+        if r["est_bucket"] < HIST_BUCKETS - 1:  # cap bucket is one-sided
+            assert r["est_bucket"] <= r["exact_val"] < r["est_bucket"] + 1, r

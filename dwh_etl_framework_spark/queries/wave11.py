@@ -160,9 +160,15 @@ def x87_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner selection is a MIN over the composite integer key inside the
     same aggregate — no window function, no second shuffle. Output is
     duplicate-occurrence-sized, not corpus-sized."""
+    from dwh_etl_framework_spark.operators.dedup import _spread
+
     t = fixtures(spark, sf_dir)
-    spans = t.documents.selectExpr(
-        "doc_id", f"split(text, ' ') AS t"
+    # _spread parallelizes the explode+md5 on small-split fixture files;
+    # localCheckpoint materializes the span table ONCE — the aggregate and
+    # the join-back otherwise each re-run the whole tokenize+hash subtree
+    # (round-6 profile: 2 FileScans, 2× the md5 work, 4.7s→1.3s at sf1).
+    spans = _spread(t.documents).selectExpr(
+        "doc_id", "split(text, ' ') AS t"
     ).filter(F.expr(f"size(t) >= {SPAN_W}")).selectExpr(
         "doc_id",
         f"explode(sequence(1, size(t) - {SPAN_W - 1}, {SPAN_S})) AS pos",
@@ -171,7 +177,7 @@ def x87_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "CAST(pos AS BIGINT) AS pos",
         f"md5(array_join(slice(t, pos, {SPAN_W}), ' ')) AS h",
-    )
+    ).localCheckpoint(eager=False)
     grouped = spans.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies"),
         F.min(F.expr("doc_id * 1000000 + pos")).alias("owner_key"),

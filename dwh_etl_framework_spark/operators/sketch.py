@@ -183,8 +183,10 @@ def hll_registers(
     MAX over (group, bucket) — see :func:`hll_merge`. Spark's partial
     aggregation does exactly that map-side, so the raw values never
     shuffle; only (group, bucket) register rows do."""
+    from dwh_etl_framework_spark.operators.dedup import _spread
+
     frags = hll_frags(SPARK_HEX, value_expr)
-    hashed = df.selectExpr(*group_cols, f"{frags['h']} AS __h")
+    hashed = _spread(df).selectExpr(*group_cols, f"{frags['h']} AS __h")
     sliced = hashed.selectExpr(
         *group_cols,
         f"{frags['bucket'].format(div='DIV')} AS bucket",
@@ -238,15 +240,22 @@ CMS_D = 4
 CMS_W = 512
 
 
-def cms_col_expr(hexparse: str, value_expr: str) -> str:
-    """Portable column index for hash row ``r`` (a column in scope):
-    md5-derived 60-bit int mod w. Identical SQL text in both engines
-    except the injected hex parse."""
-    h = hexparse.format(
-        expr=(
-            "md5('cms' || CAST(r AS STRING) || ':' ||"
-            f" CAST({value_expr} AS STRING))"
-        )
+#: hex-window parse: like SPARK_HEX/DUCK_HEX but over an arbitrary
+#: substring window, so d hash rows can share ONE md5 (disjoint 8-nibble
+#: windows = 32 independent bits per row — one hash call instead of d;
+#: measured ~2× on the sketch build at sf1).
+SPARK_HEX_AT = "CAST(conv(substring({expr}, {start}, {n}), 16, 10) AS BIGINT)"
+DUCK_HEX_AT = "CAST(('0x' || substr({expr}, {start}, {n})) AS BIGINT)"
+
+
+def cms_col_expr(hex_at: str, value_expr: str) -> str:
+    """Portable column index for hash row ``r`` (a column in scope): the
+    r-th disjoint 8-nibble window of one md5, mod w. Identical SQL text
+    in both engines except the injected hex parse."""
+    h = hex_at.format(
+        expr=f"md5('cms:' || CAST({value_expr} AS STRING))",
+        start="CAST(1 + r * 8 AS INT)",
+        n=8,
     )
     return f"CAST({h} % {CMS_W} AS BIGINT)"
 
@@ -257,10 +266,12 @@ def cms_sketch(df: DataFrame, value_expr: str) -> DataFrame:
     partial+final aggregate over the d-exploded input. Raw values never
     shuffle: the map side reduces each partition to ≤ d·w counter rows
     before the exchange, and two sketches merge by summing counters."""
-    rows = df.selectExpr(
+    from dwh_etl_framework_spark.operators.dedup import _spread
+
+    rows = _spread(df).selectExpr(
         f"explode(sequence(0, {CMS_D - 1})) AS r",
         f"{value_expr} AS __v",
-    ).selectExpr("r", cms_col_expr(SPARK_HEX, "__v") + " AS col")
+    ).selectExpr("r", cms_col_expr(SPARK_HEX_AT, "__v") + " AS col")
     return rows.groupBy("r", "col").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -276,7 +287,7 @@ def cms_estimate(
     ``est_count`` (≥ true count always — CMS never undercounts)."""
     probes = keys.selectExpr(
         "*", f"explode(sequence(0, {CMS_D - 1})) AS r"
-    ).selectExpr("*", cms_col_expr(SPARK_HEX, value_expr) + " AS col")
+    ).selectExpr("*", cms_col_expr(SPARK_HEX_AT, value_expr) + " AS col")
     key_cols = [c for c in keys.columns]
     return (
         probes.join(F.broadcast(sketch_df), on=["r", "col"])

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.operators.sketch import (
     CMS_D,
     CMS_W,
-    DUCK_HEX,
+    DUCK_HEX_AT,
     cms_col_expr,
     cms_estimate,
     cms_sketch,
@@ -27,7 +27,7 @@ from dwh_etl_framework_spark.queries.registry import fixtures, query
 #: report the top-K users by estimated event count.
 CMS_TOPK = 20
 
-_DUCK_COL = cms_col_expr(DUCK_HEX, "user_id")
+_DUCK_COL = cms_col_expr(DUCK_HEX_AT, "user_id")
 
 _X86_ORACLE = f"""
     WITH rows_d AS (

@@ -112,6 +112,16 @@ from dwh_etl_framework_spark.queries import wave11  # noqa: F401
 #: x32 (exact-kNN evidence stays via x06c/x57/x61, all in-window),
 #: x46 (vocab evidence stays via x63 + the local oracle) and x48
 #: (user-keyed window evidence stays via x47). Exits keep local oracles.
+#: Round-6f rotation (same policy): x86 (count-min sketch — completes
+#: the mergeable-sketch family), x87 (repeated-span positional dedup,
+#: arXiv:2107.06499), x88 (mergeable-histogram quantiles with
+#: sketch-guided exact refinement) — all dual-SF hash-proven
+#: (PARITY_r06 + the 151-query PARITY_sf1) — replace x53 (PQ evidence
+#: stays via the in-window x42 + local oracle), x56 (calibration-curve
+#: evidence stays via its local oracle; the quality tier keeps x63 in
+#: window), x59 (payload-size accounting stays via the in-window f28
+#: byte-quantized planner + local oracle). Exits keep local oracles and
+#: remain in PARITY_r{NN} + the sf1 sweep.
 #: Round-6e rotation (same policy): the seven wave-9/10 operators —
 #: x81 (SemDeDup semantic dedup), x82 (Z-order layout + zone-map audit),
 #: x83 (DSIR importance selection), x84 (portable HyperLogLog),
@@ -162,12 +172,9 @@ DRIVER_WINDOW: list[str] = [
     # mutual-kNN health, mix planner, payload profile, kNN label eval,
     # centroid confusion, token spectrum, TV drift, split leakage,
     # cross-source dup matrix
-    "x53_pq_code_dedup",
     "x55_chunk_dedup",
-    "x56_quality_decile_calibration",
     "x57_mutual_knn_graph",
     "x58_mix_epoch_plan",
-    "x59_event_payload_profile",
     "x61_knn_label_eval",
     "x62_centroid_confusion",
     "x63_token_spectrum",
@@ -198,6 +205,11 @@ DRIVER_WINDOW: list[str] = [
     "x85_length_bucket_packing",
     "f28_compaction_plan",
     "f29_backfill_plan",
+    # round-6f entrants: count-min sketch, repeated spans, histogram
+    # quantiles
+    "x86_cms_topk",
+    "x87_repeated_spans",
+    "x88_histogram_quantiles",
 ]
 
 

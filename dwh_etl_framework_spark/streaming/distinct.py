@@ -88,3 +88,70 @@ def current_estimate(
     if regs is None:
         return None
     return hll_estimate(regs, group_cols)
+
+
+# ---- streaming mergeable histogram (the x88 counter table) -------------
+# Same state discipline as the HLL registers above, but the merge is SUM:
+# each micro-batch's (group, bucket, cnt) histogram adds into the persisted
+# table. Bounded state (≤ buckets rows per group), idempotence does NOT
+# come free here (SUM is not idempotent the way MAX is) — re-delivery
+# safety relies on the stream checkpoint, which is exactly why the twin
+# test replays WITH the checkpoint intact rather than a fresh one.
+
+
+def histogram_of(
+    df: DataFrame, group_cols: list[str], bucket_expr: str
+) -> DataFrame:
+    """One partial+final (group, bucket) aggregate — the batch building
+    block shared by the batch path (x88) and the stream fold."""
+    from pyspark.sql import functions as F
+
+    return df.selectExpr(*group_cols, f"{bucket_expr} AS bucket").groupBy(
+        *group_cols, "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def update_histogram(
+    state_hist: DataFrame | None,
+    batch: DataFrame,
+    group_cols: list[str],
+    bucket_expr: str,
+) -> DataFrame:
+    """Fold one batch into the histogram state (pure function, twin rule)."""
+    from pyspark.sql import functions as F
+
+    batch_hist = histogram_of(batch, group_cols, bucket_expr)
+    if state_hist is None:
+        return batch_hist
+    return (
+        state_hist.unionByName(batch_hist)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def stream_histogram(
+    stream: DataFrame,
+    state: StreamMasterState,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    bucket_expr: str,
+):
+    """Maintain the per-group histogram continuously; quantile reads
+    against the state table use the x88 integer rank arithmetic at any
+    time without touching raw history."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        merged = update_histogram(
+            state.read(), batch_df, group_cols, bucket_expr
+        )
+        state.write(merged.coalesce(1))
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

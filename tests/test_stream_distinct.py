@@ -114,3 +114,75 @@ def test_update_registers_pure_fold_matches(spark, tmp_path):
         )
     direct = sketch.hll_registers(whole, ["event_type"], "user_id")
     assert _regs_dict(regs) == _regs_dict(direct)
+
+
+BUCKET_EXPR = "LEAST(CAST(floor(value) AS BIGINT), 511)"
+
+
+def _hist_dict(df):
+    return {(r["event_type"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+
+def test_stream_histogram_equals_batch(spark, tmp_path):
+    """SUM-merged micro-batch histograms ≡ one batch histogram, and a
+    resumed stream (same checkpoint) adds nothing — exactly-once per
+    micro-batch via the checkpoint, since SUM is not idempotent."""
+    from dwh_etl_framework_spark.streaming.distinct import (
+        histogram_of,
+        stream_histogram,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    for i in range(4):
+        path = f"{src}/slice_{i}.parquet"
+        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i,) * 2)
+        os.utime(path, (1_000_000 + i,) * 2)
+    state = StreamMasterState(spark, str(tmp_path / "hist"))
+    ckpt = str(tmp_path / "ckpt_h")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+        )
+        q = stream_histogram(stream, state, ckpt, ["event_type"], BUCKET_EXPR)
+        q.awaitTermination(120)
+
+    run()
+    direct = histogram_of(events, ["event_type"], BUCKET_EXPR)
+    assert _hist_dict(state.read()) == _hist_dict(direct)
+    # resume with the SAME checkpoint: no files are re-delivered, the
+    # state must not double-count
+    run()
+    assert _hist_dict(state.read()) == _hist_dict(direct)
+
+
+def test_update_histogram_pure_fold(spark):
+    from dwh_etl_framework_spark.streaming.distinct import (
+        histogram_of,
+        update_histogram,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    hist = None
+    for i in range(4):
+        hist = update_histogram(
+            hist,
+            events.filter(F.col("event_id") % 4 == i),
+            ["event_type"],
+            BUCKET_EXPR,
+        )
+    direct = histogram_of(events, ["event_type"], BUCKET_EXPR)
+    assert _hist_dict(hist) == _hist_dict(direct)

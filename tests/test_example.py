@@ -21,3 +21,29 @@ def test_example_runs_end_to_end():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "master rows: 150" in out.stdout
+
+
+def test_corpus_curation_example(spark):
+    """The end-to-end curation funnel is monotone non-increasing through
+    the dedup/gate/selection stages and produces a batch plan."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "examples/corpus_curation/run.py"
+    spec = importlib.util.spec_from_file_location("corpus_curation_run", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    funnel, packed = mod.curate(spark, "/root/testdata/sf0.001")
+    order = [
+        "raw",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_semantic_dedup",
+        "after_quality_gate",
+        "after_dsir_selection",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert funnel[a] >= funnel[b], (a, b, funnel)
+    assert funnel["after_near_dedup"] < funnel["raw"]  # screen really fires
+    assert funnel["batches"] >= 1
+    assert packed.columns == ["doc_id", "n_tok", "bucket", "batch_id"]

@@ -1,0 +1,58 @@
+"""bench.py stdout contract: the summary line must fit the driver's tail.
+
+Round 6 shipped ``BENCH_r06.json {"parsed": null}`` because the single
+stdout JSON line grew past the driver's 2,000-char tail capture
+(VERDICT r6, "What's wrong" #1). These tests pin the fix: the line is
+valid JSON, under budget for the REAL headline set, and degrades
+gracefully (precision first, then the per-query map) rather than
+overflowing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import HEADLINE, summary_line
+
+
+def test_real_headline_set_fits_budget():
+    # Worst realistic shape: every headline query timed, multi-second values.
+    timings = {n: 12.3456 for n in HEADLINE}
+    line = summary_line(timings, {}, 0.1, len(HEADLINE))
+    assert len(line) <= 1900, f"{len(line)} chars — driver tail capture is 2000"
+    parsed = json.loads(line)
+    assert parsed["value"] is not None
+    assert parsed["n_timed"] == len(HEADLINE)
+    assert set(parsed["queries"]) == set(HEADLINE)
+    # No whitespace padding — compact separators.
+    assert ": " not in line and ", " not in line
+
+
+def test_errors_null_total_and_stay_in_line():
+    timings = {n: 1.0 for n in HEADLINE[:-1]}
+    errors = {HEADLINE[-1]: "AnalysisException: boom"}
+    parsed = json.loads(summary_line(timings, errors, 0.1, len(HEADLINE)))
+    assert parsed["value"] is None
+    assert parsed["errors"] == errors
+    assert parsed["n_timed"] == len(HEADLINE) - 1
+
+
+def test_overflow_degrades_to_file_pointer_not_truncation():
+    # 400 long-named queries cannot fit: the map must drop, the line must
+    # stay valid JSON with a pointer to BENCH_local.json.
+    timings = {f"x{i:03d}_very_long_query_name_padding_padding": 1.2345 for i in range(400)}
+    line = summary_line(timings, {}, 1.0, 400)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "queries" not in parsed
+    assert parsed["queries_in"] == "BENCH_local.json"
+    assert parsed["value"] is not None
+
+
+def test_mid_overflow_drops_precision_before_map():
+    # A set that fits at 2-decimal but not 3-decimal precision keeps the map.
+    timings = {f"q{i:02d}_name": 1.2345 for i in range(60)}
+    line = summary_line(timings, {}, 0.1, 60, budget=1100)
+    parsed = json.loads(line)
+    assert "queries" in parsed
+    assert parsed["queries"]["q00_name"] == 1.23

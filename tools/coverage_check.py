@@ -12,7 +12,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from dwh_etl_framework_spark.queries import DRIVER_WINDOW, QUERIES  # noqa: E402
+from dwh_etl_framework_spark.queries import (  # noqa: E402
+    DRIVER_WINDOW,
+    QUERIES,
+    WINDOW_EVER,
+)
 
 #: queries that MUST receive driver correctness evidence every round
 #: (VERDICT r1 finding #1: registration order decides evidence).
@@ -71,6 +75,40 @@ def check_post_window_evidence() -> list[str]:
     return problems
 
 
+def check_window_exit_evidence() -> list[str]:
+    """No query may exit DRIVER_WINDOW without driver evidence (VERDICT r6
+    item 2: x51/x52 — plus f06/x53/x56/x59, found auditing the artifacts —
+    entered and left the window between driver runs, ending with zero
+    CORRECTNESS rows ever). Two-sided ledger invariant:
+
+      1. every current window member must be in ``WINDOW_EVER`` (so
+         rotating a query IN forces appending it to the ledger);
+      2. every ledger member NOT currently in the window must appear in
+         at least one ``CORRECTNESS_r*.json`` (so rotating a query OUT
+         before the driver has run it fails CI).
+    """
+    import json
+
+    problems = []
+    untracked = sorted(set(DRIVER_WINDOW) - WINDOW_EVER)
+    if untracked:
+        problems.append(
+            f"DRIVER_WINDOW entrants missing from WINDOW_EVER ledger: {untracked}"
+        )
+    repo = Path(__file__).resolve().parent.parent
+    driver_ran: set[str] = set()
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        driver_ran |= set(json.loads(artifact.read_text()))
+    never_run_exits = sorted(WINDOW_EVER - set(DRIVER_WINDOW) - driver_ran)
+    if never_run_exits:
+        problems.append(
+            "queries exited DRIVER_WINDOW without ever receiving a "
+            f"CORRECTNESS_r* row: {never_run_exits} — rotate them back in "
+            "before removing them"
+        )
+    return problems
+
+
 def check_parity_artifact_fresh() -> list[str]:
     """The newest PARITY_r*.json must cover EVERY registry entry (VERDICT
     r3 item 2: the artifact silently went stale when new queries were
@@ -119,6 +157,7 @@ def main() -> int:
     window_problems = (
         check_driver_window()
         + check_post_window_evidence()
+        + check_window_exit_evidence()
         + check_parity_artifact_fresh()
     )
     if window_problems:

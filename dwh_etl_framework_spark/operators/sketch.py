@@ -199,11 +199,16 @@ def hll_registers(
 
 def hll_merge(*reg_tables: DataFrame) -> DataFrame:
     """Merge register tables built on disjoint (or overlapping — MAX is
-    idempotent) slices of the data: union + MAX per (group, bucket)."""
+    idempotent) slices of the data: union + MAX per (group, bucket).
+
+    Union is BY NAME (ADVICE r6): two register tables with the same
+    columns in different order — e.g. built with differently ordered
+    group_cols — must align on column names, not positions; a positional
+    unionAll would silently mis-merge them."""
     it = iter(reg_tables)
     unioned = next(it)
     for t in it:
-        unioned = unioned.unionAll(t)
+        unioned = unioned.unionByName(t)
     keys = [c for c in unioned.columns if c != "reg"]
     return unioned.groupBy(*keys).agg(F.max("reg").alias("reg"))
 
@@ -284,13 +289,23 @@ def cms_estimate(
 
     hash rows of the addressed counter. The sketch (≤ d·w rows) is
     broadcast; the probe is map-only over the key table. Returns keys +
-    ``est_count`` (≥ true count always — CMS never undercounts)."""
+    ``est_count`` (≥ true count always — CMS never undercounts).
+
+    The join is LEFT with COALESCE(cnt, 0) (ADVICE r6): a counter row is
+    absent from the sketch exactly when no input value hashed there, i.e.
+    that cell's count is 0 — so a never-seen key must return est_count =
+    0 (MIN picks the absent cell), not silently vanish from the output
+    (inner join) or over-estimate from only its present cells."""
     probes = keys.selectExpr(
         "*", f"explode(sequence(0, {CMS_D - 1})) AS r"
     ).selectExpr("*", cms_col_expr(SPARK_HEX_AT, value_expr) + " AS col")
     key_cols = [c for c in keys.columns]
     return (
-        probes.join(F.broadcast(sketch_df), on=["r", "col"])
+        probes.join(F.broadcast(sketch_df), on=["r", "col"], how="left")
         .groupBy(*key_cols)
-        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
     )

@@ -129,16 +129,16 @@ _X87_ORACLE = f"""
     grouped AS (
         SELECT h,
                CAST(COUNT(*) AS BIGINT) AS n_copies,
-               MIN(doc_id * 1000000 + pos) AS owner_key
+               MIN(struct_pack(d := doc_id, p := pos)) AS owner
         FROM spans GROUP BY h
     )
     SELECT s.doc_id, CAST(s.pos AS BIGINT) AS start_pos,
-           CAST(g.owner_key // 1000000 AS BIGINT) AS owner_doc,
-           CAST(g.owner_key % 1000000 AS BIGINT) AS owner_pos,
+           CAST((g.owner).d AS BIGINT) AS owner_doc,
+           CAST((g.owner).p AS BIGINT) AS owner_pos,
            g.n_copies
     FROM spans s JOIN grouped g ON g.h = s.h
     WHERE g.n_copies >= 2
-      AND s.doc_id * 1000000 + s.pos <> g.owner_key
+      AND NOT (s.doc_id = (g.owner).d AND s.pos = (g.owner).p)
 """
 
 
@@ -157,17 +157,25 @@ def x87_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: spans never shuffle as text — the window is hashed
     map-side (digest rule, x01) and ONE md5-keyed exchange feeds both the
     count aggregate and the join-back (exchange reuse, the x45 shape);
-    owner selection is a MIN over the composite integer key inside the
-    same aggregate — no window function, no second shuffle. Output is
-    duplicate-occurrence-sized, not corpus-sized."""
+    owner selection is a lexicographic MIN over struct(doc_id, pos)
+    inside the same aggregate — no window function, no second shuffle,
+    and no position bound (the round-6 composite integer key collided for
+    documents past 10^6 tokens — real at 100 TB book/code scale; VERDICT
+    r6 item 3). Output is duplicate-occurrence-sized, not corpus-sized."""
+    t = fixtures(spark, sf_dir)
+    return repeated_spans(t.documents)
+
+
+def repeated_spans(documents: DataFrame) -> DataFrame:
+    """Core x87 plan over any (doc_id, text) frame — split out so the
+    >10^6-token guard test can run it on a synthetic long document."""
     from dwh_etl_framework_spark.operators.dedup import _spread
 
-    t = fixtures(spark, sf_dir)
     # _spread parallelizes the explode+md5 on small-split fixture files;
     # localCheckpoint materializes the span table ONCE — the aggregate and
     # the join-back otherwise each re-run the whole tokenize+hash subtree
     # (round-6 profile: 2 FileScans, 2× the md5 work, 4.7s→1.3s at sf1).
-    spans = _spread(t.documents).selectExpr(
+    spans = _spread(documents).selectExpr(
         "doc_id", "split(text, ' ') AS t"
     ).filter(F.expr(f"size(t) >= {SPAN_W}")).selectExpr(
         "doc_id",
@@ -180,19 +188,22 @@ def x87_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     grouped = spans.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies"),
-        F.min(F.expr("doc_id * 1000000 + pos")).alias("owner_key"),
+        F.min(F.struct("doc_id", "pos")).alias("owner"),
     )
     return (
         spans.join(grouped, on="h")
         .filter(
             (F.col("n_copies") >= 2)
-            & (F.expr("doc_id * 1000000 + pos") != F.col("owner_key"))
+            & ~(
+                (F.col("doc_id") == F.col("owner.doc_id"))
+                & (F.col("pos") == F.col("owner.pos"))
+            )
         )
         .select(
             "doc_id",
             F.col("pos").alias("start_pos"),
-            F.expr("CAST(owner_key DIV 1000000 AS BIGINT)").alias("owner_doc"),
-            F.expr("CAST(owner_key % 1000000 AS BIGINT)").alias("owner_pos"),
+            F.col("owner.doc_id").alias("owner_doc"),
+            F.col("owner.pos").alias("owner_pos"),
             "n_copies",
         )
     )

@@ -94,9 +94,14 @@ def current_estimate(
 # Same state discipline as the HLL registers above, but the merge is SUM:
 # each micro-batch's (group, bucket, cnt) histogram adds into the persisted
 # table. Bounded state (≤ buckets rows per group), idempotence does NOT
-# come free here (SUM is not idempotent the way MAX is) — re-delivery
-# safety relies on the stream checkpoint, which is exactly why the twin
-# test replays WITH the checkpoint intact rather than a fresh one.
+# come free here (SUM is not idempotent the way MAX is). The stream
+# checkpoint covers clean resume only — foreachBatch is at-least-once, so
+# a crash AFTER state.write but BEFORE the checkpoint offset commit
+# re-executes that batch on restart (ADVICE r6). The standard guard: the
+# last applied batch_id is persisted IN the state table (same parquet
+# overwrite, so guard and counters can never diverge) and a fold whose
+# batch_id ≤ stored is a no-op. The MAX-merged HLL path above needs none
+# of this — re-applying a MAX is a fixed point.
 
 
 def histogram_of(
@@ -130,6 +135,50 @@ def update_histogram(
     )
 
 
+def fold_histogram_batch(
+    state: StreamMasterState,
+    batch_df: DataFrame,
+    batch_id: int,
+    group_cols: list[str],
+    bucket_expr: str,
+) -> bool:
+    """Apply one micro-batch to the persisted histogram, exactly once.
+
+    Returns True if the batch was folded, False if it was skipped as a
+    re-execution (its batch_id was already recorded in the state). The
+    guard column ``__last_batch_id`` rides in the same parquet overwrite
+    as the counters, so a crash at any point leaves guard and counters
+    consistent: either both reflect the batch or neither does.
+    """
+    from pyspark.sql import functions as F
+
+    if not batch_df.head(1):
+        return False
+    stored = state.read()
+    hist_state = stored
+    if stored is not None and "__last_batch_id" in stored.columns:
+        last = stored.agg(F.max("__last_batch_id")).first()[0]
+        if last is not None and batch_id <= last:
+            return False  # at-least-once re-execution — already applied
+        hist_state = stored.drop("__last_batch_id")
+    merged = update_histogram(hist_state, batch_df, group_cols, bucket_expr)
+    state.write(
+        merged.withColumn("__last_batch_id", F.lit(batch_id)).coalesce(1)
+    )
+    return True
+
+
+def current_histogram(state: StreamMasterState) -> DataFrame | None:
+    """The live counter table without the batch-id guard column (None
+    before the first batch lands)."""
+    stored = state.read()
+    if stored is None:
+        return None
+    if "__last_batch_id" in stored.columns:
+        return stored.drop("__last_batch_id")
+    return stored
+
+
 def stream_histogram(
     stream: DataFrame,
     state: StreamMasterState,
@@ -142,12 +191,7 @@ def stream_histogram(
     time without touching raw history."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        merged = update_histogram(
-            state.read(), batch_df, group_cols, bucket_expr
-        )
-        state.write(merged.coalesce(1))
+        fold_histogram_batch(state, batch_df, batch_id, group_cols, bucket_expr)
 
     return (
         stream.writeStream.foreachBatch(fold)

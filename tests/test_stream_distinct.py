@@ -186,3 +186,38 @@ def test_update_histogram_pure_fold(spark):
         )
     direct = histogram_of(events, ["event_type"], BUCKET_EXPR)
     assert _hist_dict(hist) == _hist_dict(direct)
+
+
+def test_histogram_batch_id_guard_blocks_reexecution(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between state.write and the
+    checkpoint offset commit re-executes the batch on restart (ADVICE r6).
+    Re-folding an already-applied batch_id must be a no-op; the next new
+    batch_id must still apply."""
+    from dwh_etl_framework_spark.streaming.distinct import (
+        current_histogram,
+        fold_histogram_batch,
+        histogram_of,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    state = StreamMasterState(spark, str(tmp_path / "hist_guard"))
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    assert fold_histogram_batch(state, b0, 0, ["event_type"], BUCKET_EXPR)
+    assert fold_histogram_batch(state, b1, 1, ["event_type"], BUCKET_EXPR)
+    after_both = _hist_dict(current_histogram(state))
+    # crash-replay of batch 1 (same id, same rows): must be skipped
+    assert not fold_histogram_batch(state, b1, 1, ["event_type"], BUCKET_EXPR)
+    assert _hist_dict(current_histogram(state)) == after_both
+    # and the combined state equals the one-shot batch histogram
+    direct = histogram_of(events, ["event_type"], BUCKET_EXPR)
+    assert after_both == _hist_dict(direct)
+    # a genuinely new batch still folds
+    assert fold_histogram_batch(
+        state, b0.limit(7), 2, ["event_type"], BUCKET_EXPR
+    )
+    assert sum(_hist_dict(current_histogram(state)).values()) == sum(
+        after_both.values()
+    ) + 7

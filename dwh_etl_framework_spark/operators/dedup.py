@@ -115,6 +115,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shingle_filter: Column | None = None,
 ) -> DataFrame:
     """X1 exact n-gram Jaccard similarity via shingle equi-join.
 
@@ -122,10 +123,21 @@ def ngram_jaccard_pairs(
     J = inter/(|A|+|B|-inter). Returns pairs (doc_a < doc_b) with J ≥
     threshold. At scale: run *after* LSH blocking, or cap shingle document
     frequency to bound the join fan-out.
+
+    ``shingle_filter`` (optional Column predicate over ``shingle``)
+    restricts the universe BEFORE counts and the self-join — Jaccard is
+    then over the sampled shingle space (Broder's sketch principle: a
+    deterministic hash-range sample of the shingle universe preserves
+    Jaccard in expectation; identical sets still score exactly 1.0). The
+    sf1 parity variants use an md5-prefix sample so DuckDB can hold the
+    self-join at 100× the fixture size.
     """
     # sh feeds three consumers (counts + both join sides): materialize the
     # shingle explode once instead of recomputing it per reference
-    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = shingle_table(df, text_col, id_col, n)
+    if shingle_filter is not None:
+        sh = sh.filter(shingle_filter)
+    sh = sh.localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -40,6 +40,8 @@ from dwh_etl_framework_spark.queries import wave8  # noqa: F401
 from dwh_etl_framework_spark.queries import wave9  # noqa: F401
 from dwh_etl_framework_spark.queries import wave10  # noqa: F401
 from dwh_etl_framework_spark.queries import wave11  # noqa: F401
+from dwh_etl_framework_spark.queries import wave12  # noqa: F401
+from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50

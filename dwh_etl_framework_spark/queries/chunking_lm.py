@@ -133,7 +133,10 @@ def x39_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bigram"),
-    )
+        # round-7 lineage cut (x65/x87 rule): bigrams feeds the count
+        # aggregate AND the lookup join — uncut, the split+transform+
+        # explode subtree is cloned and documents.parquet scans twice.
+    ).localCheckpoint(eager=False)
     counts = bigrams.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -159,14 +159,18 @@ def x52_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         t.documents, "text", "doc_id", n=3, threshold=0.5
     ).select("doc_a", "doc_b")
-    clusters = dedup_clusters(t.documents, pairs, "doc_id").select(
-        "doc_id", "cluster"
-    )
+    # round-7 lineage cut: the vertex list and the vocabulary score both
+    # derive from ONE documents pass (quality carries doc_id) — uncut,
+    # dedup_clusters' vertex scan and this projection each read
+    # documents.parquet (x65/x87 rule).
     quality = t.documents.select(
         "doc_id",
         F.size(F.array_distinct(F.split("text", " ")))
         .cast("bigint")
         .alias("n_distinct"),
+    ).localCheckpoint(eager=False)
+    clusters = dedup_clusters(quality.select("doc_id"), pairs, "doc_id").select(
+        "doc_id", "cluster"
     )
     w = Window.partitionBy("cluster").orderBy(
         F.desc("n_distinct"), F.asc("doc_id")

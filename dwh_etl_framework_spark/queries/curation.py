@@ -59,7 +59,12 @@ def x19_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate here (all fixture langs pass the heuristic; the real knob
     is x07's predicted_lang)."""
     t = fixtures(spark, sf_dir)
-    fp = t.documents.withColumn("fingerprint", F.md5(normalize_text(F.col("text"))))
+    # round-7 lineage cut (x65/x87 rule): fp feeds the survivor aggregate
+    # AND the join-back — uncut, the normalize+md5 over the full text runs
+    # twice and documents.parquet scans twice.
+    fp = t.documents.withColumn(
+        "fingerprint", F.md5(normalize_text(F.col("text")))
+    ).localCheckpoint(eager=False)
     dedup = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     survivors = fp.join(dedup, on=["fingerprint", "doc_id"])
     toks = F.split("text", " ")

@@ -167,7 +167,11 @@ def x45_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
-    )
+        # round-7 lineage cut (the x65/x87 rule): sh feeds the df aggregate
+        # AND the join-back — uncut, Catalyst clones the whole split+
+        # transform+explode subtree and scans documents.parquet twice
+        # (plan-audited this round).
+    ).localCheckpoint(eager=False)
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
     return (
@@ -233,7 +237,10 @@ def x46_lang_vocab_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
+        # round-7 lineage cut (x65/x87 rule): tok feeds the frequency
+        # aggregate AND the vocabulary probe — uncut, the split+explode
+        # subtree is cloned and documents.parquet scans twice.
+    ).localCheckpoint(eager=False)
     freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))

@@ -342,7 +342,10 @@ def x37_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     dt = t.documents.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+        # round-7 lineage cut (x65/x87 rule): dt feeds the df aggregate AND
+        # the join-back — uncut, the split+array_distinct+explode subtree
+        # is cloned and documents.parquet scans twice.
+    ).localCheckpoint(eager=False)
     df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         dt.join(df, "tok")
@@ -401,13 +404,16 @@ def x29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
         "ELSE array() END"
     )
-    train = t.documents.filter(F.col("source") != "src0").select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
+    # round-7 lineage cut: train and bench are disjoint slices of the SAME
+    # gram explode — computing it once and filtering twice replaces two
+    # full split+transform+explode passes (and two documents.parquet
+    # scans) with one (x65/x87 rule).
+    g = t.documents.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).localCheckpoint(eager=False)
+    train = g.filter(F.col("source") != "src0").select("doc_id", "gram")
     bench = (
-        t.documents.filter(F.col("source") == "src0")
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
+        g.filter(F.col("source") == "src0").select("gram").distinct()
     )
     hits = train.join(bench.withColumn("hit", F.lit(1)), "gram", "left")
     return hits.groupBy("doc_id").agg(

@@ -92,6 +92,7 @@ HEADLINE = [
     "x87_repeated_spans",        # positional substring dedup (r6w7)
     "x88_histogram_quantiles",   # mergeable-histogram percentiles (r6w7)
     "f29_backfill_plan",         # type×hour gap detection (r6w6)
+    "x89_drift_timeline",        # per-(source,month) TV drift (r7)
                                  # x82/x85 are correctness-only: their
                                  # single-partition ntile/global-order
                                  # windows exist as oracle twins of the

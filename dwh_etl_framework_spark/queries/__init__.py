@@ -156,6 +156,10 @@ from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 #: ``check_window_exit_evidence`` make this violation class structurally
 #: impossible: entering requires joining the ledger, exiting requires a
 #: recorded driver row.
+#: Round-7b rotation: x89 (time-sliced per-(source,month) TV drift — the
+#: VERDICT r6 item-5 operator, dual-SF hash-proven this round) replaces
+#: x61 (kNN-eval evidence stays via the in-window x57 mutual-kNN graph +
+#: x06c IVF top-k + x61's local oracle and CORRECTNESS_r06 row).
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -189,9 +193,9 @@ DRIVER_WINDOW: list[str] = [
     # round-6b survivors: mutual-kNN health, kNN label eval, token
     # spectrum, TV drift, split leakage, cross-source dup matrix
     "x57_mutual_knn_graph",
-    "x61_knn_label_eval",
     "x63_token_spectrum",
     "x65_source_drift_tv",
+    "x89_drift_timeline",
     "x66_split_leakage",
     "x67_cross_source_dups",
     # round-6c survivors: six-table join, LATERAL top-k, incremental agg
@@ -358,6 +362,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x63_token_spectrum",
     "x64_event_hourly_profile",
     "x65_source_drift_tv",
+    "x89_drift_timeline",
     "x66_split_leakage",
     "x67_cross_source_dups",
     "x68_text_vector_consistency",
@@ -372,6 +377,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x86_cms_topk",
     "x87_repeated_spans",
     "x88_histogram_quantiles",
+    "x89_drift_timeline",
 ])
 
 

@@ -79,17 +79,20 @@ _SAMPLED_SH = f"""
         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         FROM toks WHERE len(t) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT * FROM (
             SELECT DISTINCT doc_id,
                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
             FROM idx
         ) WHERE {SHINGLE_PRED_DUCK}
     )"""
+#: MATERIALIZED: DuckDB inlines plain CTEs, so without it the explode+
+#: sample chain recomputes once per reference (counts + both self-join
+#: sides) — 3x the oracle cost at sf1.
 
 #: shared DuckDB CTE chain: 16-perm portable minhash + 4x4 banding over sh.
 _MINHASH16 = f"""
-    mins AS (
+    mins AS MATERIALIZED (
         SELECT doc_id, p.i AS perm,
                MIN(md5(CAST(p.i AS VARCHAR) || '|' || shingle)) AS m
         FROM sh, (SELECT unnest(generate_series(0, {K16 - 1})) AS i) p
@@ -146,7 +149,7 @@ def x02s_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         FROM toks WHERE len(t) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM idx
@@ -418,7 +421,7 @@ def x32s_knn_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
         FROM toks WHERE len(t) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM idx

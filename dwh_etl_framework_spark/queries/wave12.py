@@ -156,3 +156,209 @@ def x89_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_ppm"),
         )
     )
+
+
+#: f30: 60-bit row hash (15 md5 nibbles) — BIGINT-safe in both engines;
+#: the XOR and HUGEINT/DECIMAL sums are order-independent, so two systems
+#: can compare fingerprints without sorting or co-partitioning anything.
+_F30_PAYLOAD_SPARK = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(floor(o_totalprice * 100) AS BIGINT), "
+    "CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
+)
+_F30_PAYLOAD_DUCK = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(floor(o_totalprice * 100) AS BIGINT), "
+    "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+)
+
+
+@query(
+    "f30_table_checksum",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT o_orderstatus,
+               CAST(('0x' || substr(md5({_F30_PAYLOAD_DUCK}), 1, 15))
+                    AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS sum_fp
+    FROM hashed GROUP BY o_orderstatus
+    """,
+)
+def f30_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the cross-system
+
+    reconciliation check a DWH runs after any replication/migration (the
+    reference's Greenplum→lake copies have no post-copy verification;
+    this is the audit they need). Each row hashes to a 60-bit integer
+    (15 md5 hex nibbles — BIGINT-safe, engine-portable); per status
+    group the XOR and the exact DECIMAL sum of row hashes are both
+    ORDER-INDEPENDENT and partition-mergeable, so two systems compute
+    fingerprints independently — no sorting, no co-partitioning, no row
+    shipping — and compare |statuses| rows. XOR alone misses duplicated+
+    dropped row pairs; the sum catches multiplicity changes.
+
+    Scale shape: map-side partial aggregate reduces every partition to
+    ≤|statuses| fingerprint rows before the one tiny exchange — the same
+    counters-not-values rule as the sketch family (x84/x86)."""
+    t = fixtures(spark, sf_dir)
+    return table_checksum(t.orders)
+
+
+def table_checksum(orders: DataFrame) -> DataFrame:
+    """Core f30 fingerprint over any orders-shaped frame — split out so
+    the mergeability and mutation-detection tests drive it on slices."""
+    h = F.expr(
+        f"CAST(conv(substring(md5({_F30_PAYLOAD_SPARK}), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    return (
+        orders.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_fp"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("sum_fp"),  # exact integer rendered as string: the
+            # registry bans DECIMAL in final schemas (canonicalizer rule)
+        )
+    )
+
+
+#: x91: numeric columns are zero-padded to 14 so lexicographic MIN/MAX
+#: equals numeric MIN/MAX (documented; all profiled numerics are
+#: non-negative in the fixture).
+_X91_COLS_SPARK = """stack(6,
+    'o_orderkey',      lpad(CAST(o_orderkey AS STRING), 14, '0'),
+    'o_custkey',       lpad(CAST(o_custkey AS STRING), 14, '0'),
+    'o_orderstatus',   o_orderstatus,
+    'o_orderpriority', o_orderpriority,
+    'order_date',      CAST(CAST(o_orderdate AS DATE) AS STRING),
+    'price_cents',     lpad(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS STRING), 14, '0')
+) AS (col_name, val)"""
+
+_X91_COLS_DUCK = """
+    SELECT 'o_orderkey' AS col_name,
+           lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS val FROM orders
+    UNION ALL SELECT 'o_custkey',
+           lpad(CAST(o_custkey AS VARCHAR), 14, '0') FROM orders
+    UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+    UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL SELECT 'order_date',
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+    UNION ALL SELECT 'price_cents',
+           lpad(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                14, '0') FROM orders
+"""
+
+
+@query(
+    "x91_column_profile",
+    oracle=f"""
+    WITH tall AS ({_X91_COLS_DUCK})
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM tall GROUP BY col_name
+    """,
+)
+def x91_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling — null counts, exact distinct
+    cardinality, min/max per column as one tall report (the
+    SELECT-star-profile every warehouse migration starts with; the
+    introspection step the reference reads from Greenplum catalogs,
+    computed here from the data itself). Numerics are zero-padded so
+    string MIN/MAX equals numeric MIN/MAX; dates render ISO.
+
+    Scale shape: the stack() unpivot is map-side (rows × 6 narrow
+    strings); one (col_name, val)-keyed exchange feeds the per-column
+    aggregate. At petabyte scale swap COUNT(DISTINCT) for the x84 HLL
+    registers per column — same plan shape, bounded shuffle."""
+    t = fixtures(spark, sf_dir)
+    return column_profile(t.orders)
+
+
+def column_profile(orders: DataFrame) -> DataFrame:
+    """Core x91 profile over any orders-shaped frame (testable on
+    mutated slices — the registry fixture cache pins temp views)."""
+    tall = orders.selectExpr(_X91_COLS_SPARK)
+    return tall.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "x92_vocab_novelty",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, {DUCK_MONTH} AS month,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT source, token, MIN(month) AS m0
+        FROM st GROUP BY source, token
+    )
+    SELECT st.source, st.month,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(CASE WHEN st.month = f.m0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_tokens,
+           CAST(SUM(CASE WHEN st.month = f.m0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM st
+    JOIN first_seen f ON f.source = st.source AND f.token = st.token
+    GROUP BY st.source, st.month
+    """,
+)
+def x92_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 vocabulary novelty over TIME: per (source, month), how many of
+
+    the month's distinct tokens appear in that source for the FIRST time
+    — the complement of x89's distributional drift. A scraper suddenly
+    emitting new vocabulary (novelty_ppm spike) signals a content-mix or
+    encoding change even when frequency drift stays small; novelty
+    decaying to ~0 signals a stale/looping source. Months derive from
+    the same deterministic doc_id pseudo-date as x89.
+
+    Scale shape: one corpus explode reduced map-side to distinct
+    (source, month, token) — localCheckpoint'd (x65 rule) because the
+    first-seen aggregate AND the join-back both consume it; everything
+    downstream is vocabulary×months-sized. Integer ppm, log-free."""
+    t = fixtures(spark, sf_dir)
+    st = (
+        t.documents.select(
+            "source",
+            F.expr(SPARK_MONTH).alias("month"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first_seen = st.groupBy("source", "token").agg(F.min("month").alias("m0"))
+    new_flag = F.sum((F.col("month") == F.col("m0")).cast("long"))
+    return (
+        st.join(first_seen, ["source", "token"])
+        .groupBy("source", "month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            new_flag.cast("long").alias("n_new_tokens"),
+            F.expr(
+                "CAST(SUM(CAST(month = m0 AS BIGINT)) * 1000000 "
+                "div COUNT(1) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -136,6 +136,9 @@ def x39_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-7 lineage cut (x65/x87 rule): bigrams feeds the count
         # aggregate AND the lookup join — uncut, the split+transform+
         # explode subtree is cloned and documents.parquet scans twice.
+        # A/B MEASURED the cut 1.6x faster at sf1 (3.4s vs 5.5s warm):
+        # the per-position concat transform dominates, so materializing
+        # the bigram table wins (the x87 pattern).
     ).localCheckpoint(eager=False)
     counts = bigrams.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("__c")

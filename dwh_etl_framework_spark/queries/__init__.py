@@ -160,6 +160,14 @@ from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 #: VERDICT r6 item-5 operator, dual-SF hash-proven this round) replaces
 #: x61 (kNN-eval evidence stays via the in-window x57 mutual-kNN graph +
 #: x06c IVF top-k + x61's local oracle and CORRECTNESS_r06 row).
+#: Round-7c rotation: f30 (order-independent reconciliation checksum),
+#: x91 (column profiling) and x92 (vocabulary novelty) — all three
+#: dual-SF hash-proven (PARITY_r07 + the 163-query PARITY_sf1) — replace
+#: x63 (token-stat report evidence stays via the in-window x51 PMI +
+#: local oracle), x67 (cross-source overlap evidence stays via the
+#: in-window x66 + local oracle) and x72 (join-prefilter evidence stays
+#: via the in-window r14b + the dedicated bloom tests + local oracle).
+#: Exits all carry CORRECTNESS_r06 rows, per the WINDOW_EVER protocol.
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -193,11 +201,10 @@ DRIVER_WINDOW: list[str] = [
     # round-6b survivors: mutual-kNN health, kNN label eval, token
     # spectrum, TV drift, split leakage, cross-source dup matrix
     "x57_mutual_knn_graph",
-    "x63_token_spectrum",
     "x65_source_drift_tv",
     "x89_drift_timeline",
+    "x92_vocab_novelty",
     "x66_split_leakage",
-    "x67_cross_source_dups",
     # round-6c survivors: six-table join, LATERAL top-k, incremental agg
     # maintenance, BPE merge, text-vector consistency
     "r14b_regional_supply_chain",
@@ -215,8 +222,7 @@ DRIVER_WINDOW: list[str] = [
     "x53_pq_code_dedup",
     "x56_quality_decile_calibration",
     "x59_event_payload_profile",
-    # round-6d entrants: bloom prefilter, real image decode, PageRank
-    "x72_bloom_prefilter_join",
+    # round-6d entrants: real image decode, PageRank
     "x74_image_decode",
     "x77_knn_pagerank",
     # round-6e entrants: semantic dedup, z-order layout, DSIR selection,
@@ -228,6 +234,9 @@ DRIVER_WINDOW: list[str] = [
     "x85_length_bucket_packing",
     "f28_compaction_plan",
     "f29_backfill_plan",
+    # round-7c entrants: reconciliation checksum, column profiling
+    "f30_table_checksum",
+    "x91_column_profile",
     # round-6f entrants: count-min sketch, repeated spans, histogram
     # quantiles
     "x86_cms_topk",
@@ -257,6 +266,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "f25_snapshot_diff",
     "f28_compaction_plan",
     "f29_backfill_plan",
+    "f30_table_checksum",
     "r01_projection",
     "r02_filter",
     "r02b_scalar_subquery",
@@ -363,8 +373,8 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x64_event_hourly_profile",
     "x65_source_drift_tv",
     "x89_drift_timeline",
+    "x92_vocab_novelty",
     "x66_split_leakage",
-    "x67_cross_source_dups",
     "x68_text_vector_consistency",
     "x72_bloom_prefilter_join",
     "x74_image_decode",
@@ -378,6 +388,8 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x87_repeated_spans",
     "x88_histogram_quantiles",
     "x89_drift_timeline",
+    "x91_column_profile",
+    "x92_vocab_novelty",
 ])
 
 

@@ -362,3 +362,139 @@ def x92_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+#: x93: month index within the pseudo-year (0-11); consecutive-month
+#: pairs are (idx-1 -> idx) for idx in 1..11.
+SPARK_MIDX = "CAST(doc_id % 365 AS INT) DIV 31"
+DUCK_MIDX = "CAST(doc_id % 365 AS INT) // 31"
+# NOTE: month INDEX here is day//31 (uniform ~31-day slices), not the
+# calendar month of x89 — the changepoint math only needs an ordered,
+# deterministic slicing, and //31 keeps the index arithmetic identical
+# in both engines with no date functions in the hot path.
+
+
+@query(
+    "x93_drift_changepoint",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+        SELECT source, {DUCK_MIDX} AS idx,
+               token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT source, idx, CAST(SUM(cnt) AS BIGINT) AS n_tok
+        FROM c GROUP BY source, idx
+    ),
+    p AS (
+        SELECT c.source, c.idx, c.token,
+               CAST(c.cnt * 1000000 // n.n_tok AS BIGINT) AS p_ppm
+        FROM c JOIN n ON n.source = c.source AND n.idx = c.idx
+    ),
+    contrib AS (
+        SELECT source, idx AS pair, token, p_ppm AS cur, 0 AS prev
+        FROM p WHERE idx >= 1
+        UNION ALL
+        SELECT source, idx + 1 AS pair, token, 0 AS cur, p_ppm AS prev
+        FROM p WHERE idx + 1 <= 11
+    ),
+    per_tok AS (
+        SELECT source, pair, token,
+               CAST(SUM(cur) AS BIGINT) AS cur, CAST(SUM(prev) AS BIGINT) AS prev
+        FROM contrib GROUP BY 1, 2, 3
+    ),
+    tv AS (
+        SELECT source, pair,
+               CAST(SUM(abs(cur - prev)) // 2 AS BIGINT) AS mom_tv_ppm
+        FROM per_tok GROUP BY source, pair
+    ),
+    stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(mom_tv_ppm) AS BIGINT) AS sum_tv
+        FROM tv GROUP BY source
+    )
+    SELECT tv.source, CAST(tv.pair AS INTEGER) AS month_idx,
+           tv.mom_tv_ppm,
+           tv.mom_tv_ppm * stats.n_pairs * 10 > stats.sum_tv * 15 AS is_spike
+    FROM tv JOIN stats ON stats.source = tv.source
+    """,
+)
+def x93_drift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 drift changepoint detection: month-over-month total-variation
+
+    between CONSECUTIVE slices of each source (x89 compares each slice to
+    the source's whole history; this compares neighbors, which localizes
+    WHEN the mix changed), with a spike flag when a month's delta exceeds
+    1.5x the source's mean delta — all integer arithmetic (the flag
+    cross-multiplies: tv·n_pairs·10 > Σtv·15, no division, no floats).
+
+    The consecutive-month pairing uses no self-join: every (source, idx,
+    token) probability row is emitted into TWO pair slots (as ``cur`` of
+    pair idx, as ``prev`` of pair idx+1) and one aggregate per
+    (source, pair, token) reunites the sides — absent tokens contribute
+    their full mass through the zero-filled other column. One corpus
+    explode, then everything is vocabulary x months-sized.
+
+    Scale shape: the (source, idx, token) count is the single
+    corpus-proportional exchange, localCheckpoint'd (x65 rule) for its
+    two consumers (slice totals + the probability table); the
+    contribution union doubles only the VOCAB-sized table, not the
+    corpus; per-source stats ride a broadcast join."""
+    t = fixtures(spark, sf_dir)
+    c = (
+        t.documents.select(
+            "source",
+            F.expr(SPARK_MIDX).alias("idx"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("source", "idx", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n = c.groupBy("source", "idx").agg(F.sum("cnt").alias("n_tok"))
+    p = c.join(n, ["source", "idx"]).select(
+        "source",
+        "idx",
+        "token",
+        F.expr("CAST(cnt * 1000000 div n_tok AS BIGINT)").alias("p_ppm"),
+    )
+    cur = p.filter(F.col("idx") >= 1).select(
+        "source",
+        F.col("idx").alias("pair"),
+        "token",
+        F.col("p_ppm").alias("cur"),
+        F.lit(0).cast("bigint").alias("prev"),
+    )
+    prev = p.filter(F.col("idx") + 1 <= 11).select(
+        "source",
+        (F.col("idx") + 1).alias("pair"),
+        "token",
+        F.lit(0).cast("bigint").alias("cur"),
+        F.col("p_ppm").alias("prev"),
+    )
+    per_tok = (
+        cur.unionByName(prev)
+        .groupBy("source", "pair", "token")
+        .agg(F.sum("cur").alias("c2"), F.sum("prev").alias("p2"))
+    )
+    tv = per_tok.groupBy("source", "pair").agg(
+        F.expr("CAST(SUM(abs(c2 - p2)) div 2 AS BIGINT)").alias("mom_tv_ppm")
+    )
+    stats = F.broadcast(
+        tv.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("mom_tv_ppm").cast("long").alias("sum_tv"),
+        )
+    )
+    return tv.join(stats, "source").select(
+        "source",
+        F.col("pair").cast("int").alias("month_idx"),
+        "mom_tv_ppm",
+        (
+            F.col("mom_tv_ppm") * F.col("n_pairs") * 10
+            > F.col("sum_tv") * 15
+        ).alias("is_spike"),
+    )

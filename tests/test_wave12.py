@@ -120,3 +120,19 @@ def test_x89_tv_is_valid_ppm_and_covers_months(spark):
     for r in rows:
         assert 0 <= r["tv_ppm"] <= 1_000_000, r
         assert r["n_tokens"] > 0
+
+
+def test_x93_changepoint_semantics(spark):
+    """Month-over-month TV: pairs cover indices 1..11 per source, values
+    are valid ppm, and the spike flag is exactly the 1.5x-mean rule."""
+    rows = QUERIES["x93_drift_changepoint"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        assert sorted(r["month_idx"] for r in rs) == list(range(1, 12)), source
+        mean = sum(r["mom_tv_ppm"] for r in rs) / len(rs)
+        for r in rs:
+            assert 0 <= r["mom_tv_ppm"] <= 1_000_000
+            assert r["is_spike"] == (r["mom_tv_ppm"] > 1.5 * mean), (source, r)

@@ -148,7 +148,11 @@ def main() -> None:
             try:
                 samples[name].append(run(name))
             except Exception as exc:  # noqa: BLE001 — isolate, report, go on
-                errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+                # (str(exc).splitlines() or [""]) — an exception with an
+                # EMPTY message would otherwise IndexError inside this
+                # handler and kill the whole run (review r7)
+                first = (str(exc).splitlines() or [""])[0]
+                errors[name] = f"{type(exc).__name__}: {first[:300]}"
             # Release the finished plan's Python refs NOW: several queries
             # localCheckpoint intermediates, whose executor blocks are only
             # freed once ContextCleaner sees the JVM refs drop — which waits
@@ -228,6 +232,18 @@ def summary_line(
     if len(line) > budget:
         summary.pop("queries")
         summary["queries_in"] = "BENCH_local.json"
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > budget:
+        # final rung (review r7): a systemic failure can populate many
+        # ~330-char error entries — summarize to count + first error so
+        # the line NEVER outgrows the driver's tail capture; full errors
+        # stay in BENCH_local.json.
+        first_err = next(iter(errors.items()), ("", ""))
+        summary["errors"] = {
+            "n_errors": len(errors),
+            "first": f"{first_err[0]}: {first_err[1][:200]}",
+            "details_in": "BENCH_local.json",
+        }
         line = json.dumps(summary, separators=(",", ":"))
     return line
 

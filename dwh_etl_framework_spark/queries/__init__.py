@@ -373,6 +373,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x64_event_hourly_profile",
     "x65_source_drift_tv",
     "x89_drift_timeline",
+    "x91_column_profile",
     "x92_vocab_novelty",
     "x66_split_leakage",
     "x68_text_vector_consistency",
@@ -387,9 +388,6 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x86_cms_topk",
     "x87_repeated_spans",
     "x88_histogram_quantiles",
-    "x89_drift_timeline",
-    "x91_column_profile",
-    "x92_vocab_novelty",
 ])
 
 

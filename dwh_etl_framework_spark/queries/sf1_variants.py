@@ -42,9 +42,9 @@ K16, BANDS4, ROWS4 = 16, 4, 4
 
 #: deterministic id slices for the tiers whose cost is per-row x 64.
 DOC_PRED_DUCK = "substr(md5('ds:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'"
-#: vectors: quarter slice — the half slice left the x06s bucket join and
+#: vectors: QUARTER slice — a half slice left the x06s bucket join and
 #: the x32s query x pool x dim product past the sf1 oracle budget
-#: (measured this round: x06s killed at 590 s, x32s ~9 min).
+#: (measured this round: x06s killed at 590 s, x32s ~9 min at half).
 VEC_PRED_DUCK = "substr(md5('vs:' || CAST(vec_id AS VARCHAR)), 1, 1) < '4'"
 
 
@@ -326,10 +326,9 @@ def x04s_simhash_docsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06s_embedding_near_dup_sampled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """X1/X2 portable hyperplane near-dup over the deterministic md5-half
-
-    of VECTORS at 8 hyperplanes — the x06d pipeline (same
-    ``lsh_near_dup_pairs_portable``) with the dim-unnest shrunk 4x and
+    """X1/X2 portable hyperplane near-dup over the deterministic
+    md5-QUARTER of VECTORS at 8 hyperplanes — the x06d pipeline (same
+    ``lsh_near_dup_pairs_portable``) with the dim-unnest shrunk 4x (quarter slice) and
     256-way buckets (6-bit buckets over the sf1 pool made the candidate
     pair join blow past the oracle budget; 2 more planes shrink mean
     bucket occupancy ~4x at a recall cost the sweep accepts)."""
@@ -388,11 +387,12 @@ def x06s_embedding_near_dup_sampled(
     """,
 )
 def x32s_knn_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact k-NN join over the md5-half vector pool — the x32 shape
+    """X2 exact k-NN join over the md5-QUARTER vector pool — the x32
 
-    (same ``similarity.knn_join``, exact fixed-point cosine) with the
-    query x corpus x dim expansion cut 4x so the oracle holds at sf1
-    comfortably (the half pool ran ~9 min in DuckDB)."""
+    shape (same ``similarity.knn_join``, exact fixed-point cosine) with
+    the query x corpus x dim expansion cut 4x so the oracle holds at sf1
+    comfortably (a half pool measured ~9 min in DuckDB; the quarter runs
+    in ~1)."""
     t = fixtures(spark, sf_dir)
     pool = t.embeddings.filter(_vec_pred())
     return similarity.knn_join(

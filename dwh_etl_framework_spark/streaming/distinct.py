@@ -141,14 +141,22 @@ def fold_histogram_batch(
     batch_id: int,
     group_cols: list[str],
     bucket_expr: str,
+    run_id: str = "",
 ) -> bool:
     """Apply one micro-batch to the persisted histogram, exactly once.
 
     Returns True if the batch was folded, False if it was skipped as a
     re-execution (its batch_id was already recorded in the state). The
-    guard column ``__last_batch_id`` rides in the same parquet overwrite
-    as the counters, so a crash at any point leaves guard and counters
-    consistent: either both reflect the batch or neither does.
+    guard columns ride in the same parquet overwrite as the counters, so
+    a crash at any point leaves guard and counters consistent: either
+    both reflect the batch or neither does.
+
+    ``run_id`` scopes the batch_id (the Delta-style (appId, version)
+    transaction pattern): foreachBatch batch_ids restart at 0 whenever
+    the stream gets a FRESH checkpoint, so comparing ids across
+    checkpoint generations is meaningless — a new run_id accepts the
+    incoming batch regardless of the stored id and re-stamps the state.
+    ``stream_histogram`` passes its checkpoint dir as the run identity.
     """
     from pyspark.sql import functions as F
 
@@ -157,13 +165,21 @@ def fold_histogram_batch(
     stored = state.read()
     hist_state = stored
     if stored is not None and "__last_batch_id" in stored.columns:
-        last = stored.agg(F.max("__last_batch_id")).first()[0]
-        if last is not None and batch_id <= last:
+        head = stored.select(
+            F.max("__last_batch_id").alias("b"),
+            F.any_value("__run_id").alias("r")
+            if "__run_id" in stored.columns
+            else F.lit(None).alias("r"),
+        ).first()
+        same_run = head["r"] == run_id
+        if same_run and head["b"] is not None and batch_id <= head["b"]:
             return False  # at-least-once re-execution — already applied
-        hist_state = stored.drop("__last_batch_id")
+        hist_state = stored.drop("__last_batch_id", "__run_id")
     merged = update_histogram(hist_state, batch_df, group_cols, bucket_expr)
     state.write(
-        merged.withColumn("__last_batch_id", F.lit(batch_id)).coalesce(1)
+        merged.withColumn("__last_batch_id", F.lit(batch_id))
+        .withColumn("__run_id", F.lit(run_id))
+        .coalesce(1)
     )
     return True
 
@@ -174,9 +190,8 @@ def current_histogram(state: StreamMasterState) -> DataFrame | None:
     stored = state.read()
     if stored is None:
         return None
-    if "__last_batch_id" in stored.columns:
-        return stored.drop("__last_batch_id")
-    return stored
+    drop = [c for c in ("__last_batch_id", "__run_id") if c in stored.columns]
+    return stored.drop(*drop) if drop else stored
 
 
 def stream_histogram(
@@ -191,7 +206,10 @@ def stream_histogram(
     time without touching raw history."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_histogram_batch(state, batch_df, batch_id, group_cols, bucket_expr)
+        fold_histogram_batch(
+            state, batch_df, batch_id, group_cols, bucket_expr,
+            run_id=checkpoint_dir,
+        )
 
     return (
         stream.writeStream.foreachBatch(fold)

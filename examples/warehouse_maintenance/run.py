@@ -89,6 +89,15 @@ def maintain(spark, sf_dir: str, dest: str):
 
     import pyarrow.parquet as pq
 
+    from datetime import datetime
+
+    epoch = datetime(1995, 1, 1)
+
+    def day_nr(ts):
+        # footer stats for o_orderdate are timestamps; the probe box is in
+        # days since 1995-01-01 (the x82 Morton axis)
+        return (ts - epoch).days
+
     n_files = n_skipped = 0
     for p in _glob.glob(f"{dest}/*.parquet"):
         meta = pq.ParquetFile(p).metadata
@@ -97,15 +106,18 @@ def maintain(spark, sf_dir: str, dest: str):
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(cols["o_custkey"]).statistics
             spans_ck.append((st.min, st.max))
-        # day_nr is derived, not stored: recompute bounds from the date col
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(cols["o_orderdate"]).statistics
-            spans_day.append((st.min, st.max))
+            std = meta.row_group(rg).column(cols["o_orderdate"]).statistics
+            spans_day.append((day_nr(std.min), day_nr(std.max)))
         n_files += 1
+        # a file is skipped when EITHER probe dimension excludes every one
+        # of its row groups — the same 2-D rule the x82 audit applies
         skip_ck = all(
             lo > PROBE_CK_HI or hi < PROBE_CK_LO for lo, hi in spans_ck
         )
-        n_skipped += skip_ck
+        skip_day = all(
+            lo > PROBE_DAY_HI or hi < PROBE_DAY_LO for lo, hi in spans_day
+        )
+        n_skipped += skip_ck or skip_day
     report["n_files"] = n_files
     report["n_skipped_by_probe"] = n_skipped
     return report

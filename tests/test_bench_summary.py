@@ -56,3 +56,18 @@ def test_mid_overflow_drops_precision_before_map():
     parsed = json.loads(line)
     assert "queries" in parsed
     assert parsed["queries"]["q00_name"] == 1.23
+
+
+def test_many_errors_still_fit_budget():
+    """Final degradation rung (review r7): a systemic failure filling the
+    errors dict with long messages must still produce an under-budget,
+    valid-JSON line — errors collapse to count + first + file pointer."""
+    errors = {
+        f"q{i:02d}_name": "AnalysisException: " + "x" * 300 for i in range(12)
+    }
+    line = summary_line({}, errors, 0.1, 51)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] is None
+    assert parsed["errors"]["n_errors"] == 12
+    assert parsed["errors"]["details_in"] == "BENCH_local.json"

@@ -221,3 +221,30 @@ def test_histogram_batch_id_guard_blocks_reexecution(spark, tmp_path):
     assert sum(_hist_dict(current_histogram(state)).values()) == sum(
         after_both.values()
     ) + 7
+
+
+def test_histogram_guard_is_scoped_to_run_identity(spark, tmp_path):
+    """Review r7: batch_ids restart at 0 under a FRESH checkpoint, so a
+    guard keyed on batch_id alone would silently DROP genuinely new
+    batches folded under a new run identity. A different run_id must
+    accept batch 0 even when the stored id is higher; the same run_id
+    must still dedupe."""
+    from dwh_etl_framework_spark.streaming.distinct import (
+        current_histogram,
+        fold_histogram_batch,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    state = StreamMasterState(spark, str(tmp_path / "hist_runs"))
+    b = events.limit(50)
+    assert fold_histogram_batch(state, b, 5, ["event_type"], BUCKET_EXPR, run_id="ckpt-A")
+    n_after_a = sum(_hist_dict(current_histogram(state)).values())
+    # same run, replayed id: skipped
+    assert not fold_histogram_batch(state, b, 5, ["event_type"], BUCKET_EXPR, run_id="ckpt-A")
+    # NEW run identity, batch_id restarts at 0: must fold, not drop
+    assert fold_histogram_batch(state, b, 0, ["event_type"], BUCKET_EXPR, run_id="ckpt-B")
+    assert sum(_hist_dict(current_histogram(state)).values()) == 2 * n_after_a
+    # and the new run now dedupes on its own ids
+    assert not fold_histogram_batch(state, b, 0, ["event_type"], BUCKET_EXPR, run_id="ckpt-B")

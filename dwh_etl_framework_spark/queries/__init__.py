@@ -168,6 +168,11 @@ from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 #: in-window x66 + local oracle) and x72 (join-prefilter evidence stays
 #: via the in-window r14b + the dedicated bloom tests + local oracle).
 #: Exits all carry CORRECTNESS_r06 rows, per the WINDOW_EVER protocol.
+#: Round-7d rotation: x93 (drift changepoint — consecutive-slice TV with
+#: the integer spike rule, dual-SF hash-proven in PARITY_r07 +
+#: PARITY_sf1) replaces x54 (BPE-merge evidence stays via its local
+#: oracle + dedicated tests; the token-stat report tier keeps x51 PMI
+#: and x92 novelty in-window). x54 carries its CORRECTNESS_r06 row.
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -210,7 +215,7 @@ DRIVER_WINDOW: list[str] = [
     "r14b_regional_supply_chain",
     "r20c_lateral_topk",
     "f24_incremental_agg",
-    "x54_bpe_merge_step",
+    "x93_drift_changepoint",
     "x68_text_vector_consistency",
     # round-7 re-entrants (never driver-run despite past window
     # membership — the VERDICT r6 item-2 violation class): PMI
@@ -375,6 +380,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x89_drift_timeline",
     "x91_column_profile",
     "x92_vocab_novelty",
+    "x93_drift_changepoint",
     "x66_split_leakage",
     "x68_text_vector_consistency",
     "x72_bloom_prefilter_join",

@@ -186,8 +186,13 @@ def x03s_minhash_lsh_portable16(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures_portable(
         t.documents, "text", "doc_id", n=3, k=K16
     )
+    # max_bucket_size=None: the DuckDB oracle has no bucket cap, so a cap
+    # activation on the Spark side would surface as a confusing parity
+    # hash mismatch instead of the perf signal it is (ADVICE r7). The
+    # full-strength production tiers keep the cap.
     return dedup.lsh_candidate_pairs(
-        sigs, "doc_id", bands=BANDS4, rows_per_band=ROWS4, est_threshold=0.5
+        sigs, "doc_id", bands=BANDS4, rows_per_band=ROWS4, est_threshold=0.5,
+        max_bucket_size=None,
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
@@ -248,8 +253,10 @@ def x04s_simhash_docsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (the sweep's point), sparse at sf0.01 where the unsampled
     x04b carries the evidence."""
     t = fixtures(spark, sf_dir)
+    # uncapped: oracle twin rule (see x03s) — the oracle has no bucket cap
     return dedup.simhash_portable_pairs(
-        t.documents.filter(_doc_pred()), "text", "doc_id", max_hamming=3
+        t.documents.filter(_doc_pred()), "text", "doc_id", max_hamming=3,
+        max_bucket_size=None,
     )
 
 
@@ -333,9 +340,11 @@ def x06s_embedding_near_dup_sampled(
     pair join blow past the oracle budget; 2 more planes shrink mean
     bucket occupancy ~4x at a recall cost the sweep accepts)."""
     t = fixtures(spark, sf_dir)
+    # uncapped: oracle twin rule (see x03s) — the oracle has no bucket cap
     return similarity.lsh_near_dup_pairs_portable(
         t.embeddings.filter(_vec_pred()),
         dim=64, n_planes=8, n_tables=4, threshold=0.4,
+        max_bucket_size=None,
     )
 
 
@@ -483,6 +492,8 @@ def x50s_incremental_dedup16(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.lsh_candidate_pairs_cross(
             sig_c, sig_b, "doc_id", bands=BANDS4, rows_per_band=ROWS4,
             est_threshold=0.5,
+            # uncapped: oracle twin rule (see x03s) — no cap in the oracle
+            max_bucket_size=None,
         )
         .select(F.col("doc_batch").alias("doc_id"))
         .distinct()

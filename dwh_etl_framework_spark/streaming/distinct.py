@@ -147,9 +147,11 @@ def fold_histogram_batch(
 
     Returns True if the batch was folded, False if it was skipped as a
     re-execution (its batch_id was already recorded in the state). The
-    guard columns ride in the same parquet overwrite as the counters, so
-    a crash at any point leaves guard and counters consistent: either
-    both reflect the batch or neither does.
+    guard columns ride in the same state version as the counters, and
+    ``StreamMasterState.write`` publishes each version atomically
+    (pointer-file commit protocol — a crash mid-write leaves the previous
+    version live), so guard and counters stay consistent through any
+    crash: either both reflect the batch or neither does.
 
     ``run_id`` scopes the batch_id (the Delta-style (appId, version)
     transaction pattern): foreachBatch batch_ids restart at 0 whenever

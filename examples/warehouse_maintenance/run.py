@@ -109,15 +109,17 @@ def maintain(spark, sf_dir: str, dest: str):
             std = meta.row_group(rg).column(cols["o_orderdate"]).statistics
             spans_day.append((day_nr(std.min), day_nr(std.max)))
         n_files += 1
-        # a file is skipped when EITHER probe dimension excludes every one
-        # of its row groups — the same 2-D rule the x82 audit applies
-        skip_ck = all(
-            lo > PROBE_CK_HI or hi < PROBE_CK_LO for lo, hi in spans_ck
+        # per ROW GROUP: a row group is pruned when EITHER probe dimension
+        # excludes it; the file is skipped iff every row group is pruned.
+        # (Evaluating each dimension file-wide undercounts: a multi-row-
+        # group file whose groups are each excluded by DIFFERENT dimensions
+        # is skippable by an engine but has no single all-excluding
+        # dimension — ADVICE r7.)
+        n_skipped += all(
+            (ck_lo > PROBE_CK_HI or ck_hi < PROBE_CK_LO)
+            or (d_lo > PROBE_DAY_HI or d_hi < PROBE_DAY_LO)
+            for (ck_lo, ck_hi), (d_lo, d_hi) in zip(spans_ck, spans_day)
         )
-        skip_day = all(
-            lo > PROBE_DAY_HI or hi < PROBE_DAY_LO for lo, hi in spans_day
-        )
-        n_skipped += skip_ck or skip_day
     report["n_files"] = n_files
     report["n_skipped_by_probe"] = n_skipped
     return report

@@ -227,16 +227,24 @@ def test_dedup_clusters_forwards_convergence_params(spark):
 
 
 def test_stream_master_state_raises_on_corrupt_path(spark, tmp_path):
-    """Review-2: an existing-but-unreadable master path must raise, not be
+    """Review-2, updated for the r8 pointer-commit protocol: a PUBLISHED
+    state that cannot be read must raise, not be treated as first-run
+    (which would silently rebuild from one batch). An empty directory is
+    no longer corruption — no crash window can tear published state away
+    under the protocol, so empty means 'never published'."""
+    import shutil
 
-    treated as first-run (which would silently rebuild from one batch)."""
     from dwh_etl_framework_spark.streaming.merge import StreamMasterState
 
     path = tmp_path / "master"
-    path.mkdir()  # exists but contains no parquet: simulates torn overwrite
+    path.mkdir()
     st = StreamMasterState(spark, str(path))
+    assert st.read() is None  # pre-created empty dir = first run
+    st.write(spark.createDataFrame([(1,)], "k long"))
+    # corruption: the pointer names a version directory that is gone
+    shutil.rmtree(path / "_v1")
     with pytest.raises(Exception):
-        st.read()
+        StreamMasterState(spark, str(path)).read()
 
 
 def test_write_journal_monotonic_under_clock_skew(spark, monkeypatch):

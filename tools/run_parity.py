@@ -10,10 +10,20 @@ carry auditable proof too (VERDICT r2 "Next round" item 6).
     python tools/run_parity.py [round_no]    # writes PARITY_r{NN}.json
 
 Fields per query mirror CORRECTNESS_r{N}.json: rows_match / schema_match /
-hash_match / spark_rows / oracle_rows / err, plus "hash" (md5 of the
-canonicalized sorted rows, identical recipe for both engines) and
-"rows_only": true for queries whose semantics have no ANSI-SQL oracle
+hash_match / spark_rows / oracle_rows / err, plus "hash" (order- and
+column-order-insensitive value digest, identical recipe for both engines)
+and "rows_only": true for queries whose semantics have no ANSI-SQL oracle
 (their evidence is the dedicated pytest named in COVERAGE.md).
+
+Hash recipe (r8, NOT comparable with ≤r7 artifacts): per row, md5 of the
+repr of the canonicalized value tuple (columns in sorted-name order);
+rows combine by SUMMING the 128-bit digests mod 2^128, prefixed with the
+row count — commutative, so no global sort is needed. Values reach
+Python through Arrow (``DataFrame.toArrow`` / ``rel.fetch_arrow_table``)
+instead of row-at-a-time collect; together these cut the sf1 sweep's
+driver-side hashing ~5x (r24-class 1.5M-row outputs dominated the r7
+sweep). ``tests/test_parity_hash.py`` pins fast-path == row-path on
+every value type the registry emits.
 """
 
 from __future__ import annotations
@@ -35,6 +45,9 @@ from dwh_etl_framework_spark.session import SessionFactory  # noqa: E402
 from dwh_etl_framework_spark.sources.registry import FIXTURE_TABLES  # noqa: E402
 
 
+_MASK128 = (1 << 128) - 1
+
+
 def _canon(value):
     if value is None:
         return None
@@ -49,16 +62,49 @@ def _canon(value):
     return str(value)
 
 
-def _hash(schema_names, rows) -> str:
+def _digest(canon_rows) -> str:
+    """Order-insensitive combine: Σ md5(repr(row)) mod 2^128, plus count.
+
+    Commutative and associative, so rows hash in whatever order the
+    engine yields them — the O(n log n) Python sort the old recipe paid
+    per engine per query is gone entirely."""
+    total = n = 0
+    for t in canon_rows:
+        d = int.from_bytes(hashlib.md5(repr(t).encode()).digest(), "big")
+        total = (total + d) & _MASK128
+        n += 1
+    return f"{n}:{total:032x}"
+
+
+def _hash_rows(schema_names, rows) -> str:
+    """Row-path (collect()/fetchall() output) — fallback + test anchor."""
     order = sorted(range(len(schema_names)), key=lambda i: schema_names[i])
-    canon = sorted(
-        (tuple(_canon(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((v is None, str(v)) for v in t),
+    return _digest(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def _hash_arrow(table) -> str:
+    """Fast path: columns come out of Arrow in one C pass (to_pylist),
+    with tz-aware timestamps normalized to the naive session-local wall
+    clock that row-at-a-time collect() would have produced."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = table.schema.names
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = []
+    for i in order:
+        col = table.column(i)
+        if (
+            pa.types.is_timestamp(col.type)
+            and getattr(col.type, "tz", None) is not None
+        ):
+            col = pc.local_timestamp(col)
+        cols.append(col.to_pylist())
+    if not cols:
+        return _digest(() for _ in range(table.num_rows))
+    return _digest(
+        tuple(_canon(v) for v in row) for row in zip(*cols)
     )
-    h = hashlib.md5()
-    for row in canon:
-        h.update(repr(row).encode())
-    return h.hexdigest()
 
 
 def main() -> int:
@@ -104,19 +150,28 @@ def main() -> int:
         try:
             sdf = qd.fn(spark, sf_dir)
             scols = sorted(sdf.columns)
-            srows = [tuple(r) for r in sdf.collect()]
-            rec["spark_rows"] = len(srows)
+            try:
+                stbl = sdf.toArrow()
+                s_rows_n, s_hash = stbl.num_rows, _hash_arrow(stbl)
+            except Exception:  # Arrow-unfriendly type: row-path fallback
+                srows = [tuple(r) for r in sdf.collect()]
+                s_rows_n, s_hash = len(srows), _hash_rows(sdf.columns, srows)
+            rec["spark_rows"] = s_rows_n
             if qd.oracle is None:
                 rec["rows_only"] = True
-                rec["hash"] = _hash(sdf.columns, srows)
+                rec["hash"] = s_hash
             else:
                 rel = con.sql(qd.oracle)
-                drows = rel.fetchall()
-                rec["oracle_rows"] = len(drows)
-                rec["rows_match"] = len(srows) == len(drows)
-                rec["schema_match"] = scols == sorted(rel.columns)
-                s_hash = _hash(sdf.columns, srows)
-                d_hash = _hash(rel.columns, drows)
+                dcols = rel.columns
+                try:
+                    dtbl = rel.fetch_arrow_table()
+                    d_rows_n, d_hash = dtbl.num_rows, _hash_arrow(dtbl)
+                except Exception:
+                    drows = rel.fetchall()
+                    d_rows_n, d_hash = len(drows), _hash_rows(dcols, drows)
+                rec["oracle_rows"] = d_rows_n
+                rec["rows_match"] = s_rows_n == d_rows_n
+                rec["schema_match"] = scols == sorted(dcols)
                 rec["hash"] = s_hash
                 rec["hash_match"] = s_hash == d_hash
                 if not (rec["rows_match"] and rec["schema_match"]

@@ -1,0 +1,149 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-lite).
+
+The LSH tier (operators/dedup.py) trades recall for scale; this operator
+is the LOSSLESS counterpart: every pair with Jaccard ≥ t is returned,
+yet the all-pairs join never materializes. The prefix-filter principle
+(Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006; Xiao et al. PPJoin, WWW
+2008): pick any GLOBAL total order over the shingle universe, and for a
+document of |d| distinct shingles keep only its first
+
+    L(d) = |d| - ceil(t * |d|) + 1
+
+shingles as join keys. If J(a,b) ≥ t then |a∩b| ≥ ceil(t·max(|a|,|b|)),
+and a pair whose intersection is that large cannot hide entirely in the
+two suffixes (each only ceil(t·|d|)-1 long) — any qualifying pair MUST
+collide on at least one prefix shingle. Ordering by document frequency
+ascending makes the surviving join keys exactly the LOW-fanout shingles:
+the hot shingles that drive the naive self-join's Σ·df² blowup sort into
+the suffixes and never become keys.
+
+Shuffle discipline (the repo-wide digest rule): shingle text is md5'd to
+a 16-byte binary immediately after the explode, so every downstream
+exchange — the df count, the per-doc ranking, the candidate join, the
+verify arrays — carries fixed-width digests, never n-gram text. The
+order used for prefixes is (df, digest); ANY total order preserves
+losslessness, so swapping the text tiebreak for the digest tiebreak
+changes which prefixes are kept but not which pairs come out (the
+oracle hash proves it: DuckDB runs the naive text self-join).
+
+At 100 TB: df is one digest-keyed aggregate; prefix selection is two
+windows over doc-id partitions (bounded by doc size — no skew); the
+candidate join fans out on rare digests only; verification joins each
+candidate pair to two sorted digest arrays and intersects them in place
+(linear per pair, no re-shuffle of the shingle table). Compare
+``ngram_jaccard_pairs`` (reference x02 semantics, Σ·df² self-join) and
+``lsh_jaccard_cascade`` (probabilistic discovery): this is the
+exact-AND-scalable middle. The reference has no prefix-filter tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_etl_framework_spark.operators.dedup import shingle_table
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_prefix_df: int | None = None,
+    shingle_filter: Column | None = None,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with word-n-gram Jaccard ≥ ``threshold``.
+
+    Identical output contract to ``ngram_jaccard_pairs`` — (doc_a, doc_b,
+    n_common, n_a, n_b, jaccard) — and provably the same row set (the
+    prefix filter is lossless; md5-digest equality stands in for shingle
+    equality, the repo-wide convention since ``exact_dedup``), which is
+    exactly what the x94 oracle checks: the Spark side runs THIS plan,
+    the DuckDB side runs the naive self-join, and the hashes must agree.
+
+    ``max_prefix_df`` (optional) additionally drops prefix shingles whose
+    global document frequency exceeds the cap from the CANDIDATE join
+    keys only (verification is untouched). Unlike the LSH bucket cap this
+    can lose pairs whose every prefix shingle is capped, so it is OFF by
+    default and exists for adversarial corpora (a shingle shared by
+    millions of near-identical docs) where the operator's contract is
+    explicitly relaxed to "pairs discoverable under the cap".
+
+    ``shingle_filter`` restricts the shingle universe before everything
+    (same Broder-sampling hook as ``ngram_jaccard_pairs``, applied to the
+    TEXT shingle so it matches the oracle's sample predicate) so the sf1
+    parity twin can hold in DuckDB.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    if shingle_filter is not None:
+        sh = sh.filter(shingle_filter)
+    # digest rule: 16-byte md5 replaces the n-gram text BEFORE anything
+    # shuffles; this explode+hash feeds both the ranking chain and the
+    # verify arrays — materialize it once (PLANS.md lineage rule)
+    sh = sh.select(
+        F.col(id_col), F.unhex(F.md5(F.col("shingle"))).alias("__g")
+    ).localCheckpoint(eager=True)
+
+    # global order (df ASC, digest ASC) realized per doc: df via a
+    # digest-partition window, then size/rank via doc-partition windows
+    # (two exchanges total; both windows on the doc partition share one)
+    w_df = Window.partitionBy("__g")
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .withColumn("__n", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "__pos", F.row_number().over(w_doc.orderBy("__df", "__g"))
+        )
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(float(threshold)) * F.col("__n")).cast("int")
+        + F.lit(1)
+    )
+    pref = ranked.filter(F.col("__pos") <= prefix_len)
+    if max_prefix_df is not None:
+        pref = pref.filter(F.col("__df") <= max_prefix_df)
+    pref = pref.select(id_col, "__g")
+
+    cand = (
+        pref.select(F.col(id_col).alias("doc_a"), "__g")
+        .join(pref.select(F.col(id_col).alias("doc_b"), "__g"), "__g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # verify side: per-doc sorted digest arrays (16 B per shingle — the
+    # only place whole documents travel, and they travel as digests)
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__g")).alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")

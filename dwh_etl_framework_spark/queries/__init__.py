@@ -41,6 +41,7 @@ from dwh_etl_framework_spark.queries import wave9  # noqa: F401
 from dwh_etl_framework_spark.queries import wave10  # noqa: F401
 from dwh_etl_framework_spark.queries import wave11  # noqa: F401
 from dwh_etl_framework_spark.queries import wave12  # noqa: F401
+from dwh_etl_framework_spark.queries import wave13  # noqa: F401
 from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
@@ -173,6 +174,18 @@ from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 #: PARITY_sf1) replaces x54 (BPE-merge evidence stays via its local
 #: oracle + dedicated tests; the token-stat report tier keeps x51 PMI
 #: and x92 novelty in-window). x54 carries its CORRECTNESS_r06 row.
+#: Round-8 rotation: x94 (lossless prefix-filter set-similarity join —
+#: its oracle is the NAIVE self-join, so the driver hash certifies the
+#: filter drops no pair), x95 (exact-quota tournament sample — oracle is
+#: the single-window formulation, equality proves the tournament exact)
+#: and x96 (per-source boilerplate mining) — all dual-SF hash-proven
+#: (PARITY_r08 at sf0.01; x94's scale value evidence rides its sampled
+#: twin x94s + x95/x96 directly in the sf1 sweep, x02 precedent) —
+#: replace the three round-7 re-entrants that now carry their
+#: CORRECTNESS_r07 rows: x53 (PQ evidence stays via the in-window x42 +
+#: local oracle), x56 (calibration evidence stays via its local oracle;
+#: the quality tier keeps x83/x91 in-window), x59 (payload accounting
+#: stays via the in-window f28 + local oracle).
 DRIVER_WINDOW: list[str] = [
     # framework ops: the reference's core journal-merge protocol
     # (airflow_etl.py:131-223)
@@ -219,14 +232,15 @@ DRIVER_WINDOW: list[str] = [
     "x68_text_vector_consistency",
     # round-7 re-entrants (never driver-run despite past window
     # membership — the VERDICT r6 item-2 violation class): PMI
-    # collocations, cluster-canonical selection, JSONL roundtrip,
-    # PQ-code dedup, decile calibration, payload profile
+    # collocations, cluster-canonical selection, JSONL roundtrip
     "x51_token_pmi",
     "x52_cluster_canonical",
     "f06_jsonl_roundtrip",
-    "x53_pq_code_dedup",
-    "x56_quality_decile_calibration",
-    "x59_event_payload_profile",
+    # round-8 entrants: lossless prefix-filter join, exact-quota
+    # tournament sample, boilerplate mining
+    "x94_prefix_filter_jaccard",
+    "x95_quota_sample",
+    "x96_boilerplate_ngrams",
     # round-6d entrants: real image decode, PageRank
     "x74_image_decode",
     "x77_knn_pagerank",
@@ -394,6 +408,9 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x86_cms_topk",
     "x87_repeated_spans",
     "x88_histogram_quantiles",
+    "x94_prefix_filter_jaccard",
+    "x95_quota_sample",
+    "x96_boilerplate_ngrams",
 ])
 
 

@@ -93,6 +93,10 @@ HEADLINE = [
     "x88_histogram_quantiles",   # mergeable-histogram percentiles (r6w7)
     "f29_backfill_plan",         # type×hour gap detection (r6w6)
     "x89_drift_timeline",        # per-(source,month) TV drift (r7)
+    "x94_prefix_filter_jaccard", # lossless prefix-filter set-sim join (r9
+                                 # reshape: groupBy df + pinned-parallelism
+                                 # verify; unlike x02 this IS the scale
+                                 # plan, so the full corpus is benched)
                                  # x82/x85 are correctness-only: their
                                  # single-partition ntile/global-order
                                  # windows exist as oracle twins of the
@@ -166,11 +170,36 @@ def main() -> None:
     # (measured round 6: x02b 4.7s cold → 1.75s warm) — and with
     # median-of-3-including-cold the reported number was the still-warming
     # 2nd run. The cold pass stays visible per query in "cold_queries".
-    timings = {
-        n: round(statistics.median(v[1:] if len(v) >= 3 else v), 4)
-        for n, v in samples.items()
-        if v
-    }
+    def warm_median(v: list[float]) -> float:
+        return statistics.median(v[1:] if len(v) >= 3 else v)
+
+    timings = {n: round(warm_median(v), 4) for n, v in samples.items() if v}
+    # Outlier re-run pass (VERDICT r8 #3): a loaded machine during ONE
+    # round-robin pass can inflate a handful of medians several-fold
+    # (r8's official artifact had r26 at 7.9× its history; an isolated
+    # re-run reproduced none of it). Any query whose median exceeds 2×
+    # its previous BENCH_local value gets 3 fresh samples appended and
+    # its median recomputed over ALL warm samples — a genuine regression
+    # stays >2× (the fresh samples confirm it), transient load washes
+    # out. Re-timed names are recorded in the artifact so a still-high
+    # number is visibly a confirmed one, not a single bad pass.
+    prev_path = Path(__file__).resolve().parent / "BENCH_local.json"
+    try:
+        prev = json.loads(prev_path.read_text()).get("queries", {})
+    except Exception:  # first run / corrupt artifact: nothing to compare
+        prev = {}
+    retimed = select_outliers(timings, prev)
+    for name in retimed:
+        for _ in range(3):
+            try:
+                samples[name].append(run(name))
+            except Exception as exc:  # noqa: BLE001 — same isolation rule
+                first = (str(exc).splitlines() or [""])[0]
+                errors[name] = f"{type(exc).__name__}: {first[:300]}"
+                break
+            gc.collect()
+        if name not in errors:
+            timings[name] = round(warm_median(samples[name]), 4)
     cold = {n: round(v[0], 4) for n, v in samples.items() if v}
     total = round(sum(timings.values()), 4)
     # Full-detail artifact (cold passes, raw samples, run count) goes to a
@@ -186,6 +215,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "cold_queries": cold,
+        "retimed_outliers": retimed,
         "errors": errors,
         "raw_samples": {n: [round(x, 4) for x in v] for n, v in samples.items()},
     }
@@ -194,6 +224,21 @@ def main() -> None:
     )
     print(summary_line(timings, errors, sf, len(HEADLINE)))
     spark.stop()
+
+
+def select_outliers(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    factor: float = 2.0,
+) -> list[str]:
+    """Queries whose fresh median exceeds ``factor``× their previous
+    BENCH_local value — the re-time set of the outlier pass. A query
+    with no history (new headline entry, first run) is never an
+    outlier; a zero/falsy history value is ignored the same way."""
+    return [
+        n for n, med in timings.items()
+        if prev.get(n) and med > factor * prev[n]
+    ]
 
 
 def summary_line(

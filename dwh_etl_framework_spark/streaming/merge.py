@@ -68,14 +68,31 @@ class StreamMasterState:
         return os.path.join(self.path, self._POINTER)
 
     def _current_version(self) -> int | None:
-        """The published version number, or None when no pointer exists."""
+        """The published version number, or None when no pointer exists.
+
+        ONLY a genuinely absent pointer maps to None. A pointer that
+        exists but cannot be read or parsed (corrupt content, I/O or
+        permission error) must PROPAGATE: treating it as 'no pointer'
+        would send ``read`` down the legacy path, which sees a healthy
+        published layout (nothing but ``_v N``/``_LATEST`` entries) as
+        first-run — and the next ``write`` would then rmtree the live
+        version and rebuild the master from a single batch (ADVICE r8).
+        """
         import os
 
         try:
             with open(self._pointer_path()) as fh:
-                return int(fh.read().strip())
-        except (FileNotFoundError, NotADirectoryError, ValueError, OSError):
+                content = fh.read()
+        except (FileNotFoundError, NotADirectoryError):
             return None
+        try:
+            return int(content.strip())
+        except ValueError as exc:
+            raise ValueError(
+                f"corrupt master-state pointer {self._pointer_path()!r}: "
+                f"{content!r} — refusing to treat published state as "
+                f"first-run; repair or remove the pointer explicitly"
+            ) from exc
 
     def read(self) -> DataFrame | None:
         import os

@@ -103,12 +103,22 @@ def maintain(spark, sf_dir: str, dest: str):
         meta = pq.ParquetFile(p).metadata
         cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         spans_ck, spans_day = [], []
+        stats_ok = meta.num_row_groups > 0
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(cols["o_custkey"]).statistics
-            spans_ck.append((st.min, st.max))
             std = meta.row_group(rg).column(cols["o_orderdate"]).statistics
+            if st is None or std is None:  # stats disabled for this group
+                stats_ok = False
+                break
+            spans_ck.append((st.min, st.max))
             spans_day.append((day_nr(std.min), day_nr(std.max)))
         n_files += 1
+        # A file with zero row groups or any stats-less row group is NOT
+        # skippable (an engine must read what it cannot bound) — without
+        # the guard the empty all() below would count it as skipped and
+        # inflate n_skipped_by_probe (ADVICE r8).
+        if not stats_ok:
+            continue
         # per ROW GROUP: a row group is pruned when EITHER probe dimension
         # excludes it; the file is skipped iff every row group is pruned.
         # (Evaluating each dimension file-wide undercounts: a multi-row-

@@ -134,3 +134,32 @@ def test_registry_queries_fast_equals_slow(spark, ddb, name):
         da, dr = _duck_both(ddb, qd.oracle)
         assert da == dr, f"{name}: duckdb arrow-path != row-path"
         assert sa == da, f"{name}: spark != duckdb under new recipe"
+
+
+def test_timestamptz_fast_equals_slow_and_cross_engine(spark):
+    """ADVICE r8: tz-aware timestamps must canonicalize identically on
+    the Arrow fast path (column-level UTC normalization) and the row
+    fallback (_canon's astimezone(utc)), per engine AND across engines —
+    DuckDB's row path yields tz-AWARE datetimes where str() would keep
+    the UTC offset and spuriously mismatch."""
+    con = duckdb.connect()
+    sql = """
+        SELECT * FROM (VALUES
+          (1::BIGINT, TIMESTAMPTZ '2024-06-01 12:00:00+02:00'),
+          (2::BIGINT, TIMESTAMPTZ '1969-12-31 23:59:59.5-00:30'),
+          (3::BIGINT, NULL)
+        ) AS t(k, ts)
+    """
+    da, dr = _duck_both(con, sql)
+    assert da == dr, "duckdb arrow-path != row-path on TIMESTAMPTZ"
+    # Spark twin: same instants as session-TZ (UTC) timestamps
+    sdf = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1L, timestamp'2024-06-01 10:00:00'), "
+        "(2L, timestamp'1970-01-01 00:29:59.5'), "
+        "(3L, CAST(NULL AS timestamp)) AS t(k, ts)"
+    )
+    sa, sr = _spark_both(sdf)
+    assert sa == sr, "spark arrow-path != row-path on timestamps"
+    assert sa == da, "spark != duckdb on the same instants"
+    con.close()

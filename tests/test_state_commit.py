@@ -112,3 +112,48 @@ def test_guard_and_counters_publish_together(spark, tmp_path):
     assert hist == {("a", 1): 2, ("b", 1): 1}  # counters consistent with it
     # and the replayed batch is still recognized as applied
     assert not fold_histogram_batch(st2, batch, 0, ["g"], "v % 2", run_id="r")
+
+
+def test_corrupt_pointer_refuses_read_and_write(spark, tmp_path):
+    """ADVICE r8: a pointer that EXISTS but cannot be parsed must raise,
+    never read as 'no pointer' — the legacy fallback would see a healthy
+    published layout (only _vN/_LATEST entries) as first-run, and the
+    next write would rmtree the live version and rebuild the master from
+    one batch. Both read() and write() must refuse loudly."""
+    import pytest
+
+    path = tmp_path / "s"
+    st = StreamMasterState(spark, str(path))
+    st.write(_df(spark, [1, 2]))
+    with open(path / "_LATEST", "w") as fh:
+        fh.write("garbage\n")
+    fresh = StreamMasterState(spark, str(path))
+    with pytest.raises(ValueError, match="corrupt master-state pointer"):
+        fresh.read()
+    with pytest.raises(ValueError, match="corrupt master-state pointer"):
+        fresh.write(_df(spark, [3]))
+    # the published version dir survived both refusals
+    assert (path / "_v1").is_dir()
+    # repairing the pointer restores normal service
+    with open(path / "_LATEST", "w") as fh:
+        fh.write("1")
+    assert _vals(fresh.read()) == [1, 2]
+
+
+def test_unreadable_pointer_propagates_oserror(spark, tmp_path):
+    """A transient I/O/permission error reading _LATEST is NOT first-run
+    either (same destruction path); PermissionError must propagate."""
+    import pytest
+
+    path = tmp_path / "s"
+    st = StreamMasterState(spark, str(path))
+    st.write(_df(spark, [7]))
+    os.chmod(path / "_LATEST", 0)
+    if os.access(path / "_LATEST", os.R_OK):  # running as root: chmod 0
+        os.chmod(path / "_LATEST", 0o644)     # is a no-op, nothing to pin
+        pytest.skip("process bypasses file permissions (root)")
+    try:
+        with pytest.raises(PermissionError):
+            StreamMasterState(spark, str(path)).read()
+    finally:
+        os.chmod(path / "_LATEST", 0o644)

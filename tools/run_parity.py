@@ -28,6 +28,7 @@ every value type the registry emits.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import math
@@ -59,6 +60,15 @@ def _canon(value):
         return value.hex()
     if isinstance(value, list):
         return tuple(_canon(v) for v in value)
+    # tz-aware datetimes (TIMESTAMPTZ results reaching the ROW fallback)
+    # normalize to the naive UTC wall clock — byte-identical to what the
+    # Arrow fast path produces for tz-aware columns. Without this the two
+    # paths disagree (str() keeps the UTC offset), and a query where one
+    # engine takes Arrow while the other falls back would report a
+    # spurious hash mismatch (ADVICE r8). UTC, not system-local, so the
+    # digest is environment-independent.
+    if isinstance(value, datetime.datetime) and value.tzinfo is not None:
+        return str(value.astimezone(datetime.timezone.utc).replace(tzinfo=None))
     return str(value)
 
 
@@ -84,8 +94,10 @@ def _hash_rows(schema_names, rows) -> str:
 
 def _hash_arrow(table) -> str:
     """Fast path: columns come out of Arrow in one C pass (to_pylist),
-    with tz-aware timestamps normalized to the naive session-local wall
-    clock that row-at-a-time collect() would have produced."""
+    with tz-aware timestamps normalized to the naive UTC wall clock —
+    the same normalization ``_canon`` applies to tz-aware datetimes on
+    the row path, so the two paths agree on TIMESTAMPTZ whichever one
+    each engine happens to take (ADVICE r8)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -98,7 +110,9 @@ def _hash_arrow(table) -> str:
             pa.types.is_timestamp(col.type)
             and getattr(col.type, "tz", None) is not None
         ):
-            col = pc.local_timestamp(col)
+            col = pc.local_timestamp(
+                col.cast(pa.timestamp(col.type.unit, tz="UTC"))
+            )
         cols.append(col.to_pylist())
     if not cols:
         return _digest(() for _ in range(table.num_rows))

@@ -270,7 +270,12 @@ def minhash_signatures(
 
 
 def minhash_signatures_portable(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 64,
+    shingle_filter: Column | None = None,
 ) -> DataFrame:
     """X1 MinHash, cross-engine-reproducible flavor: component ``i`` of the
 
@@ -284,8 +289,15 @@ def minhash_signatures_portable(
     Returns (id, signature: array<string>), consumable by
     ``lsh_candidate_pairs`` unchanged: band collisions only depend on
     slice EQUALITY, which md5-string and xxhash64 signatures agree on.
+
+    ``shingle_filter`` restricts the shingle universe before the minima
+    (the same Broder-sampling hook as ``ngram_jaccard_pairs`` /
+    ``prefix_filter_jaccard_pairs``) so sampled sf1 twins keep every
+    dedup tier on one universe.
     """
     sh = shingle_table(df, text_col, id_col, n)
+    if shingle_filter is not None:
+        sh = sh.filter(shingle_filter)
     shingle_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),

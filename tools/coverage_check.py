@@ -15,6 +15,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from dwh_etl_framework_spark.queries import (  # noqa: E402
     DRIVER_WINDOW,
     QUERIES,
+    SF1_EXCLUDED,
+    SF1_SWEEP,
     WINDOW_EVER,
 )
 
@@ -131,6 +133,56 @@ def check_parity_artifact_fresh() -> list[str]:
     return []
 
 
+def check_sf1_sweep_evidence() -> list[str]:
+    """Claimed sf1 evidence must exist as artifact rows (VERDICT r8 #1:
+    the round-8 rotation note claimed wave-13 queries rode 'the sf1
+    sweep' while PARITY_sf1.json predated them — claims and artifacts
+    must not diverge). Three-way invariant:
+
+      1. every SF1_SWEEP member has a GREEN row in PARITY_sf1.json;
+      2. PARITY_sf1.json contains no row outside SF1_SWEEP (a stale
+         artifact covering renamed/retired queries fails too);
+      3. every SF1_EXCLUDED entry maps to a registered twin that is
+         itself in the sweep (the excluded operator's scale evidence
+         actually exists somewhere).
+    """
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    artifact = repo / "PARITY_sf1.json"
+    if not artifact.exists():
+        return ["PARITY_sf1.json missing — run the sf1 sweep "
+                "(tools/run_parity.py --subset <SF1_SWEEP> --out PARITY_sf1.json)"]
+    rows = json.loads(artifact.read_text())
+    problems = []
+    missing = sorted(SF1_SWEEP - set(rows))
+    if missing:
+        problems.append(
+            f"SF1_SWEEP members without a PARITY_sf1.json row: {missing} — "
+            "regenerate the sf1 artifact"
+        )
+    extra = sorted(set(rows) - SF1_SWEEP)
+    if extra:
+        problems.append(
+            f"PARITY_sf1.json rows outside SF1_SWEEP: {extra} — stale artifact"
+        )
+    red = sorted(
+        n for n in SF1_SWEEP & set(rows)
+        if rows[n].get("err") or rows[n].get("hash_match") is not True
+    )
+    if red:
+        problems.append(f"non-green PARITY_sf1.json rows: {red}")
+    bad_twins = sorted(
+        f"{k} -> {v}" for k, v in SF1_EXCLUDED.items()
+        if v not in QUERIES or v not in SF1_SWEEP
+    )
+    if bad_twins:
+        problems.append(
+            f"SF1_EXCLUDED twins not registered or not in the sweep: {bad_twins}"
+        )
+    return problems
+
+
 def main() -> int:
     text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     mentioned = set(re.findall(r"`([frx]\d{2}[a-z0-9_]*)`", text))
@@ -159,6 +211,7 @@ def main() -> int:
         + check_post_window_evidence()
         + check_window_exit_evidence()
         + check_parity_artifact_fresh()
+        + check_sf1_sweep_evidence()
     )
     if window_problems:
         for p in window_problems:

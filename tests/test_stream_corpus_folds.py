@@ -1,0 +1,167 @@
+"""Streaming twins of x95 (quota sample) and x96 (boilerplate dfs).
+
+Invariants (the repo's streaming twin rule):
+
+1. **Replay ≡ batch**: streaming the documents in 4 slices yields the
+   same quota sample / boilerplate report as one batch pass.
+2. **Idempotent re-delivery (quota)**: the bottom-k reservoir is a
+   set-merge — re-streaming every slice through a FRESH checkpoint
+   leaves the state unchanged, no guard needed (the HLL property).
+3. **Guarded re-delivery (dfreq)**: SUM counters are not idempotent —
+   re-applying a batch_id within a run is a recorded no-op.
+4. **Bounded state**: quota state ≤ n rows per stratum; dfreq state is
+   vocabulary-sized (counters), never documents.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators import sampling
+from dwh_etl_framework_spark.streaming.corpus_folds import (
+    batch_dfreq,
+    current_boilerplate,
+    fold_dfreq_batch,
+    stream_dfreq,
+    stream_quota_sample,
+    update_quota,
+)
+from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+from conftest import SF_DIR
+
+DOC_SCHEMA = "doc_id long, source string, text string"
+
+
+def _write_doc_slices(spark, base_dir: str) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    for i in range(4):
+        path = f"{base_dir}/slice_{i}.parquet"
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+
+def _doc_stream(spark, src: str):
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+
+
+def _quota_dict(df):
+    return {(r["source"], r["doc_id"]): r["rk"] for r in df.collect()}
+
+
+def _run_quota(spark, src, state_path, ckpt):
+    state = StreamMasterState(spark, state_path)
+    q = stream_quota_sample(
+        _doc_stream(spark, src), state, ckpt, ["source"], "doc_id", 10
+    )
+    q.awaitTermination(120)
+    return state
+
+
+def test_stream_quota_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_doc_slices(spark, src)
+    state = _run_quota(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    whole = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = sampling.quota_sample(
+        whole, ["source"], "doc_id", n_per_stratum=10, salt="quota:"
+    ).select("source", "doc_id", "rk")
+    assert _quota_dict(state.read()) == _quota_dict(batch)
+    # bounded state: ≤ n rows per stratum
+    per = state.read().groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+
+
+def test_stream_quota_redelivery_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_doc_slices(spark, src)
+    state_path = str(tmp_path / "state")
+    state = _run_quota(spark, src, state_path, str(tmp_path / "ckpt1"))
+    before = _quota_dict(state.read())
+    # fresh checkpoint: every slice re-delivers; set-merge must not move
+    state2 = _run_quota(spark, src, state_path, str(tmp_path / "ckpt2"))
+    assert _quota_dict(state2.read()) == before
+
+
+def test_update_quota_pure_fold_matches(spark):
+    whole = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    st = None
+    for i in range(4):
+        st = update_quota(
+            st, whole.filter(F.col("doc_id") % 4 == i), ["source"],
+            "doc_id", 10,
+        )
+    direct = sampling.quota_sample(
+        whole, ["source"], "doc_id", n_per_stratum=10, salt="quota:"
+    ).select("source", "doc_id", "rk")
+    assert _quota_dict(st) == _quota_dict(direct)
+
+
+def _report_dict(df):
+    return {
+        (r["source"], r["shingle"]): (
+            r["df"], r["n_docs"], r["is_boilerplate"], r["rk"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_stream_dfreq_report_equals_batch_x96(spark, tmp_path):
+    from dwh_etl_framework_spark.queries.wave13 import x96_boilerplate_ngrams
+
+    src = str(tmp_path / "src")
+    _write_doc_slices(spark, src)
+    state = StreamMasterState(spark, str(tmp_path / "state"))
+    q = stream_dfreq(
+        _doc_stream(spark, src), state, str(tmp_path / "ckpt"),
+        "text", "doc_id", "source",
+    )
+    q.awaitTermination(180)
+    live = current_boilerplate(state)
+    batch = x96_boilerplate_ngrams(spark, SF_DIR)
+    assert _report_dict(live) == _report_dict(batch)
+
+
+def test_fold_dfreq_guard_blocks_redelivery(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    state = StreamMasterState(spark, str(tmp_path / "state"))
+    assert fold_dfreq_batch(
+        state, docs, 0, "text", "doc_id", "source", run_id="run-a"
+    )
+    before = {
+        (r["source"], r["shingle"]): r["cnt"] for r in state.read().collect()
+    }
+    # same run, same batch_id: at-least-once re-execution → no-op
+    assert not fold_dfreq_batch(
+        state, docs, 0, "text", "doc_id", "source", run_id="run-a"
+    )
+    after = {
+        (r["source"], r["shingle"]): r["cnt"] for r in state.read().collect()
+    }
+    assert after == before
+
+
+def test_batch_dfreq_counters_are_corpus_free(spark):
+    """State schema check: counters only — (source, shingle, cnt) with
+    NULL-shingle doc-count rows; no text column ever reaches the state."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    contrib = batch_dfreq(docs, "text", "doc_id", "source")
+    assert set(contrib.columns) == {"source", "shingle", "cnt"}
+    nd = contrib.filter(F.col("shingle").isNull()).count()
+    assert nd == docs.select("source").distinct().count()

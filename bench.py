@@ -185,7 +185,11 @@ def main() -> None:
     # number is visibly a confirmed one, not a single bad pass.
     prev_path = Path(__file__).resolve().parent / "BENCH_local.json"
     try:
-        prev = json.loads(prev_path.read_text()).get("queries", {})
+        prev_doc = json.loads(prev_path.read_text())
+        # only same-SF history is comparable — an sf1 scale run after an
+        # sf0.1 round would otherwise flag nearly every query (the ~3x
+        # scale factor is not machine noise)
+        prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
     except Exception:  # first run / corrupt artifact: nothing to compare
         prev = {}
     retimed = select_outliers(timings, prev)

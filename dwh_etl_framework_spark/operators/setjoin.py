@@ -125,6 +125,17 @@ def prefix_filter_jaccard_pairs(
     # checkpoint.
     pref = pref.select(id_col, "__g").localCheckpoint(eager=True)
 
+    # Candidate generation stays the bare pair-distinct. The textbook
+    # candidate-time prunes (SSJoin length filter, PPJoin positional
+    # upper bound per collision) were implemented and A/B-measured in
+    # round 9: on this corpus they prune only ~25% of the 4M sf1
+    # candidate pairs (near-dup clusters are SAME-length templated docs,
+    # so length/position bounds barely bite) while widening the
+    # pre-distinct shuffle by four ints — net LOSS (sf0.1 warm 6.3 s →
+    # 8.3 s, sf1 45.6 s → 49.6 s). The cheap length filter still runs in
+    # the verify stage below, where it costs nothing extra. Candidate
+    # count itself scales linearly with corpus size here (409k at sf0.1
+    # → 4.09M at sf1), so the join's work tracks output, not Σ·df².
     cand = (
         pref.select(F.col(id_col).alias("doc_a"), "__g")
         .join(pref.select(F.col(id_col).alias("doc_b"), "__g"), "__g")

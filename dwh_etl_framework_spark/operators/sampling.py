@@ -62,3 +62,71 @@ def quota_sample(
         .filter(F.col("rk") <= n_per_stratum)
         .drop("__h", "__shard")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample:",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the n
+    rows with the smallest weighted keys, where a row of integer weight
+    w gets key = min over j ∈ [1, w] of md5(salt || id || ':' || j).
+
+    This is uniform bottom-n over the weight-REPLICATED multiset
+    (Cohen/Kaplan bottom-k sketches; the integer-weight analogue of
+    Efraimidis–Sirvola's u^(1/w) keys, with no libm in sight): the
+    probability a given row owns the global minimum is exactly
+    w_i / Σw, and successive minima realize weighted sampling without
+    replacement. Every guarantee of ``quota_sample`` carries over —
+    pure function of (salt, id, w), mergeable bottom-k (growth can only
+    displace the largest kept key), tournament execution (no global
+    sort task) — plus one new EXACT property the tests pin: increasing
+    a row's weight adds candidate hashes and so can only LOWER its key,
+    i.e. never worsen its rank.
+
+    The w hash candidates are generated map-side as an array transform
+    (``F.transform(F.sequence(...))`` + ``array_min``) — no explode, no
+    shuffle growth; the per-row cost is O(w), so weights are assumed
+    modest integers (quality scores, duplication counts — the training-
+    mix use case; cap upstream if a source can produce huge weights).
+    Rows with weight < 1 are excluded (weight 0 = never sample).
+
+    Output: the input columns plus ``wkey`` (the hex key — the audit
+    column showing WHY a row won) and ``rk`` (1-based global rank).
+    """
+    w = F.col(weight_col).cast("long")
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    ranked = (
+        df.filter(w >= 1)
+        .withColumn("wkey", key)
+        .withColumn("__shard", shard)
+    )
+    w1 = Window.partitionBy("__shard").orderBy("wkey")
+    survivors = (
+        ranked.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__r1")
+    )
+    w2 = Window.orderBy("wkey")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= n)
+        .drop("__shard")
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dwh_etl_framework_spark.operators import dedup, setjoin
+from dwh_etl_framework_spark.operators import dedup, sampling, setjoin
 from dwh_etl_framework_spark.queries.registry import fixtures, query
 
 #: exact half = the naive self-join (x02/x94 oracle, shared ``sh``
@@ -207,3 +207,50 @@ def x97s_cascade_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__hit"), F.lit(False)).alias("lsh_recalled"),
         )
     )
+
+
+@query(
+    "x98_weighted_sample",
+    oracle="""
+    WITH wts AS (
+        SELECT doc_id, GREATEST(1, LEAST(8, n_chars // 256)) AS w
+        FROM documents
+    ),
+    expanded AS (
+        SELECT doc_id, w, unnest(generate_series(1, CAST(w AS INTEGER))) AS j
+        FROM wts
+    ),
+    keys AS (
+        SELECT doc_id, ANY_VALUE(w) AS w,
+               MIN(md5('ws:' || CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(j AS VARCHAR))) AS wkey
+        FROM expanded GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, w, wkey,
+               row_number() OVER (ORDER BY wkey) AS rk
+        FROM keys
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight, wkey, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 100
+    """,
+)
+def x98_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 deterministic weighted sampling without replacement: the 100
+
+    docs with the smallest min-of-w-hashes keys, weight = the doc's
+    length bucket (1–8) — longer docs proportionally likelier, the
+    quality-/length-weighted corpus-mix selection. Spark runs the
+    tournament over map-side array-min keys (operators/sampling.
+    weighted_sample — no explode, no global sort task); the oracle
+    expands the weight-replicated multiset literally and runs the single
+    window. Hash equality proves the map-side formulation ≡ the
+    multiset definition AND the tournament ≡ the global sort."""
+    t = fixtures(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "weight",
+        F.greatest(F.lit(1), F.least(F.lit(8), F.expr("n_chars DIV 256"))).cast("long"),
+    )
+    return sampling.weighted_sample(
+        docs, "doc_id", "weight", n=100, salt="ws:"
+    ).select("doc_id", "weight", "wkey", "rk")

@@ -48,6 +48,30 @@ from pyspark.sql.window import Window
 from dwh_etl_framework_spark.operators.dedup import shingle_table
 
 
+#: Verify-stage cost budget: digest comparisons per task. Each candidate
+#: pair costs ~(n_a + n_b) ≈ 2·avg(|set|) comparisons in array_intersect,
+#: so partitions = ceil(est_pairs · 2·avg_n / budget). 2M reproduces the
+#: hand-tuned sf0.1 value (409k pairs × ~200 ≈ 82M work / 64 tasks ≈
+#: 1.3M/task — the measured-good 6.3 s shape) while letting a 100× corpus
+#: scale the exchange with its actual work instead of a static multiple
+#: of cluster parallelism.
+VERIFY_COMPARISONS_PER_TASK = 2_000_000
+
+
+def _verify_partitions(
+    est_pairs: float, avg_n: float, parallelism: int,
+    budget: int = VERIFY_COMPARISONS_PER_TASK,
+) -> int:
+    """Cost-based verify exchange width (pure, unit-tested).
+
+    Floored at 2×parallelism (the r9 static heuristic — never LESS
+    parallel than the tuned shape) and capped at 2^15 tasks (a 32k-task
+    stage is already scheduler-bound; beyond that, raise the budget)."""
+    work = est_pairs * 2.0 * max(avg_n, 1.0)
+    by_cost = int(-(-work // budget)) if work > 0 else 0
+    return max(parallelism * 2, min(by_cost, 32768))
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -153,6 +177,31 @@ def prefix_filter_jaccard_pairs(
         F.sort_array(F.collect_set("__g")).alias("__set"),
         F.count(F.lit(1)).alias("__n"),
     ).localCheckpoint(eager=True)
+
+    # verify parallelism follows estimated WORK, not byte size: the
+    # candidate table is a few MB of id pairs, so AQE's size-based
+    # coalescing would shrink the verify stage to a handful of tasks
+    # (measured at sf0.1: 3 tasks, 36 s) — but each pair costs
+    # O(|a|+|b|) digest comparisons. Σ c·(c-1)/2 over the per-digest
+    # prefix counts upper-bounds the candidate join's output (pre-
+    # distinct — which is the join's actual row work), and avg(|set|)
+    # prices each pair. Both scalars aggregate CHECKPOINTED tables, so
+    # the two driver-side collects are one tiny job each over data the
+    # stage was going to read anyway — the same bounded-artifact class
+    # as the watermark scalar (plans/incremental.py). An explicit
+    # numPartitions pins the exchange (AQE never coalesces a
+    # user-specified repartition) and spreads the intersect work.
+    est_pairs = (
+        pref.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .first()["p"]
+        or 0.0
+    )
+    avg_n = sets.agg(F.avg("__n").alias("a")).first()["a"] or 0.0
+    n_part = _verify_partitions(
+        est_pairs, avg_n, sh.sparkSession.sparkContext.defaultParallelism
+    )
     sa = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("__set").alias("__sa"),
@@ -163,13 +212,6 @@ def prefix_filter_jaccard_pairs(
         F.col("__set").alias("__sb"),
         F.col("__n").alias("n_b"),
     )
-    # verify parallelism follows PAIR COUNT, not byte size: the candidate
-    # table is a few MB of id pairs, so AQE's size-based coalescing would
-    # shrink the verify stage to a handful of tasks (measured at sf0.1:
-    # 3 tasks, 36 s) — but each pair costs O(|a|·|b|) digest comparisons.
-    # An explicit numPartitions pins the exchange (AQE never coalesces a
-    # user-specified repartition) and spreads the intersect work.
-    n_part = sh.sparkSession.sparkContext.defaultParallelism * 2
     # length prefilter (SSJoin): J ≥ t ⇒ |a∩b| ≥ t·|a∪b| ≥ t·max(n_a,n_b),
     # and |a∩b| ≤ min(n_a,n_b), so min ≥ t·max for every qualifying pair.
     # The 1e-9 slack keeps the float comparison CONSERVATIVE (never drops

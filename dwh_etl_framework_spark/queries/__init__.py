@@ -197,6 +197,13 @@ from dwh_etl_framework_spark.queries import wave14  # noqa: F401
 #: naive+banding DuckDB pipeline, PARITY_r09) replaces x92 (vocabulary
 #: novelty — drift-tier evidence stays via the in-window x89 timeline +
 #: x93 changepoint + x92's local oracle and CORRECTNESS_r07/r08 rows).
+#: Round-9b rotation: x98 (deterministic weighted sampling — the oracle
+#: expands the weight-replicated multiset literally, so hash equality
+#: proves the map-side min-of-w-hashes key AND the two-round tournament
+#: exact; dual-SF hash-proven, PARITY_r09 + PARITY_sf1) replaces f06
+#: (JSONL roundtrip — CORRECTNESS_r07 AND r08 green rows; roundtrip-
+#: class evidence stays via the f04/f05 local oracles, the round-6e
+#: precedent for this class).
 #: sf1 scale-evidence membership, MACHINE-READABLE (VERDICT r8 #1: the
 #: round-8 rotation note claimed wave-13 sf1 evidence that no artifact
 #: backed — prose claims drift, a checked set cannot). Every oracled
@@ -266,7 +273,9 @@ DRIVER_WINDOW: list[str] = [
     # collocations, cluster-canonical selection, JSONL roundtrip
     "x51_token_pmi",
     "x52_cluster_canonical",
-    "f06_jsonl_roundtrip",
+    # round-9b entrant: deterministic weighted sampling (f06 exits with
+    # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
+    "x98_weighted_sample",
     # round-8 entrants: lossless prefix-filter join, exact-quota
     # tournament sample, boilerplate mining
     "x94_prefix_filter_jaccard",
@@ -446,6 +455,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x95_quota_sample",
     "x96_boilerplate_ngrams",
     "x97_cascade_recall_audit",
+    "x98_weighted_sample",
 ])
 
 

@@ -173,3 +173,33 @@ def test_boilerplate_report_invariants(spark):
         for r in rows:
             assert r["is_boilerplate"] == (r["df_ratio"] >= 0.1)
             assert 0 < r["df"] <= r["n_docs"]
+
+
+# ---- cost-based verify exchange (round-9 NOTES item: replace the static
+# 2×parallelism heuristic with pairs×set-size work sizing) ---------------
+
+
+def test_verify_partitions_cost_model():
+    # zero candidates → floor at 2×parallelism (never less parallel than
+    # the tuned r9 shape)
+    assert setjoin._verify_partitions(0.0, 0.0, 32) == 64
+    # sf0.1-shaped load: 409k pairs × avg 100 shingles ≈ 82M comparisons
+    # → by-cost 41 < floor 64, so the measured-good width is kept
+    assert setjoin._verify_partitions(409_000, 100.0, 32) == 64
+    # sf1-shaped load: 4.09M pairs → 818M work / 2M budget = 409 tasks,
+    # i.e. the exchange now scales with work instead of staying at 64
+    assert setjoin._verify_partitions(4_090_000, 100.0, 32) == 409
+    # monotone in pairs and in set size
+    a = setjoin._verify_partitions(1e6, 100.0, 32)
+    assert setjoin._verify_partitions(2e6, 100.0, 32) >= a
+    assert setjoin._verify_partitions(1e6, 200.0, 32) >= a
+    # capped: a pathological estimate cannot demand a million tasks
+    assert setjoin._verify_partitions(1e12, 1e4, 32) == 32768
+
+
+def test_verify_partitions_budget_is_ceil_division():
+    # exactly one budget of work → 1 task by cost (floor still wins);
+    # one comparison over → 2 by cost
+    assert setjoin._verify_partitions(1.0, 1_000_000.0, 1, budget=2_000_000) == 2
+    p = setjoin._verify_partitions(1.5, 1_000_000.0, 1, budget=2_000_000)
+    assert p == 2  # ceil(3M/2M) = 2 == floor — boundary consistent

@@ -1,0 +1,210 @@
+"""Exact edit-distance similarity join via segment pigeonhole (PassJoin-lite).
+
+The string-similarity counterpart of ``operators/setjoin.py``: where the
+prefix filter makes the JACCARD self-join lossless-but-scalable, the
+segment filter does the same for LEVENSHTEIN distance. The principle
+(Li/Deng/Feng "PassJoin", VLDB 2012 — partition-based pigeonhole): split
+every indexed string s into ``k+1`` disjoint segments. An edit script of
+cost ≤ k touches at most k segments, so at least ONE segment of s
+survives untouched and appears VERBATIM in any string r with
+``lev(r, s) ≤ k`` — and an optimal alignment can shift its start
+position by at most k. Candidates are therefore exactly the pairs that
+collide on ``(target_length, segment_no, segment_text)`` where the probe
+substring starts within ±k of the segment's home position; everything
+else is provably ≥ k+1 edits away and never shuffles.
+
+Lossless by construction — the query oracle is the NAIVE O(n²)
+levenshtein self-join, so the driver's hash check certifies that the
+segment filter drops no qualifying pair (the x94 proof pattern applied
+to edit distance).
+
+At 100 TB: the join keys are (int, int, ≤⌈len/(k+1)⌉-char segment)
+tuples — short fixed-ish keys, never whole strings crossed with whole
+strings. Per string the probe side emits at most
+(2k+1)·(k+1)·(2k+1) substrings (length window × segments × position
+window) and the index side k+1 segments — both linear in corpus size.
+Degenerate segments (a constant prefix shared corpus-wide — exactly the
+TPC-H ``Customer#`` shape) are the known hazard, same class as hot
+shingles in the set join: ``max_segment_df`` drops over-frequent segment
+keys from candidate generation, loudly changing the contract to "pairs
+discoverable under the cap" (OFF by default; the oracle-checked queries
+run uncapped so a silent activation cannot exist). Verification is one
+JVM ``levenshtein`` expression per DISTINCT candidate pair — banded DP
+cost O(len·k) in principle, O(len²) in Spark's builtin, either way per
+pair and embarrassingly parallel; the explicit repartition sizes that
+stage by pair count, not by the pair table's byte size (the AQE-coalesce
+trap found while benching the set join, same fix).
+
+The reference framework has no fuzzy-matching tier at all; this is the
+entity-resolution primitive (name/address dedup before a warehouse
+merge) its journal-merge protocol would call first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Verify-stage cost budget: DP cell evaluations per task. A candidate
+#: pair costs ~avg_len² cells in Spark's levenshtein; partitions =
+#: ceil(pairs · avg_len² / budget), floored at 2×parallelism (never less
+#: parallel than the AQE-trap fix demands) and capped at 32k tasks.
+VERIFY_CELLS_PER_TASK = 50_000_000
+
+
+def _verify_partitions(
+    est_pairs: float, avg_len: float, parallelism: int,
+    budget: int = VERIFY_CELLS_PER_TASK,
+) -> int:
+    """Cost-based verify exchange width (pure, unit-tested)."""
+    work = est_pairs * max(avg_len, 1.0) ** 2
+    by_cost = int(-(-work // budget)) if work > 0 else 0
+    return max(parallelism * 2, min(by_cost, 32768))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str,
+    k: int = 1,
+    max_segment_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with ``levenshtein(str_a, str_b) <= k``.
+
+    Output: (id_a, id_b, dist) — one row per unordered pair, ``dist``
+    the exact edit distance. NULL / empty handling: NULL strings are
+    dropped (no distance is defined); empty strings participate (an
+    empty string is within k of any string of length ≤ k).
+
+    Segment scheme (even partition, deterministic in length alone): for
+    a string of length L, segment i ∈ [0, k] starts at
+    ``p_i = i·⌊L/(k+1)⌋ + min(i, L mod (k+1))`` and has length
+    ``⌊L/(k+1)⌋ + (1 if i < L mod (k+1) else 0)``. Strings shorter than
+    k+1 produce empty segments whose key is ('', position) — they match
+    only other length-compatible strings, a bounded block.
+
+    The probe side enumerates, for each candidate target length
+    ``Lt ∈ [L-k, L+k]``, each segment number, and each start position
+    within ±k of that segment's home (clamped to valid substring
+    range) — all with builtin ``sequence``/``explode``; no Python
+    touches a row.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__l"),
+    ).filter(F.col("__s").isNotNull())
+    # both the index and probe explodes consume this scan; it also feeds
+    # the verify join twice — materialize once (PLANS.md lineage rule)
+    base = base.localCheckpoint(eager=True)
+
+    kk = int(k)
+    seg_no = F.explode(F.sequence(F.lit(0), F.lit(kk))).alias("__i")
+
+    def seg_start(length, i):
+        # p_i = i*floor(L/(k+1)) + min(i, L mod (k+1)), 0-based
+        q = F.floor(length / (kk + 1)).cast("int")
+        r = (length % (kk + 1)).cast("int")
+        return i * q + F.least(i, r)
+
+    def seg_len(length, i):
+        q = F.floor(length / (kk + 1)).cast("int")
+        r = (length % (kk + 1)).cast("int")
+        return q + F.when(i < r, F.lit(1)).otherwise(F.lit(0))
+
+    # index side: the k+1 home segments of every string, keyed by the
+    # string's own length. substring() is 1-based.
+    idx = (
+        base.select("__id", "__s", "__l", seg_no)
+        .withColumn("__p", seg_start(F.col("__l"), F.col("__i")))
+        .withColumn("__m", seg_len(F.col("__l"), F.col("__i")))
+        .select(
+            F.col("__id").alias("id_b"),
+            F.col("__l").alias("__lt"),
+            "__i",
+            F.expr("substring(__s, __p + 1, __m)").alias("__seg"),
+        )
+    )
+
+    # probe side: for every target length within ±k and every segment
+    # slot, the substrings starting within ±k of that segment's home
+    # position. Row fanout per string ≤ (2k+1)·(k+1)·(2k+1). The
+    # position window is emitted through a WHEN-guarded sequence —
+    # Spark's sequence(lo, hi) runs DESCENDING when lo > hi (a probe
+    # string shorter than the segment), which would be garbage
+    # positions, not an empty set.
+    probe = (
+        base.select(
+            "__id", "__s", "__l",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("__l") - kk, F.lit(0)), F.col("__l") + kk
+                )
+            ).alias("__lt"),
+        )
+        .select("__id", "__s", "__l", "__lt", seg_no)
+        .withColumn("__p", seg_start(F.col("__lt"), F.col("__i")))
+        .withColumn("__m", seg_len(F.col("__lt"), F.col("__i")))
+        .withColumn("__lo", F.greatest(F.col("__p") - kk, F.lit(0)))
+        .withColumn("__hi", F.least(F.col("__p") + kk, F.col("__l") - F.col("__m")))
+        .select(
+            "__id", "__s", "__lt", "__i", "__m",
+            F.explode(
+                F.when(
+                    F.col("__lo") <= F.col("__hi"),
+                    F.sequence(F.col("__lo"), F.col("__hi")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("__q"),
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            "__lt",
+            "__i",
+            F.expr("substring(__s, __q + 1, __m)").alias("__seg"),
+        )
+    )
+
+    if max_segment_df is not None:
+        hot = (
+            idx.groupBy("__lt", "__i", "__seg")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_segment_df)
+            .select("__lt", "__i", "__seg")
+        )
+        idx = idx.join(F.broadcast(hot), ["__lt", "__i", "__seg"], "left_anti")
+        probe = probe.join(
+            F.broadcast(hot), ["__lt", "__i", "__seg"], "left_anti"
+        )
+
+    cand = (
+        probe.join(idx, ["__lt", "__i", "__seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify exchange sized by estimated DP work, not pair-table bytes
+    # (the setjoin AQE-coalesce lesson). Both scalars are one tiny job
+    # over the checkpointed base / the candidate keys' frequency table.
+    est_pairs = (
+        idx.groupBy("__lt", "__i", "__seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .first()["p"]
+        or 0.0
+    )
+    avg_len = base.agg(F.avg("__l").alias("a")).first()["a"] or 0.0
+    n_part = _verify_partitions(
+        est_pairs, avg_len, df.sparkSession.sparkContext.defaultParallelism
+    )
+
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__stra"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__strb"))
+    return (
+        cand.repartition(n_part, "id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__stra", "__strb").cast("int"))
+        .filter(F.col("dist") <= kk)
+        .select("id_a", "id_b", "dist")
+    )

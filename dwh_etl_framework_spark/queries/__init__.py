@@ -46,6 +46,7 @@ from dwh_etl_framework_spark.queries import sf1_variants  # noqa: F401
 # wave14 composes tiers whose sampled predicates live in sf1_variants —
 # import it after so registration order matches import order
 from dwh_etl_framework_spark.queries import wave14  # noqa: F401
+from dwh_etl_framework_spark.queries import wave15  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -204,6 +205,18 @@ from dwh_etl_framework_spark.queries import wave14  # noqa: F401
 #: (JSONL roundtrip — CORRECTNESS_r07 AND r08 green rows; roundtrip-
 #: class evidence stays via the f04/f05 local oracles, the round-6e
 #: precedent for this class).
+#: Round-9c rotation: x99 (lossless PassJoin-lite edit-distance join —
+#: its oracle is the NAIVE levenshtein self-join, so the driver hash
+#: certifies the segment-pigeonhole filter drops no pair; the x94 proof
+#: pattern applied to edit distance) and x100 (BM25 ranked retrieval,
+#: raw-ratio idf per the x15 bit-portability rule) — both hash-proven at
+#: sf0.01 AND sf1 (PARITY_r09 + PARITY_sf1; x99's sf1 evidence rides its
+#: sampled twin x99s via SF1_EXCLUDED) — replace the two round-7
+#: re-entrants that now carry CORRECTNESS_r07 AND r08 rows: x51
+#: (collocation evidence stays via the in-window x96 boilerplate n-gram
+#: tier + x51's local oracle), x52 (cluster-canonical evidence stays via
+#: the in-window x81 semantic-dedup survivor selection + x20 clusters +
+#: x52's local oracle).
 #: sf1 scale-evidence membership, MACHINE-READABLE (VERDICT r8 #1: the
 #: round-8 rotation note claimed wave-13 sf1 evidence that no artifact
 #: backed — prose claims drift, a checked set cannot). Every oracled
@@ -223,6 +236,7 @@ SF1_EXCLUDED: dict[str, str] = {
     "x68_text_vector_consistency": "x68s_text_vector_consistency_sampled",
     "x94_prefix_filter_jaccard": "x94s_prefix_filter_sampled",
     "x97_cascade_recall_audit": "x97s_cascade_audit_sampled",
+    "x99_edit_distance_join": "x99s_edit_join_sampled",
 }
 
 DRIVER_WINDOW: list[str] = [
@@ -268,11 +282,12 @@ DRIVER_WINDOW: list[str] = [
     "f24_incremental_agg",
     "x93_drift_changepoint",
     "x68_text_vector_consistency",
-    # round-7 re-entrants (never driver-run despite past window
-    # membership — the VERDICT r6 item-2 violation class): PMI
-    # collocations, cluster-canonical selection, JSONL roundtrip
-    "x51_token_pmi",
-    "x52_cluster_canonical",
+    # round-9c entrants: lossless edit-distance join (x51 exits with
+    # CORRECTNESS_r07/r08 rows; collocation evidence stays via x96 +
+    # local oracle), BM25 ranked retrieval (x52 exits with r07/r08 rows;
+    # canonical-selection evidence stays via x81/x20 + local oracle)
+    "x99_edit_distance_join",
+    "x100_bm25_topk",
     # round-9b entrant: deterministic weighted sampling (f06 exits with
     # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
     "x98_weighted_sample",
@@ -456,6 +471,8 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x96_boilerplate_ngrams",
     "x97_cascade_recall_audit",
     "x98_weighted_sample",
+    "x99_edit_distance_join",
+    "x100_bm25_topk",
 ])
 
 

@@ -208,8 +208,9 @@ from dwh_etl_framework_spark.queries import wave15  # noqa: F401
 #: Round-9c rotation: x99 (lossless PassJoin-lite edit-distance join —
 #: its oracle is the NAIVE levenshtein self-join, so the driver hash
 #: certifies the segment-pigeonhole filter drops no pair; the x94 proof
-#: pattern applied to edit distance) and x100 (BM25 ranked retrieval,
-#: raw-ratio idf per the x15 bit-portability rule) — both hash-proven at
+#: pattern applied to edit distance) and x100 (hybrid retrieval: RRF
+#: fusion of the x69 integer BM25 and x05 decimal-cosine rankings —
+#: the parameter-free sparse⊕dense combiner) — both hash-proven at
 #: sf0.01 AND sf1 (PARITY_r09 + PARITY_sf1; x99's sf1 evidence rides its
 #: sampled twin x99s via SF1_EXCLUDED) — replace the two round-7
 #: re-entrants that now carry CORRECTNESS_r07 AND r08 rows: x51
@@ -287,7 +288,7 @@ DRIVER_WINDOW: list[str] = [
     # local oracle), BM25 ranked retrieval (x52 exits with r07/r08 rows;
     # canonical-selection evidence stays via x81/x20 + local oracle)
     "x99_edit_distance_join",
-    "x100_bm25_topk",
+    "x100_hybrid_rrf",
     # round-9b entrant: deterministic weighted sampling (f06 exits with
     # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
     "x98_weighted_sample",
@@ -472,7 +473,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x97_cascade_recall_audit",
     "x98_weighted_sample",
     "x99_edit_distance_join",
-    "x100_bm25_topk",
+    "x100_hybrid_rrf",
 ])
 
 

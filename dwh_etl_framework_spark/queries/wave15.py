@@ -10,16 +10,17 @@ entity-resolution primitive the reference's journal-merge protocol
 run fuzzy name/address matching first, and the reference has no fuzzy
 tier at all.
 
-**x100_bm25_topk** — BM25 ranked retrieval (Robertson/Spärck Jones
-Okapi BM25) over the documents corpus for a fixed query, the targeted
-subset-selection primitive of a training-data pipeline ("give me the
-top-k docs about X"). Float determinism (the registry rules): the only
-cross-row reductions are integer COUNTs and a conditional MAX — the
-per-term scores combine in ONE fixed-order scalar addition, so both
-engines evaluate the identical IEEE expression tree. The idf uses the
-raw Robertson ratio (N-df+0.5)/(df+0.5) WITHOUT the log wrapper — libm
-log is not bit-portable across engines (the x15 rule); log is monotone,
-so ranking is unchanged.
+**x100_hybrid_rrf** — hybrid retrieval via reciprocal-rank fusion
+(Cormack/Clarke/Büttcher, SIGIR 2009): the sparse ranking (x69's
+integer-exact BM25) and the dense ranking (x05's decimal-exact cosine
+vs the vec_id=0 query vector) fused as Σ 1/(60+rank). This is the
+retrieval shape a modern training-data pipeline actually runs —
+keyword recall OR semantic recall alone each miss documents the other
+finds; RRF is the standard parameter-free combiner. Both input
+rankings are already bit-portable (integer bm25_ppm; fixed-point dot
+products with IEEE-exact sqrt/div), ranks are integers, and the fused
+score is two single divisions added in ONE fixed order — the whole
+composition hashes across engines.
 """
 
 from __future__ import annotations
@@ -28,8 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dwh_etl_framework_spark.operators import editjoin
+from dwh_etl_framework_spark.operators import editjoin, similarity
 from dwh_etl_framework_spark.queries.registry import fixtures, query
+from dwh_etl_framework_spark.queries.wave7 import BM25_TERMS
 
 _EDIT_JOIN_SQL = """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -82,132 +84,203 @@ def x99s_edit_join_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editjoin.edit_distance_pairs(sample, "c_name", "c_custkey", k=1)
 
 
-#: BM25 parameters (the Robertson defaults) and the fixed query terms.
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-_BM25_TERMS = ("spark", "merge", "window")
+#: RRF depth (how deep each ranking contributes) and the fused top-k.
+_RRF_DEPTH = 50
+_RRF_K = 60  # the SIGIR-2009 constant
+_RRF_TOPK = 20
 
-_BM25_SQL = """
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+#: sparse half = x69's integer-exact BM25 oracle verbatim (wave7.py),
+#: restricted to doc_id <> 0 so both rankings rank the same universe
+#: (vec 0 IS the dense query); dense half = x05's fixed-point cosine
+#: oracle generalized to depth 50. Fusion: full outer join of the two
+#: rank lists, Σ 1/(60+rank), missing side contributes 0.
+_RRF_SQL = f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
-    ),
-    dl AS (
-        SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
-    ),
-    stats AS (
-        SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS tot FROM dl
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id <> 0
     ),
     tf AS (
-        SELECT doc_id, term, COUNT(*) AS tf
-        FROM toks WHERE term IN ('spark', 'merge', 'window')
-        GROUP BY doc_id, term
+        SELECT doc_id, MAX(dl) AS dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
     ),
-    df AS (
-        SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS avgdl_fp
+        FROM documents WHERE doc_id <> 0
     ),
-    scored AS (
-        SELECT t.doc_id, t.term,
-               ((CAST(s.n_docs - d.doc_freq AS DOUBLE) + 0.5)
-                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
-               * ((CAST(t.tf AS DOUBLE) * 2.2)
-                    / (CAST(t.tf AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(l.n_tokens AS DOUBLE)
-                            / (CAST(s.tot AS DOUBLE) / s.n_docs)))))
-                   AS score
-        FROM tf t
-        JOIN dl l ON t.doc_id = l.doc_id
-        JOIN df d ON t.term = d.term
-        CROSS JOIN stats s
+    idf AS (
+        SELECT tok,
+               (2 * c.n_docs - 2 * COUNT(DISTINCT doc_id) + 1) * 1000000
+                   // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_ppm
+        FROM tf, corpus c
+        GROUP BY tok, c.n_docs
     ),
-    pivoted AS (
+    bm25 AS (
+        SELECT tf.doc_id,
+               CAST(SUM(idf.idf_ppm * 22 * tf.tf * c.avgdl_fp
+                   // (10 * tf.tf * c.avgdl_fp + 3 * c.avgdl_fp + 9 * tf.dl)
+               ) AS BIGINT) AS bm25_ppm
+        FROM tf JOIN idf USING (tok), corpus c
+        GROUP BY tf.doc_id
+    ),
+    sparse AS (
         SELECT doc_id,
-               COALESCE(MAX(CASE WHEN term = 'spark' THEN score END), 0.0)
-                   AS s_spark,
-               COALESCE(MAX(CASE WHEN term = 'merge' THEN score END), 0.0)
-                   AS s_merge,
-               COALESCE(MAX(CASE WHEN term = 'window' THEN score END), 0.0)
-                   AS s_window
-        FROM scored GROUP BY doc_id
+               CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id ASC)
+                    AS INTEGER) AS rank_sparse
+        FROM bm25
+        ORDER BY rank_sparse LIMIT {_RRF_DEPTH}
     ),
-    ranked AS (
-        SELECT p.doc_id, l.n_tokens, p.s_spark, p.s_merge, p.s_window,
-               (p.s_spark + p.s_merge) + p.s_window AS bm25,
-               row_number() OVER (
-                   ORDER BY (p.s_spark + p.s_merge) + p.s_window DESC,
-                            p.doc_id
-               ) AS rk
-        FROM pivoted p JOIN dl l ON p.doc_id = l.doc_id
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    e_exp AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    dots AS (
+        SELECT e.vec_id,
+               SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.qe[i] AS DOUBLE) * 1e12) AS BIGINT)) AS dot,
+               SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS na
+        FROM e_exp e, q
+        GROUP BY 1
+    ),
+    qn AS (
+        SELECT SUM(CAST(floor(CAST(qe[i] AS DOUBLE)
+                              * CAST(qe[i] AS DOUBLE) * 1e12) AS BIGINT)) AS nb
+        FROM (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q)
+    ),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                       DESC, vec_id ASC) AS INTEGER) AS rank_dense
+        FROM dots, qn
+        ORDER BY rank_dense LIMIT {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.rank_sparse, d.rank_dense,
+               COALESCE(1.0 / CAST({_RRF_K} + s.rank_sparse AS DOUBLE), 0.0)
+                   + COALESCE(1.0 / CAST({_RRF_K} + d.rank_dense AS DOUBLE), 0.0)
+                   AS rrf_score
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
     )
-    SELECT doc_id, n_tokens, s_spark, s_merge, s_window, bm25,
-           CAST(rk AS INTEGER) AS rk
-    FROM ranked WHERE rk <= 20
+    SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS INTEGER) AS rk
+    FROM fused
+    ORDER BY rk LIMIT {_RRF_TOPK}
     """
 
 
-@query("x100_bm25_topk", oracle=_BM25_SQL)
-def x100_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 BM25 ranked retrieval: top-20 documents for the fixed query
+@query("x100_hybrid_rrf", oracle=_RRF_SQL)
+def x100_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 hybrid retrieval: reciprocal-rank fusion of the sparse
 
-    {spark, merge, window}, k1=1.2, b=0.75, raw-ratio idf (no log —
-    bit-portability, the x15 rule). Scale shape: the corpus explode is
-    consumed ONCE into the tf table (lineage cut); doc lengths derive
-    from a digest-free count; the 3-row df table broadcasts; the final
-    top-20 is one window over docs-that-match-any-term, which the
-    optimizer runs as a WindowGroupLimit. Float determinism: the only
-    double reduction is a conditional MAX (order-insensitive); the
-    per-term scores add in one fixed-order scalar expression."""
+    (x69 integer-exact BM25, terms {vector, stream, spark}) and dense
+    (x05 decimal-exact cosine vs the vec_id=0 query vector) rankings,
+    each to depth 50, fused as Σ 1/(60+rank) and cut to the top 20.
+    Keyword-only retrieval misses semantic matches and vice versa; RRF
+    is the standard parameter-free combiner (Cormack et al., SIGIR'09).
+    Scale shape: both rankings end in TakeOrderedAndProject (depth-50
+    cut, no global sort of the corpus); the fusion joins two 50-row
+    tables — driver-trivial regardless of corpus size. Determinism:
+    integer bm25_ppm, fixed-point dots with IEEE-exact sqrt/division,
+    integer ranks, and the fused score is two single divisions added in
+    one fixed order — the x15/x69 bit-portability rules end to end."""
     t = fixtures(spark, sf_dir)
-    toks = t.documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    # one pass over the corpus: per-doc total counts, then the term-
-    # filtered tf — both derive from the same explode, materialized once
-    counts = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    dl = counts.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
-    tf = counts.filter(F.col("term").isin(*_BM25_TERMS))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tot")
-    ).first()
-    n_docs, tot = int(stats["n_docs"]), int(stats["tot"])
-    avgdl = float(tot) / n_docs  # exact int sum, ONE double division
+    docs = t.documents.filter(F.col("doc_id") != 0)
 
-    k1, b = _BM25_K1, _BM25_B
+    # ---- sparse half: x69's integer BM25 (wave7.py expressions) ----
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(size(split(text, ' '))) AS BIGINT) DIV COUNT(*)"
+        ).alias("avgdl_fp"),
+    ).localCheckpoint(eager=False)
     idf = (
-        (F.lit(n_docs) - F.col("doc_freq")).cast("double") + F.lit(0.5)
-    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
-    norm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * (F.col("n_tokens").cast("double") / F.lit(avgdl))
+        tf.crossJoin(F.broadcast(corpus))
+        .groupBy("tok", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "tok",
+            F.expr(
+                "(2 * n_docs - 2 * df + 1) * 1000000 DIV (2 * df + 1)"
+            ).alias("idf_ppm"),
         )
     )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
-        .select("doc_id", "term", (idf * norm).alias("score"))
+    bm25 = (
+        tf.join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "idf_ppm * 22 * tf * avgdl_fp"
+                    " DIV (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl)"
+                )
+            ).cast("long").alias("bm25_ppm")
+        )
+    )
+    sparse = (
+        bm25.orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25_ppm"), F.asc("doc_id")))
+            .alias("rank_sparse"),
+        )
     )
 
-    def term_col(term: str):
-        return F.coalesce(
-            F.max(F.when(F.col("term") == term, F.col("score"))),
-            F.lit(0.0),
-        ).alias(f"s_{term}")
+    # ---- dense half: x05's decimal-exact cosine, depth 50 ----
+    qv = t.embeddings.filter(F.col("vec_id") == 0)
+    dense = (
+        similarity.brute_force_topk(
+            t.embeddings.filter(F.col("vec_id") != 0), qv,
+            k=_RRF_DEPTH, exact=True,
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id")))
+            .alias("rank_dense"),
+        )
+    )
 
-    pivoted = scored.groupBy("doc_id").agg(*[term_col(tm) for tm in _BM25_TERMS])
-    bm25 = (F.col("s_spark") + F.col("s_merge")) + F.col("s_window")
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # ---- fusion: two ≤50-row tables, Σ 1/(60+rank) ----
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sparse")).cast("double"),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")).cast("double"),
+        F.lit(0.0),
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf_score", rrf)
+    )
     return (
-        pivoted.join(dl, "doc_id")
-        .withColumn("bm25", bm25)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", "n_tokens", "s_spark", "s_merge", "s_window", "bm25", "rk")
+        fused.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("doc_id", "rank_sparse", "rank_dense", "rrf_score", "rk")
     )

@@ -14,9 +14,11 @@ The load-bearing claims:
    pairs with a rare surviving segment remain.
 3. **The verify exchange is sized by work** — the pure helper's
    floor/cap behavior is pinned.
-4. **BM25 ranking is the textbook one**: a hand-built corpus with known
-   tf/df/dl yields hand-computable scores; monotonicity (higher tf of a
-   rarer term ranks higher) and the top-k cut are asserted.
+4. **RRF fusion is the textbook one**: the fused score of every output
+   row equals 1/(60+rank_sparse) + 1/(60+rank_dense) with a missing
+   side contributing exactly 0; the component ranks agree with the
+   standalone x69/x05 rankings; a doc ranked well by BOTH sides beats
+   a doc ranked equally well by ONE side.
 """
 
 from __future__ import annotations
@@ -27,8 +29,11 @@ from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.operators import editjoin
 from dwh_etl_framework_spark.queries.wave15 import (
+    _RRF_DEPTH,
+    _RRF_K,
+    _RRF_TOPK,
     x99_edit_distance_join,
-    x100_bm25_topk,
+    x100_hybrid_rrf,
 )
 
 from conftest import SF_DIR
@@ -158,72 +163,65 @@ def test_x99_matches_registry_contract(spark):
     assert all(r["id_a"] < r["id_b"] for r in rows)
 
 
-def test_bm25_hand_computed(spark):
-    # corpus engineered so every quantity is hand-checkable:
-    # doc 1: 'spark spark merge' (dl=3), doc 2: 'spark window alpha'
-    # (dl=3), doc 3: 'alpha beta gamma delta' (dl=4, matches nothing),
-    # doc 4: 'merge merge merge window' (dl=4)
-    rows = [
-        (1, "spark spark merge"),
-        (2, "spark window alpha"),
-        (3, "alpha beta gamma delta"),
-        (4, "merge merge merge window"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    # compute expected scores by hand and compare against a pipeline
-    # built from the same expressions x100 uses
-    n_docs, tot = 4, 14
-    avgdl = tot / n_docs  # 3.5
-    k1, b = 1.2, 0.75
-
-    def idf(dfreq):
-        return (n_docs - dfreq + 0.5) / (dfreq + 0.5)
-
-    def norm(tf, dl):
-        return (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
-
-    # spark: df=2 (docs 1,2); merge: df=2 (docs 1,4); window: df=2 (2,4)
-    exp = {
-        1: idf(2) * norm(2, 3) + idf(2) * norm(1, 3),
-        2: idf(2) * norm(1, 3) + idf(2) * norm(1, 3),
-        4: idf(2) * norm(3, 4) + idf(2) * norm(1, 4),
-    }
-
-    toks = df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    counts = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = counts.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
-    tf = counts.filter(F.col("term").isin("spark", "merge", "window"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    idf_c = (
-        (F.lit(n_docs) - F.col("doc_freq")).cast("double") + F.lit(0.5)
-    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
-    norm_c = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * (F.col("n_tokens").cast("double") / F.lit(avgdl)))
-    )
-    scored = (
-        tf.join(dl, "doc_id").join(df_, "term")
-        .groupBy("doc_id").agg(F.sum(idf_c * norm_c).alias("bm25"))
-    )
-    got = {r["doc_id"]: r["bm25"] for r in scored.collect()}
-    assert set(got) == set(exp)
-    for d in exp:
-        assert math.isclose(got[d], exp[d], rel_tol=1e-12), (d, got[d], exp[d])
-    # doc 4 (3× merge) must outrank doc 2 (one weak hit each of two terms)
-    assert got[4] > got[2]
-
-
-def test_x100_topk_contract(spark):
-    out = x100_bm25_topk(spark, SF_DIR).collect()
-    assert len(out) == 20
-    ranks = [r["rk"] for r in out]
-    assert sorted(ranks) == list(range(1, 21))
+def test_rrf_score_is_the_textbook_formula(spark):
+    out = x100_hybrid_rrf(spark, SF_DIR).collect()
+    assert len(out) == _RRF_TOPK
+    assert sorted(r["rk"] for r in out) == list(range(1, _RRF_TOPK + 1))
+    for r in out:
+        want = 0.0
+        if r["rank_sparse"] is not None:
+            assert 1 <= r["rank_sparse"] <= _RRF_DEPTH
+            want += 1.0 / (_RRF_K + r["rank_sparse"])
+        if r["rank_dense"] is not None:
+            assert 1 <= r["rank_dense"] <= _RRF_DEPTH
+            want += 1.0 / (_RRF_K + r["rank_dense"])
+        assert r["rank_sparse"] is not None or r["rank_dense"] is not None
+        assert math.isclose(r["rrf_score"], want, rel_tol=1e-15), r
     by_rank = sorted(out, key=lambda r: r["rk"])
-    scores = [r["bm25"] for r in by_rank]
+    scores = [r["rrf_score"] for r in by_rank]
     assert scores == sorted(scores, reverse=True)
-    for r in out:  # the fixed-order scalar addition is the total
-        assert math.isclose(
-            r["bm25"], (r["s_spark"] + r["s_merge"]) + r["s_window"],
-            rel_tol=0.0, abs_tol=0.0,
+
+
+def test_rrf_component_ranks_match_standalone_tiers(spark):
+    from dwh_etl_framework_spark.operators import similarity
+    from dwh_etl_framework_spark.queries.wave7 import x69_bm25_topk
+
+    out = {r["doc_id"]: r for r in x100_hybrid_rrf(spark, SF_DIR).collect()}
+    # dense side: recompute the standalone cosine ranking (x05's plan at
+    # depth 50, same exclusion of the query vector)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0)
+    dense = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=_RRF_DEPTH, exact=True
+    ).collect()
+    dense_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(dense, key=lambda r: (-r["cosine_sim"], r["vec_id"]))
         )
+    }
+    for doc_id, r in out.items():
+        assert r["rank_dense"] == dense_rank.get(doc_id), doc_id
+    # sparse side: x69 ranks the FULL corpus (including doc 0) with the
+    # same integer score — on this fixture doc 0 either appears in both
+    # or neither ranking's top region; verify ordering consistency on
+    # the docs common to both rankings.
+    x69 = {r["doc_id"]: r["rk"] for r in x69_bm25_topk(spark, SF_DIR).collect()}
+    common = [
+        (r["rank_sparse"], x69[d])
+        for d, r in out.items()
+        if r["rank_sparse"] is not None and d in x69
+    ]
+    assert len(common) >= 5  # the fixture genuinely overlaps
+    # order agreement: sorting by x100's sparse rank sorts x69's rank
+    by_ours = sorted(common)
+    assert [x for _, x in by_ours] == sorted(x for _, x in by_ours)
+
+
+def test_rrf_two_sided_beats_one_sided():
+    # pure-math property of the fused score as implemented: a doc at
+    # rank r on BOTH sides outscores a doc at rank r on ONE side.
+    r = 7
+    both = 1.0 / (_RRF_K + r) + 1.0 / (_RRF_K + r)
+    one = 1.0 / (_RRF_K + r)
+    assert both > one

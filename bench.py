@@ -102,6 +102,12 @@ HEADLINE = [
                                  # windows exist as oracle twins of the
                                  # range-partitioned production path
                                  # (the x02/x60 policy)
+    "x99b_edit_join_values",     # distinct-first fuzzy value matching (r9;
+                                 # the id-level x99 over the adversarial
+                                 # constant-prefix fixture is correctness-
+                                 # only — the x02/x60 policy — while the
+                                 # value-level profile IS the scale plan)
+    "x100_hybrid_rrf",           # sparse+dense RRF retrieval fusion (r9)
 ]
 
 

@@ -208,3 +208,57 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= kk)
         .select("id_a", "id_b", "dist")
     )
+
+
+def edit_distance_value_pairs(
+    df: DataFrame,
+    str_col: str,
+    k: int = 1,
+    max_segment_df: int | None = None,
+) -> DataFrame:
+    """Value-level fuzzy-match profile: pairs of DISTINCT string values
+    within ``levenshtein <= k``, each with both multiplicities.
+
+    Output: (val_a, val_b, dist, n_a, n_b, n_pairs) with ``val_a <
+    val_b`` lexicographically, ``1 <= dist <= k`` (equal strings are the
+    SAME distinct value — exact-dup accounting is the exact-dedup tier's
+    job), ``n_pairs = n_a * n_b`` the row-level pair count the id-level
+    join would emit for this value pair.
+
+    This is the 100 TB shape for low-cardinality dirty columns (names,
+    addresses, category labels — exactly where fuzzy matching is run):
+    edit distance depends only on the VALUES, so collapse to distinct
+    values first (one map-side-combinable aggregate), run the segment
+    join over the value universe (often 10²–10⁶ rows when the corpus is
+    10⁹+), and carry multiplicities as integers. The id-level expansion
+    — quadratic in cluster sizes by definition — is left to the caller
+    to join back IF the use case truly needs row pairs; the profile
+    itself stays linear in distinct values + qualifying value pairs.
+    """
+    vals = (
+        df.filter(F.col(str_col).isNotNull())
+        .groupBy(F.col(str_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = edit_distance_pairs(
+        vals, "__v", "__v", k=k, max_segment_df=max_segment_df
+    )
+    # no broadcast hint: the counts table is vocabulary-sized (tiny for
+    # label-like columns, where AQE broadcasts it anyway) but CAN be
+    # huge for free-text values — forcing a broadcast there would be the
+    # wrong call, and AQE makes the right one per-corpus at runtime.
+    ca = vals.select(F.col("__v").alias("id_a"), F.col("__n").alias("n_a"))
+    cb = vals.select(F.col("__v").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            F.col("id_a").alias("val_a"),
+            F.col("id_b").alias("val_b"),
+            "dist",
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
+    )

@@ -33,6 +33,7 @@ from dwh_etl_framework_spark.queries.wave15 import (
     _RRF_K,
     _RRF_TOPK,
     x99_edit_distance_join,
+    x99b_edit_join_values,
     x100_hybrid_rrf,
 )
 
@@ -161,6 +162,40 @@ def test_x99_matches_registry_contract(spark):
     rows = out.collect()
     assert all(r["dist"] <= 1 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_value_pairs_consistent_with_id_level(spark):
+    # distinct-first must describe EXACTLY the id-level join: for every
+    # value pair, n_pairs equals the number of id pairs with that
+    # unordered value combination; no value pair missing, none extra.
+    rows = [
+        (1, "alpha"), (2, "alpha"), (3, "alpha"),
+        (4, "alphb"), (5, "alphb"),
+        (6, "gamma"), (7, "gamme"),
+        (8, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    vp = {
+        (r["val_a"], r["val_b"]): (r["dist"], r["n_a"], r["n_b"], r["n_pairs"])
+        for r in editjoin.edit_distance_value_pairs(df, "s", k=1).collect()
+    }
+    assert vp == {
+        ("alpha", "alphb"): (1, 3, 2, 6),
+        ("gamma", "gamme"): (1, 1, 1, 1),
+    }
+    # cross-check n_pairs against the id-level operator (dist>=1 pairs)
+    idp = [
+        r for r in editjoin.edit_distance_pairs(df, "s", "id", k=1).collect()
+        if r["dist"] >= 1
+    ]
+    assert len(idp) == sum(v[3] for v in vp.values())
+
+
+def test_x99b_matches_fixture_expectation(spark):
+    out = x99b_edit_join_values(spark, SF_DIR).collect()
+    assert all(r["dist"] == 1 for r in out)  # distinct values, k=1
+    assert all(r["val_a"] < r["val_b"] for r in out)
+    assert all(r["n_pairs"] == r["n_a"] * r["n_b"] for r in out)
 
 
 def test_rrf_score_is_the_textbook_formula(spark):

@@ -218,6 +218,15 @@ from dwh_etl_framework_spark.queries import wave15  # noqa: F401
 #: tier + x51's local oracle), x52 (cluster-canonical evidence stays via
 #: the in-window x81 semantic-dedup survivor selection + x20 clusters +
 #: x52's local oracle).
+#: Round-9d rotation: x99b (distinct-first fuzzy value matching — the
+#: dedup-before-expand shape for low-cardinality string columns; oracle
+#: is the naive value-level levenshtein join re-expanded to rows, so the
+#: driver hash proves both the distinct-tier rewrite and the pigeonhole
+#: filter lossless; hash-proven at sf0.01 AND sf1, PARITY_r09 +
+#: PARITY_sf1) replaces r31 (sliding-window — SEVEN driver-green rows
+#: r04-r08; the streaming-window evidence class keeps r30 tumbling, r32
+#: watermark and r33b interval join in-window, plus r31's local oracle
+#: and replay tests).
 #: sf1 scale-evidence membership, MACHINE-READABLE (VERDICT r8 #1: the
 #: round-8 rotation note claimed wave-13 sf1 evidence that no artifact
 #: backed — prose claims drift, a checked set cannot). Every oracled
@@ -251,7 +260,6 @@ DRIVER_WINDOW: list[str] = [
     "r27c_grouped_agg_udf",
     "r28_asof_join",
     "r30_tumbling_window",
-    "r31_sliding_window",
     "r32_watermark_late_filter",
     "r33b_interval_join_twin",
     # LLM-data-pipeline components (X1-X4), one per component
@@ -289,6 +297,10 @@ DRIVER_WINDOW: list[str] = [
     # canonical-selection evidence stays via x81/x20 + local oracle)
     "x99_edit_distance_join",
     "x100_hybrid_rrf",
+    # round-9d entrant: distinct-first fuzzy value matching (r31 exits
+    # with CORRECTNESS_r04-r08 rows; sliding-window evidence stays via
+    # the in-window r30/r32/r33b streaming tier + local oracle)
+    "x99b_edit_join_values",
     # round-9b entrant: deterministic weighted sampling (f06 exits with
     # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
     "x98_weighted_sample",
@@ -473,6 +485,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x97_cascade_recall_audit",
     "x98_weighted_sample",
     "x99_edit_distance_join",
+    "x99b_edit_join_values",
     "x100_hybrid_rrf",
 ])
 

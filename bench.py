@@ -108,6 +108,10 @@ HEADLINE = [
                                  # only — the x02/x60 policy — while the
                                  # value-level profile IS the scale plan)
     "x100_hybrid_rrf",           # sparse+dense RRF retrieval fusion (r9)
+    "x97_cascade_recall_audit",  # composed LSH-discovery + lossless-
+                                 # verify recall audit (r9d; the round's
+                                 # most expensive composition — benched
+                                 # so its cost has a recorded trail)
 ]
 
 

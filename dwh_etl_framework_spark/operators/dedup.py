@@ -276,6 +276,7 @@ def minhash_signatures_portable(
     n: int = 3,
     k: int = 64,
     shingle_filter: Column | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X1 MinHash, cross-engine-reproducible flavor: component ``i`` of the
 
@@ -294,8 +295,14 @@ def minhash_signatures_portable(
     (the same Broder-sampling hook as ``ngram_jaccard_pairs`` /
     ``prefix_filter_jaccard_pairs``) so sampled sf1 twins keep every
     dedup tier on one universe.
+
+    ``shingles`` (optional) supplies a prebuilt ``(id_col, shingle)``
+    table — the composition hook shared with
+    ``prefix_filter_jaccard_pairs``: a multi-tier pipeline (x97) scans
+    and explodes the corpus once and feeds every tier from the same
+    checkpointed table.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
     if shingle_filter is not None:
         sh = sh.filter(shingle_filter)
     shingle_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__sh"))

@@ -80,6 +80,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     max_prefix_df: int | None = None,
     shingle_filter: Column | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) with word-n-gram Jaccard ≥ ``threshold``.
 
@@ -102,8 +103,16 @@ def prefix_filter_jaccard_pairs(
     (same Broder-sampling hook as ``ngram_jaccard_pairs``, applied to the
     TEXT shingle so it matches the oracle's sample predicate) so the sf1
     parity twin can hold in DuckDB.
+
+    ``shingles`` (optional) supplies a prebuilt ``(id_col, shingle)``
+    table instead of deriving one from ``df`` — the composition hook: a
+    pipeline running several shingle-based tiers over one corpus (x97:
+    this join + the MinHash banding) scans and explodes the text ONCE
+    and feeds every tier, instead of paying the corpus scan — THE
+    dominant cost at 100 TB — once per tier. Callers should checkpoint
+    the shared table; semantics are identical either way.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
     if shingle_filter is not None:
         sh = sh.filter(shingle_filter)
     # digest rule: 16-byte md5 replaces the n-gram text BEFORE anything

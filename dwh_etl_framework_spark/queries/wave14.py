@@ -106,6 +106,13 @@ def x97_cascade_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (the r7 sf1-variant convention)."""
     t = fixtures(spark, sf_dir)
     docs = t.documents
+    # Each tier derives its own shingles from the (cached) corpus scan.
+    # Sharing ONE checkpointed shingle table via the operators'
+    # ``shingles=`` hook was A/B-measured in round 9 and REJECTED here:
+    # the exploded text table is ~3x the corpus, so materializing it
+    # costs more than the explode it saves (sf0.1 warm 14.1 s -> 15.3 s,
+    # first run 23.7 s). The hook stays for pipelines that already have
+    # a persisted shingle/posting table. (PLANS.md x97 section.)
     exact = setjoin.prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5
     )

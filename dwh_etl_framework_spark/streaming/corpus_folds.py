@@ -9,6 +9,12 @@ FREE, exactly like the MAX-merged HLL registers in
 ``streaming/distinct.py``: re-adding rows the state already holds is a
 fixed point. No batch-id guard needed.
 
+**Weighted sample** (x98): the same mergeable-bottom-k argument with
+min-of-w-hashes keys — the state is the current global bottom-n with
+their weights and keys, each micro-batch first runs the batch operator
+on itself (≤ n survivors) and the fold ranks ≤ 2n rows. Set-merge ⇒
+re-delivery idempotent for free, like the quota fold.
+
 **Boilerplate document frequencies** (x96): per-(source, shingle) df
 counters merge by SUM, which is NOT idempotent — the fold uses the same
 run-scoped batch-id guard as ``fold_histogram_batch`` (guard columns
@@ -30,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dwh_etl_framework_spark.operators.dedup import shingle_table
+from dwh_etl_framework_spark.operators.sampling import weighted_sample
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
 
 
@@ -87,6 +94,74 @@ def stream_quota_sample(
             state.read(), batch_df, strata_cols, id_col, n_per_stratum, salt
         )
         state.write(merged.coalesce(1))  # ≤ n rows per stratum
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---- streaming weighted sample (x98 fold) -------------------------------
+
+
+def update_weighted(
+    state: DataFrame | None,
+    batch: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Fold one batch into the global bottom-n weighted reservoir.
+
+    Pure function over DataFrames (twin rule). The batch side runs the
+    x98 operator itself (``weighted_sample`` — map-side min-of-w-hashes
+    keys, tournament rank), so the fold's candidate set is ≤ n state
+    rows plus ≤ n batch survivors; the final rank is over that ≤ 2n-row
+    set — the single-partition window is bounded by construction, the
+    same class as ``update_quota``'s per-stratum rank. Mergeable by the
+    bottom-k sketch property (bottom-n(A∪B) = bottom-n(bottom-n(A) ∪
+    bottom-n(B))); ``dropDuplicates`` on id makes re-delivery a fixed
+    point under the append-only corpus model (a doc's (weight, wkey)
+    never changes, so a re-delivered row collapses into the copy the
+    state already holds).
+    """
+    cand = weighted_sample(batch, id_col, weight_col, n, salt).select(
+        id_col, weight_col, "wkey"
+    )
+    if state is not None:
+        cand = state.select(id_col, weight_col, "wkey").unionByName(cand)
+    cand = cand.dropDuplicates([id_col])
+    w = Window.orderBy("wkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def stream_weighted_sample(
+    stream: DataFrame,
+    state: StreamMasterState,
+    checkpoint_dir: str,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample:",
+):
+    """Maintain the weighted bottom-n sample continuously; the state
+    table IS the sample (with ``wkey`` and ``rk``), identical to the
+    batch x98 result over all rows ever streamed. Returns the
+    StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        merged = update_weighted(
+            state.read(), batch_df, id_col, weight_col, n, salt
+        )
+        state.write(merged.coalesce(1))  # ≤ n rows
 
     return (
         stream.writeStream.foreachBatch(fold)

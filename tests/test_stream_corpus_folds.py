@@ -26,7 +26,9 @@ from dwh_etl_framework_spark.streaming.corpus_folds import (
     fold_dfreq_batch,
     stream_dfreq,
     stream_quota_sample,
+    stream_weighted_sample,
     update_quota,
+    update_weighted,
 )
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
 
@@ -165,3 +167,111 @@ def test_batch_dfreq_counters_are_corpus_free(spark):
     assert set(contrib.columns) == {"source", "shingle", "cnt"}
     nd = contrib.filter(F.col("shingle").isNull()).count()
     assert nd == docs.select("source").distinct().count()
+
+
+# ---- x98 weighted-sample twin -------------------------------------------
+
+def _weight_col():
+    """x98's weight rule (wave14.py): length bucket 1-8. Built lazily —
+    Column expressions need an active session at construction."""
+    return F.greatest(
+        F.lit(1), F.least(F.lit(8), F.expr("n_chars DIV 256"))
+    ).cast("long")
+
+
+def _weighted_docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "weight", _weight_col()
+    )
+
+
+def _wdict(df):
+    return {r["doc_id"]: (r["weight"], r["wkey"], r["rk"]) for r in df.collect()}
+
+
+def _write_weighted_slices(spark, base_dir: str) -> None:
+    docs = _weighted_docs(spark).select("doc_id", "weight")
+    for i in range(4):
+        path = f"{base_dir}/slice_{i}.parquet"
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+
+def _run_weighted(spark, src, state_path, ckpt):
+    state = StreamMasterState(spark, state_path)
+    stream = (
+        spark.readStream.schema("doc_id long, weight long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = stream_weighted_sample(
+        stream, state, ckpt, "doc_id", "weight", 25, salt="ws:"
+    )
+    q.awaitTermination(120)
+    return state
+
+
+def test_stream_weighted_equals_batch_x98(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_weighted_slices(spark, src)
+    state = _run_weighted(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    batch = sampling.weighted_sample(
+        _weighted_docs(spark), "doc_id", "weight", n=25, salt="ws:"
+    ).select("doc_id", "weight", "wkey", "rk")
+    assert _wdict(state.read()) == _wdict(batch)
+    # bounded state: ≤ n rows total
+    assert state.read().count() <= 25
+
+
+def test_stream_weighted_redelivery_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_weighted_slices(spark, src)
+    state_path = str(tmp_path / "state")
+    state = _run_weighted(spark, src, state_path, str(tmp_path / "ckpt1"))
+    before = _wdict(state.read())
+    # fresh checkpoint: every slice re-delivers; set-merge must not move
+    state2 = _run_weighted(spark, src, state_path, str(tmp_path / "ckpt2"))
+    assert _wdict(state2.read()) == before
+
+
+def test_update_weighted_pure_fold_matches(spark):
+    docs = _weighted_docs(spark)
+    st = None
+    for i in range(4):
+        st = update_weighted(
+            st, docs.filter(F.col("doc_id") % 4 == i), "doc_id", "weight",
+            25, salt="ws:",
+        )
+    direct = sampling.weighted_sample(
+        docs, "doc_id", "weight", n=25, salt="ws:"
+    ).select("doc_id", "weight", "wkey", "rk")
+    assert _wdict(st) == _wdict(direct)
+
+
+def test_update_weighted_growth_only_displaces(spark):
+    """Adding MORE rows can only displace kept rows with smaller keys:
+    every survivor of the 2-slice fold that still survives the 4-slice
+    fold keeps its wkey, and the kept-key set shrinks lexicographically
+    (the bottom-k sketch property the merge relies on)."""
+    docs = _weighted_docs(spark)
+    two = update_weighted(
+        None, docs.filter(F.col("doc_id") % 4 < 2), "doc_id", "weight", 25,
+        salt="ws:",
+    )
+    four = update_weighted(
+        two, docs.filter(F.col("doc_id") % 4 >= 2), "doc_id", "weight", 25,
+        salt="ws:",
+    )
+    k2 = {r["doc_id"]: r["wkey"] for r in two.collect()}
+    k4 = {r["doc_id"]: r["wkey"] for r in four.collect()}
+    for d in set(k2) & set(k4):
+        assert k2[d] == k4[d]
+    assert max(k4.values()) <= max(k2.values())

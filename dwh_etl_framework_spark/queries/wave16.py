@@ -1,0 +1,149 @@
+"""Round-9 wave 16: entity resolution end-to-end — the golden record.
+
+**x101_entity_golden_record** composes the round's fuzzy tier into the
+classic master-data-management operation the reference's journal-merge
+protocol (airflow_etl.py:131-223) presupposes someone already ran:
+resolve dirty natural keys into entities, then elect one golden row per
+entity by a survivorship rule. Three audited tiers, all value-level
+until the final row join:
+
+1. **match** — distinct-first fuzzy value pairs (levenshtein ≤ 1 over
+   the DISTINCT p_name universe via the lossless segment-pigeonhole
+   join, operators/editjoin.py — the x99b shape: one map-side
+   aggregate collapses 10⁹ rows to a 10²–10⁶ value vocabulary);
+2. **cluster** — connected components over the value graph
+   (operators/graph.py, 1 Spark job per iteration) with cluster id =
+   min member vid, so transitive matches (a~b, b~c) land in ONE
+   entity;
+3. **survivorship** — the golden row per entity is elected by ONE
+   map-side-combinable struct-MAX aggregate (max retail price, min
+   partkey tiebreak — the x87 struct-ordering trick), NOT a window:
+   a hot entity never becomes a single-task window partition.
+
+The oracle runs the same pipeline naively in DuckDB (naive levenshtein
+self-join over distinct values + recursive-CTE transitive closure +
+arg-max window), so the driver hash proves the pigeonhole filter
+lossless, the iterative CC exact, AND the aggregate survivorship ≡ the
+window formulation, in one row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators import editjoin
+from dwh_etl_framework_spark.operators.graph import dedup_clusters
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+_GOLDEN_SQL = """
+    WITH RECURSIVE vals AS (
+        SELECT p_name AS v, MIN(p_partkey) AS vid FROM part GROUP BY p_name
+    ),
+    pairs AS (
+        SELECT a.vid AS u, b.vid AS v
+        FROM vals a JOIN vals b
+          ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, v AS reachable FROM edges
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN edges e ON r.reachable = e.u
+    ),
+    cc AS (
+        SELECT node, LEAST(node, MIN(reachable)) AS component
+        FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT p.p_partkey, p.p_retailprice,
+               COALESCE(cc.component, v.vid) AS entity_cluster
+        FROM part p
+        JOIN vals v ON p.p_name = v.v
+        LEFT JOIN cc ON v.vid = cc.node
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(COUNT(*) OVER (PARTITION BY entity_cluster) AS BIGINT)
+                   AS n_members,
+               first_value(p_partkey) OVER (
+                   PARTITION BY entity_cluster
+                   ORDER BY p_retailprice DESC, p_partkey ASC
+               ) AS golden_partkey
+        FROM labeled
+    )
+    SELECT p_partkey, entity_cluster, n_members, golden_partkey,
+           p_partkey = golden_partkey AS is_golden
+    FROM ranked
+    """
+
+
+@query("x101_entity_golden_record", oracle=_GOLDEN_SQL)
+def x101_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/F19-adjacent entity resolution: every part row mapped to its
+
+    fuzzy-name entity (levenshtein ≤ 1 value graph → connected
+    components) with the per-entity golden row elected by max
+    p_retailprice (p_partkey tiebreak). Value tiers are
+    vocabulary-sized; the only row-level work is one broadcast label
+    join and one struct-MAX aggregate — no window ever partitions by
+    entity, so a million-row entity costs each map task one struct
+    comparison, not a single-task sort. Uncapped segments
+    (``max_segment_df=None``): the oracled entry must fail loudly, not
+    silently relax (the x99 convention)."""
+    t = fixtures(spark, sf_dir)
+    rows = t.part.select("p_partkey", "p_name", "p_retailprice")
+
+    # tier 1 — distinct-first: the value universe with min-partkey node
+    # ids (one map-side-combinable aggregate; the x99b principle).
+    vals = rows.groupBy("p_name").agg(F.min("p_partkey").alias("vid"))
+    vpairs = editjoin.edit_distance_value_pairs(rows, "p_name", k=1)
+    edges = (
+        vpairs.join(
+            vals.select(F.col("p_name").alias("val_a"), F.col("vid").alias("doc_a")),
+            "val_a",
+        )
+        .join(
+            vals.select(F.col("p_name").alias("val_b"), F.col("vid").alias("doc_b")),
+            "val_b",
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    # tier 2 — CC over the (vocabulary-sized) value graph.
+    labels = dedup_clusters(vals.select("vid"), edges, "vid").select(
+        "vid", F.col("cluster").alias("entity_cluster")
+    )
+
+    # row labeling: two joins against vocabulary-sized tables (broadcast
+    # under AQE at any corpus size).
+    labeled = rows.join(vals, "p_name").join(labels, "vid").select(
+        "p_partkey", "p_retailprice", "entity_cluster"
+    )
+
+    # tier 3 — survivorship WITHOUT a window: golden row = struct-MAX of
+    # (price, -partkey) per entity, plus the member count, in ONE
+    # map-side-combinable aggregate; rows re-join the entity-sized
+    # result by broadcast.
+    golden = labeled.groupBy("entity_cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("p_retailprice").alias("p"),
+                (-F.col("p_partkey")).alias("nk"),
+            )
+        ).alias("__g"),
+    ).select(
+        "entity_cluster",
+        "n_members",
+        (-F.col("__g.nk")).alias("golden_partkey"),
+    )
+    return labeled.join(F.broadcast(golden), "entity_cluster").select(
+        "p_partkey",
+        "entity_cluster",
+        "n_members",
+        "golden_partkey",
+        (F.col("p_partkey") == F.col("golden_partkey")).alias("is_golden"),
+    )

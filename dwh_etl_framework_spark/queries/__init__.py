@@ -219,6 +219,16 @@ from dwh_etl_framework_spark.queries import wave16  # noqa: F401
 #: tier + x51's local oracle), x52 (cluster-canonical evidence stays via
 #: the in-window x81 semantic-dedup survivor selection + x20 clusters +
 #: x52's local oracle).
+#: Round-9e rotation: x101 (end-to-end entity resolution — fuzzy value
+#: pairs → connected components → struct-MAX golden record; its oracle
+#: runs the naive levenshtein join + recursive-CTE closure + arg-max
+#: window, so ONE driver hash certifies the pigeonhole filter lossless,
+#: the iterative CC exact and the aggregate survivorship ≡ the window;
+#: hash-proven at sf0.01 AND full-strength sf1, PARITY_r09 +
+#: PARITY_sf1) replaces x04b (simhash — SEVEN driver-green rows
+#: r02-r08; near-dup discovery evidence stays via the in-window x03b
+#: minhash banding + x94 prefix join + x97 cascade audit + x04b's local
+#: oracle and hamming-property tests).
 #: Round-9d rotation: x99b (distinct-first fuzzy value matching — the
 #: dedup-before-expand shape for low-cardinality string columns; oracle
 #: is the naive value-level levenshtein join re-expanded to rows, so the
@@ -267,7 +277,6 @@ DRIVER_WINDOW: list[str] = [
     "x01_exact_dedup",
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
-    "x04b_simhash_portable",
     "x06d_embedding_near_dup_portable",
     "x06c_ivf_topk_exact",
     "x11_binary_columns",
@@ -302,6 +311,10 @@ DRIVER_WINDOW: list[str] = [
     # with CORRECTNESS_r04-r08 rows; sliding-window evidence stays via
     # the in-window r30/r32/r33b streaming tier + local oracle)
     "x99b_edit_join_values",
+    # round-9e entrant: entity resolution + golden record (x04b exits
+    # with CORRECTNESS_r02-r08 rows; near-dup discovery evidence stays
+    # via the in-window x03b/x94/x97 + x04b's local oracle)
+    "x101_entity_golden_record",
     # round-9b entrant: deterministic weighted sampling (f06 exits with
     # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
     "x98_weighted_sample",
@@ -488,6 +501,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x99_edit_distance_join",
     "x99b_edit_join_values",
     "x100_hybrid_rrf",
+    "x101_entity_golden_record",
 ])
 
 

@@ -62,6 +62,93 @@ def _verify_partitions(
     return max(parallelism * 2, min(by_cost, 32768))
 
 
+def _prep_base(df: DataFrame, str_col: str, id_col: str) -> DataFrame:
+    """(__id, __s, __l) projection, NULL strings dropped, checkpointed —
+    every consumer (index/probe explodes, both verify sides) reads the
+    materialized table, not the source scan (PLANS.md lineage rule)."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(str_col).alias("__s"),
+            F.length(str_col).alias("__l"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+
+
+def _seg_start(length, i, kk: int):
+    # p_i = i*floor(L/(k+1)) + min(i, L mod (k+1)), 0-based
+    q = F.floor(length / (kk + 1)).cast("int")
+    r = (length % (kk + 1)).cast("int")
+    return i * q + F.least(i, r)
+
+
+def _seg_len(length, i, kk: int):
+    q = F.floor(length / (kk + 1)).cast("int")
+    r = (length % (kk + 1)).cast("int")
+    return q + F.when(i < r, F.lit(1)).otherwise(F.lit(0))
+
+
+def _index_segments(base: DataFrame, kk: int) -> DataFrame:
+    """Index side: the k+1 home segments of every string, keyed by the
+    string's own length. substring() is 1-based. Output:
+    (id_b, __lt, __i, __seg)."""
+    seg_no = F.explode(F.sequence(F.lit(0), F.lit(kk))).alias("__i")
+    return (
+        base.select("__id", "__s", "__l", seg_no)
+        .withColumn("__p", _seg_start(F.col("__l"), F.col("__i"), kk))
+        .withColumn("__m", _seg_len(F.col("__l"), F.col("__i"), kk))
+        .select(
+            F.col("__id").alias("id_b"),
+            F.col("__l").alias("__lt"),
+            "__i",
+            F.expr("substring(__s, __p + 1, __m)").alias("__seg"),
+        )
+    )
+
+
+def _probe_segments(base: DataFrame, kk: int) -> DataFrame:
+    """Probe side: for every target length within ±k and every segment
+    slot, the substrings starting within ±k of that segment's home
+    position. Row fanout per string ≤ (2k+1)·(k+1)·(2k+1). The position
+    window is emitted through a WHEN-guarded sequence — Spark's
+    sequence(lo, hi) runs DESCENDING when lo > hi (a probe string
+    shorter than the segment), which would be garbage positions, not an
+    empty set. Output: (id_a, __lt, __i, __seg)."""
+    seg_no = F.explode(F.sequence(F.lit(0), F.lit(kk))).alias("__i")
+    return (
+        base.select(
+            "__id", "__s", "__l",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("__l") - kk, F.lit(0)), F.col("__l") + kk
+                )
+            ).alias("__lt"),
+        )
+        .select("__id", "__s", "__l", "__lt", seg_no)
+        .withColumn("__p", _seg_start(F.col("__lt"), F.col("__i"), kk))
+        .withColumn("__m", _seg_len(F.col("__lt"), F.col("__i"), kk))
+        .withColumn("__lo", F.greatest(F.col("__p") - kk, F.lit(0)))
+        .withColumn("__hi", F.least(F.col("__p") + kk, F.col("__l") - F.col("__m")))
+        .select(
+            "__id", "__s", "__lt", "__i", "__m",
+            F.explode(
+                F.when(
+                    F.col("__lo") <= F.col("__hi"),
+                    F.sequence(F.col("__lo"), F.col("__hi")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("__q"),
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            "__lt",
+            "__i",
+            F.expr("substring(__s, __q + 1, __m)").alias("__seg"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     str_col: str,
@@ -89,80 +176,10 @@ def edit_distance_pairs(
     range) — all with builtin ``sequence``/``explode``; no Python
     touches a row.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(str_col).alias("__s"),
-        F.length(str_col).alias("__l"),
-    ).filter(F.col("__s").isNotNull())
-    # both the index and probe explodes consume this scan; it also feeds
-    # the verify join twice — materialize once (PLANS.md lineage rule)
-    base = base.localCheckpoint(eager=True)
-
+    base = _prep_base(df, str_col, id_col)
     kk = int(k)
-    seg_no = F.explode(F.sequence(F.lit(0), F.lit(kk))).alias("__i")
-
-    def seg_start(length, i):
-        # p_i = i*floor(L/(k+1)) + min(i, L mod (k+1)), 0-based
-        q = F.floor(length / (kk + 1)).cast("int")
-        r = (length % (kk + 1)).cast("int")
-        return i * q + F.least(i, r)
-
-    def seg_len(length, i):
-        q = F.floor(length / (kk + 1)).cast("int")
-        r = (length % (kk + 1)).cast("int")
-        return q + F.when(i < r, F.lit(1)).otherwise(F.lit(0))
-
-    # index side: the k+1 home segments of every string, keyed by the
-    # string's own length. substring() is 1-based.
-    idx = (
-        base.select("__id", "__s", "__l", seg_no)
-        .withColumn("__p", seg_start(F.col("__l"), F.col("__i")))
-        .withColumn("__m", seg_len(F.col("__l"), F.col("__i")))
-        .select(
-            F.col("__id").alias("id_b"),
-            F.col("__l").alias("__lt"),
-            "__i",
-            F.expr("substring(__s, __p + 1, __m)").alias("__seg"),
-        )
-    )
-
-    # probe side: for every target length within ±k and every segment
-    # slot, the substrings starting within ±k of that segment's home
-    # position. Row fanout per string ≤ (2k+1)·(k+1)·(2k+1). The
-    # position window is emitted through a WHEN-guarded sequence —
-    # Spark's sequence(lo, hi) runs DESCENDING when lo > hi (a probe
-    # string shorter than the segment), which would be garbage
-    # positions, not an empty set.
-    probe = (
-        base.select(
-            "__id", "__s", "__l",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("__l") - kk, F.lit(0)), F.col("__l") + kk
-                )
-            ).alias("__lt"),
-        )
-        .select("__id", "__s", "__l", "__lt", seg_no)
-        .withColumn("__p", seg_start(F.col("__lt"), F.col("__i")))
-        .withColumn("__m", seg_len(F.col("__lt"), F.col("__i")))
-        .withColumn("__lo", F.greatest(F.col("__p") - kk, F.lit(0)))
-        .withColumn("__hi", F.least(F.col("__p") + kk, F.col("__l") - F.col("__m")))
-        .select(
-            "__id", "__s", "__lt", "__i", "__m",
-            F.explode(
-                F.when(
-                    F.col("__lo") <= F.col("__hi"),
-                    F.sequence(F.col("__lo"), F.col("__hi")),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("__q"),
-        )
-        .select(
-            F.col("__id").alias("id_a"),
-            "__lt",
-            "__i",
-            F.expr("substring(__s, __q + 1, __m)").alias("__seg"),
-        )
-    )
+    idx = _index_segments(base, kk)
+    probe = _probe_segments(base, kk)
 
     if max_segment_df is not None:
         hot = (
@@ -200,6 +217,65 @@ def edit_distance_pairs(
 
     sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__stra"))
     sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__strb"))
+    return (
+        cand.repartition(n_part, "id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__stra", "__strb").cast("int"))
+        .filter(F.col("dist") <= kk)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def edit_distance_pairs_cross(
+    probe_df: DataFrame,
+    index_df: DataFrame,
+    str_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """All pairs (one side ∈ ``probe_df``, other ∈ ``index_df``,
+    ``levenshtein ≤ k``, ids distinct), canonicalized to ``id_a < id_b``
+    and deduplicated.
+
+    The incremental-ingest shape (the ``lsh_candidate_pairs_cross``
+    precedent): when a batch of NEW strings arrives against a persisted
+    corpus, probe only the new side against the index of everything —
+    the pigeonhole argument is one-directional (at least one of the
+    INDEXED string's segments survives any ≤k edit script and appears
+    verbatim in the probe string), so completeness needs the index side
+    to cover every string the probe may pair with; it never needs
+    probe×probe symmetry. Cost per increment: O(|batch|) probe fanout
+    joined against segment keys, never a corpus re-join.
+    """
+    kk = int(k)
+    pbase = _prep_base(probe_df, str_col, id_col)
+    ibase = _prep_base(index_df, str_col, id_col)
+    cand = (
+        _probe_segments(pbase, kk)
+        .join(_index_segments(ibase, kk), ["__lt", "__i", "__seg"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    est_pairs = (
+        _index_segments(ibase, kk)
+        .groupBy("__lt", "__i", "__seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .first()["p"]
+        or 0.0
+    )
+    avg_len = ibase.agg(F.avg("__l").alias("a")).first()["a"] or 0.0
+    n_part = _verify_partitions(
+        est_pairs, avg_len, probe_df.sparkSession.sparkContext.defaultParallelism
+    )
+    strings = pbase.unionByName(ibase).dropDuplicates(["__id"])
+    sa = strings.select(F.col("__id").alias("id_a"), F.col("__s").alias("__stra"))
+    sb = strings.select(F.col("__id").alias("id_b"), F.col("__s").alias("__strb"))
     return (
         cand.repartition(n_part, "id_a", "id_b")
         .join(sa, "id_a")

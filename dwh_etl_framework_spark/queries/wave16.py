@@ -1,4 +1,4 @@
-"""Round-9 wave 16: entity resolution end-to-end — the golden record.
+"""Round-9 wave 16: entity resolution end-to-end, positional phrase search.
 
 **x101_entity_golden_record** composes the round's fuzzy tier into the
 classic master-data-management operation the reference's journal-merge
@@ -146,4 +146,124 @@ def x101_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "golden_partkey",
         (F.col("p_partkey") == F.col("golden_partkey")).alias("is_golden"),
+    )
+
+
+#: Fixed phrase workload for the oracled entry (drawn from the
+#: generator's vocabulary so every SF matches some documents; a phrase
+#: that happens to match nothing at some SF still oracle-checks — the
+#: result set is simply empty for it).
+PHRASES: list[tuple[int, str]] = [
+    (1, "big order scan"),
+    (2, "slow hash batch"),
+    (3, "row column sort"),
+    (4, "window fast query"),
+]
+
+_PHRASE_VALUES = ", ".join(
+    f"({pid}, {widx + 1}, '{w}')"
+    for pid, p in PHRASES
+    for widx, w in enumerate(p.split(" "))
+)
+_PHRASE_NAMES = ", ".join(f"({pid}, '{p}')" for pid, p in PHRASES)
+
+_PHRASE_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+    ),
+    terms AS (SELECT doc_id, i, t[i] AS term FROM pos),
+    words(phrase_id, widx, word) AS (VALUES {_PHRASE_VALUES}),
+    names(phrase_id, phrase) AS (VALUES {_PHRASE_NAMES}),
+    plen AS (
+        SELECT phrase_id, COUNT(*) AS n_words FROM words GROUP BY phrase_id
+    ),
+    hits AS (
+        SELECT w.phrase_id, tm.doc_id, tm.i - w.widx + 1 AS start, w.widx
+        FROM terms tm JOIN words w ON tm.term = w.word
+    ),
+    matches AS (
+        SELECT h.phrase_id, h.doc_id, h.start
+        FROM hits h JOIN plen p ON h.phrase_id = p.phrase_id
+        GROUP BY h.phrase_id, h.doc_id, h.start, p.n_words
+        HAVING COUNT(DISTINCT h.widx) = p.n_words
+    )
+    SELECT m.phrase_id, n.phrase, m.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(m.start) AS INTEGER) AS first_pos
+    FROM matches m JOIN names n ON m.phrase_id = n.phrase_id
+    GROUP BY m.phrase_id, n.phrase, m.doc_id
+    """
+
+
+@query("x102_phrase_search", oracle=_PHRASE_SQL)
+def x102_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 positional phrase search over an inverted index: every
+
+    (phrase, document) match with occurrence count and first position,
+    for a fixed multi-phrase workload, via ONE postings join + ONE
+    coverage aggregate — no per-phrase plan, no LIKE scan.
+
+    The formulation is the classic positional-index phrase query made
+    set-wise: explode documents to (doc, pos, term) postings, join
+    against the broadcast (phrase, word-index, word) table, and a
+    position-aligned hit at ``start = pos - widx + 1`` covering ALL the
+    phrase's word indices is a match (count(distinct widx) = phrase
+    length — repeated words in a phrase are handled by the DISTINCT).
+
+    Scale shape: the postings explode is the only corpus pass and the
+    term IN-filter prunes it map-side to the phrase vocabulary before
+    anything shuffles — query cost tracks Σ df(word), not corpus size
+    (the x69 BM25 discipline); the coverage and per-doc aggregates are
+    map-side combinable; text never shuffles. At 100 TB the postings
+    table is the persisted index a retrieval tier maintains anyway —
+    this operator IS its query path, and the oracle (the same
+    construction in DuckDB over raw text) certifies it against the
+    ground truth at every SF."""
+    t = fixtures(spark, sf_dir)
+    spark_sess = t.documents.sparkSession
+    words = spark_sess.createDataFrame(
+        [
+            (pid, widx + 1, w)
+            for pid, p in PHRASES
+            for widx, w in enumerate(p.split(" "))
+        ],
+        "phrase_id int, widx int, word string",
+    )
+    names = spark_sess.createDataFrame(PHRASES, "phrase_id int, phrase string")
+    plen = {pid: len(p.split(" ")) for pid, p in PHRASES}
+    plen_df = spark_sess.createDataFrame(
+        list(plen.items()), "phrase_id int, n_words long"
+    )
+    vocab = sorted({w for _, p in PHRASES for w in p.split(" ")})
+
+    postings = (
+        t.documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+        )
+        .filter(F.col("term").isin(vocab))
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "term")
+    )
+    hits = postings.join(
+        F.broadcast(words), postings["term"] == words["word"]
+    ).select(
+        "phrase_id", "doc_id", (F.col("i") - F.col("widx") + 1).alias("start"),
+        "widx",
+    )
+    matches = (
+        hits.groupBy("phrase_id", "doc_id", "start")
+        .agg(F.countDistinct("widx").alias("__cov"))
+        .join(F.broadcast(plen_df), "phrase_id")
+        .filter(F.col("__cov") == F.col("n_words"))
+    )
+    return (
+        matches.groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("start").cast("int").alias("first_pos"),
+        )
+        .join(F.broadcast(names), "phrase_id")
+        .select("phrase_id", "phrase", "doc_id", "n_occurrences", "first_pos")
     )

@@ -117,3 +117,83 @@ def test_fixture_has_real_multirow_entities(spark):
     for r in rows:
         ents.setdefault(r["entity_cluster"], set()).add(r["p_partkey"])
     assert any(len(v) > 1 for v in ents.values())
+
+
+# ---- x102 positional phrase search ---------------------------------------
+
+
+def test_phrase_search_matches_direct_scan(spark):
+    """Ground truth by brute force: for every phrase, the (doc,
+    count, first_pos) set from token-level Python scanning of the whole
+    fixture equals the operator's output — including the absence of
+    false positives."""
+    from dwh_etl_framework_spark.queries.wave16 import (
+        PHRASES,
+        x102_phrase_search,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    expect = {}
+    for pid, phrase in PHRASES:
+        words = phrase.split(" ")
+        for doc_id, toks in docs.items():
+            starts = [
+                i + 1
+                for i in range(len(toks) - len(words) + 1)
+                if toks[i : i + len(words)] == words
+            ]
+            if starts:
+                expect[(pid, doc_id)] = (len(starts), starts[0])
+    got = {
+        (r["phrase_id"], r["doc_id"]): (r["n_occurrences"], r["first_pos"])
+        for r in x102_phrase_search(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must exercise at least one match"
+
+
+def test_phrase_search_handles_repeated_words(spark):
+    """A phrase with a repeated word must count overlapping starts via
+    the DISTINCT-widx coverage rule, not double-count a single token."""
+    from pyspark.sql import Row
+
+    from dwh_etl_framework_spark.queries import wave16
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b"),
+            Row(doc_id=2, text="a b a"),
+            Row(doc_id=3, text="b b"),
+        ]
+    )
+    words = spark.createDataFrame(
+        [(9, 1, "a"), (9, 2, "a")], "phrase_id int, widx int, word string"
+    )
+    plen_df = spark.createDataFrame([(9, 2)], "phrase_id int, n_words long")
+    from pyspark.sql import functions as FF
+
+    postings = (
+        df.select("doc_id", FF.posexplode(FF.split("text", " ")).alias("pos0", "term"))
+        .filter(FF.col("term") == "a")
+        .select("doc_id", (FF.col("pos0") + 1).alias("i"), "term")
+    )
+    hits = postings.join(
+        FF.broadcast(words), postings["term"] == words["word"]
+    ).select(
+        "phrase_id", "doc_id", (FF.col("i") - FF.col("widx") + 1).alias("start"),
+        "widx",
+    )
+    matches = (
+        hits.groupBy("phrase_id", "doc_id", "start")
+        .agg(FF.countDistinct("widx").alias("__cov"))
+        .join(FF.broadcast(plen_df), "phrase_id")
+        .filter(FF.col("__cov") == FF.col("n_words"))
+    )
+    got = {
+        (r["doc_id"], r["start"]) for r in matches.collect()
+    }
+    # "a a a b": starts 1, 2; "a b a": none; "b b": none
+    assert got == {(1, 1), (1, 2)}

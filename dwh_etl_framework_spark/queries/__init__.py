@@ -229,6 +229,13 @@ from dwh_etl_framework_spark.queries import wave16  # noqa: F401
 #: r02-r08; near-dup discovery evidence stays via the in-window x03b
 #: minhash banding + x94 prefix join + x97 cascade audit + x04b's local
 #: oracle and hamming-property tests).
+#: Round-9f rotation: x102 (positional phrase search — one postings
+#: join + one DISTINCT-widx coverage aggregate; oracle is the same
+#: construction in DuckDB over raw text; hash-proven at sf0.01 AND
+#: full-strength sf1, PARITY_r09 + PARITY_sf1) replaces x82 (z-order
+#: layout — driver-green rows r06/r07/r08; layout/maintenance evidence
+#: stays via the in-window f28 compaction + f29 backfill planners +
+#: x82's local oracle and real-parquet zone-map tests).
 #: Round-9d rotation: x99b (distinct-first fuzzy value matching — the
 #: dedup-before-expand shape for low-cardinality string columns; oracle
 #: is the naive value-level levenshtein join re-expanded to rows, so the
@@ -332,7 +339,10 @@ DRIVER_WINDOW: list[str] = [
     # round-6e entrants: semantic dedup, z-order layout, DSIR selection,
     # portable HLL, length-bucket packing, compaction + backfill planners
     "x81_semantic_dedup",
-    "x82_zorder_layout",
+    # round-9f entrant: positional phrase search (x82 exits with
+    # CORRECTNESS_r06-r08 rows; layout evidence stays via f28/f29 +
+    # x82's local oracle and zone-map tests)
+    "x102_phrase_search",
     "x83_dsir_weights",
     "x84_hll_distinct",
     "x85_length_bucket_packing",
@@ -502,6 +512,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x99b_edit_join_values",
     "x100_hybrid_rrf",
     "x101_entity_golden_record",
+    "x102_phrase_search",
 ])
 
 

@@ -112,6 +112,11 @@ HEADLINE = [
                                  # verify recall audit (r9d; the round's
                                  # most expensive composition — benched
                                  # so its cost has a recorded trail)
+    "x101_entity_golden_record", # fuzzy match -> CC -> golden record
+                                 # (r9e; iterative CC + struct-MAX
+                                 # survivorship perf trail)
+    "x102_phrase_search",        # positional inverted-index phrase
+                                 # query (r9f; postings join path)
 ]
 
 

@@ -267,3 +267,51 @@ def x102_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(names), "phrase_id")
         .select("phrase_id", "phrase", "doc_id", "n_occurrences", "first_pos")
     )
+
+
+#: k-anonymity threshold for the oracled audit (chosen so the driver
+#: fixture exercises BOTH outcomes: at sf0.01 the (nation, segment)
+#: grid has groups of 5-7 below it and larger groups above).
+K_ANON = 8
+
+_KANON_SQL = f"""
+    WITH grid AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size >= {K_ANON} AS is_k_anonymous,
+           CASE WHEN group_size >= {K_ANON} THEN CAST(0 AS BIGINT)
+                ELSE group_size END AS n_suppressed_rows
+    FROM grid
+    """
+
+
+@query("f31_k_anonymity_audit", oracle=_KANON_SQL)
+def f31_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier governance: k-anonymity audit over the quasi-identifier
+
+    grid (nation × market segment) — every QI combination with its
+    group size, the k ≥ K_ANON (8) flag, and the row count a k-anonymous
+    release would have to suppress. This is the privacy gate a
+    training-data warehouse runs before exporting user-adjacent rows:
+    a group smaller than k re-identifies its members by QI alone
+    (Sweeney, IJUFKS 2002). One map-side-combinable aggregate over the
+    corpus; the grid is dimension-sized (|nations| x |segments|), so
+    everything downstream is broadcast-scale at any corpus size."""
+    t = fixtures(spark, sf_dir)
+    grid = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    ok = F.col("group_size") >= K_ANON
+    return grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        ok.alias("is_k_anonymous"),
+        F.when(ok, F.lit(0).cast("long"))
+        .otherwise(F.col("group_size"))
+        .alias("n_suppressed_rows"),
+    )

@@ -197,3 +197,32 @@ def test_phrase_search_handles_repeated_words(spark):
     }
     # "a a a b": starts 1, 2; "a b a": none; "b b": none
     assert got == {(1, 1), (1, 2)}
+
+
+# ---- f31 k-anonymity audit ------------------------------------------------
+
+
+def test_k_anonymity_audit_partitions_and_flags(spark):
+    """The grid covers every customer row exactly once; flags agree with
+    a direct group-size recount; suppression counts are group_size on
+    flagged groups and 0 elsewhere."""
+    from dwh_etl_framework_spark.queries.wave16 import (
+        K_ANON,
+        f31_k_anonymity_audit,
+    )
+
+    out = f31_k_anonymity_audit(spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n_rows = cust.count()
+    assert sum(r["group_size"] for r in out) == n_rows
+    truth = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        size = truth[(r["c_nationkey"], r["c_mktsegment"])]
+        assert r["group_size"] == size
+        assert r["is_k_anonymous"] == (size >= K_ANON)
+        assert r["n_suppressed_rows"] == (0 if size >= K_ANON else size)

@@ -253,19 +253,21 @@ SPARK_HEX_AT = "CAST(conv(substring({expr}, {start}, {n}), 16, 10) AS BIGINT)"
 DUCK_HEX_AT = "CAST(('0x' || substr({expr}, {start}, {n})) AS BIGINT)"
 
 
-def cms_col_expr(hex_at: str, value_expr: str) -> str:
+def cms_col_expr(hex_at: str, value_expr: str, w: int = CMS_W) -> str:
     """Portable column index for hash row ``r`` (a column in scope): the
     r-th disjoint 8-nibble window of one md5, mod w. Identical SQL text
-    in both engines except the injected hex parse."""
+    in both engines except the injected hex parse. ``w`` widens the
+    sketch for inner-product uses (x103), where the error bound is
+    Σ|A|·Σ|B|/w instead of the point query's Σ|A|/w."""
     h = hex_at.format(
         expr=f"md5('cms:' || CAST({value_expr} AS STRING))",
         start="CAST(1 + r * 8 AS INT)",
         n=8,
     )
-    return f"CAST({h} % {CMS_W} AS BIGINT)"
+    return f"CAST({h} % {w} AS BIGINT)"
 
 
-def cms_sketch(df: DataFrame, value_expr: str) -> DataFrame:
+def cms_sketch(df: DataFrame, value_expr: str, w: int = CMS_W) -> DataFrame:
     """Build the (r, col, cnt) counter table — ≤ d·w rows total, via one
 
     partial+final aggregate over the d-exploded input. Raw values never
@@ -276,7 +278,7 @@ def cms_sketch(df: DataFrame, value_expr: str) -> DataFrame:
     rows = _spread(df).selectExpr(
         f"explode(sequence(0, {CMS_D - 1})) AS r",
         f"{value_expr} AS __v",
-    ).selectExpr("r", cms_col_expr(SPARK_HEX_AT, "__v") + " AS col")
+    ).selectExpr("r", cms_col_expr(SPARK_HEX_AT, "__v", w) + " AS col")
     return rows.groupBy("r", "col").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -315,3 +315,100 @@ def f31_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("group_size"))
         .alias("n_suppressed_rows"),
     )
+
+
+#: x103 sketch width: the inner-product error bound is Σ|A|·Σ|B|/w per
+#: hash row, so join-size estimation wants a wider sketch than point
+#: queries (x86's 512); 4096 keeps the estimate within ~1.2x of truth
+#: on the fixture while the sketch stays ≤ d·w = 16k counter rows.
+JOINSIZE_W = 4096
+
+_X103_A_COL = None  # built below (needs the duck hex template)
+
+
+def _x103_sql() -> str:
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_D,
+        DUCK_HEX_AT,
+        cms_col_expr,
+    )
+
+    col_a = cms_col_expr(DUCK_HEX_AT, "user_id", JOINSIZE_W)
+    col_b = cms_col_expr(DUCK_HEX_AT, "o_custkey", JOINSIZE_W)
+    return f"""
+    WITH a_rows AS (
+        SELECT user_id, unnest(generate_series(0, {CMS_D - 1})) AS r
+        FROM events
+    ),
+    a_cells AS (
+        SELECT r, {col_a} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM a_rows GROUP BY 1, 2
+    ),
+    b_rows AS (
+        SELECT o_custkey, unnest(generate_series(0, {CMS_D - 1})) AS r
+        FROM orders
+    ),
+    b_cells AS (
+        SELECT r, {col_b} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b_rows GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+        FROM a_cells a JOIN b_cells b ON a.r = b.r AND a.col = b.col
+        GROUP BY a.r
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT est_join_size, exact_join_size,
+           est_join_size - exact_join_size AS overcount
+    FROM est, exact
+    """
+
+
+@query("x103_join_size_estimate", oracle=_x103_sql())
+def x103_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier optimizer statistics: estimate |events ⋈ orders| on
+
+    user_id = o_custkey from two count-min sketches WITHOUT running the
+    join — est = MIN over hash rows of the counter dot product
+    Σ_col cntA·cntB (Cormode & Muthukrishnan 2005; AMS-style inner
+    product). One-sided: never undercounts (each row's dot product
+    ≥ the true Σ_k a_k·b_k; the exact audit column proves it per run).
+
+    This is the statistic a planner needs to pick broadcast vs shuffle
+    or pre-size an exchange (the setjoin/editjoin cost-based verify
+    discipline, supplied from sketches instead of a scan): each sketch
+    is ONE map-side-combinable aggregate over its table (raw keys never
+    shuffle — partitions reduce to ≤ d·w counters before the exchange),
+    sketches are SUM-mergeable across days/streams, and the estimate
+    itself joins two ≤ d·w counter tables — constant work regardless of
+    corpus size. The exact audit beside it is the one full join this
+    oracled entry pays to certify the bound; a production planner runs
+    only the sketch path."""
+    t = fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.sketch import cms_sketch
+
+    a = cms_sketch(t.events.select("user_id"), "user_id", JOINSIZE_W)
+    b = cms_sketch(t.orders.select("o_custkey"), "o_custkey", JOINSIZE_W)
+    dots = (
+        a.alias("a")
+        .join(F.broadcast(b.alias("b")), ["r", "col"])
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("dot")
+        )
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_join_size"))
+    exact = (
+        t.events.join(
+            t.orders, F.col("user_id") == F.col("o_custkey")
+        ).agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias("overcount"),
+    )

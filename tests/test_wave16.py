@@ -226,3 +226,43 @@ def test_k_anonymity_audit_partitions_and_flags(spark):
         assert r["group_size"] == size
         assert r["is_k_anonymous"] == (size >= K_ANON)
         assert r["n_suppressed_rows"] == (0 if size >= K_ANON else size)
+
+
+# ---- x103 CMS join-size estimate -------------------------------------------
+
+
+def test_join_size_estimate_never_undercounts(spark):
+    """The one-sided CMS guarantee, per hash row: EVERY row's counter
+    dot product >= the true join size, so the MIN (the published
+    estimate) does too. Also pins the audit columns' arithmetic."""
+    from dwh_etl_framework_spark.operators.sketch import CMS_D, cms_sketch
+    from dwh_etl_framework_spark.queries.wave16 import (
+        JOINSIZE_W,
+        x103_join_size_estimate,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    true_size = events.join(
+        orders, F.col("user_id") == F.col("o_custkey")
+    ).count()
+    a = cms_sketch(events.select("user_id"), "user_id", JOINSIZE_W)
+    b = cms_sketch(orders.select("o_custkey"), "o_custkey", JOINSIZE_W)
+    dots = {
+        r["r"]: r["dot"]
+        for r in a.alias("a")
+        .join(b.alias("b"), ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+        .collect()
+    }
+    assert len(dots) == CMS_D
+    for r, dot in dots.items():
+        assert dot >= true_size, f"hash row {r} undercounts: {dot} < {true_size}"
+    out = x103_join_size_estimate(spark, SF_DIR).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["est_join_size"] == min(dots.values())
+    assert row["exact_join_size"] == true_size
+    assert row["overcount"] == row["est_join_size"] - true_size
+    assert row["overcount"] >= 0

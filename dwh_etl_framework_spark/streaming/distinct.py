@@ -219,3 +219,98 @@ def stream_histogram(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---- streamed count-min sketch (x86/x103 fold) --------------------------
+# CMS counters SUM-merge exactly like the histogram buckets above, so the
+# fold is the same guarded pattern; the state is ≤ d·w counter rows
+# forever. A sketch maintained this way serves BOTH consumers at read
+# time: point frequency estimates (x86) and the join-size inner product
+# against any other sketch of the same width (x103) — the streaming
+# realization of "sketches merge across days/streams".
+
+
+def update_cms(
+    state_counters: DataFrame | None,
+    batch: DataFrame,
+    value_expr: str,
+    w: int | None = None,
+) -> DataFrame:
+    """Fold one batch's CMS counters into the state (pure function)."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
+
+    contrib = cms_sketch(batch, value_expr, w or CMS_W)
+    if state_counters is None:
+        return contrib
+    return (
+        state_counters.unionByName(contrib)
+        .groupBy("r", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def fold_cms_batch(
+    state: StreamMasterState,
+    batch_df: DataFrame,
+    batch_id: int,
+    value_expr: str,
+    w: int | None = None,
+    run_id: str = "",
+) -> bool:
+    """Apply one micro-batch to the persisted sketch, exactly once
+    (the fold_histogram_batch guard verbatim — SUM counters need it).
+    Returns False on a skipped re-execution."""
+    from pyspark.sql import functions as F
+
+    if not batch_df.head(1):
+        return False
+    stored = state.read()
+    counters = stored
+    if stored is not None and "__last_batch_id" in stored.columns:
+        head = stored.select(
+            F.max("__last_batch_id").alias("b"),
+            F.any_value("__run_id").alias("r")
+            if "__run_id" in stored.columns
+            else F.lit(None).alias("r"),
+        ).first()
+        if head["r"] == run_id and head["b"] is not None and batch_id <= head["b"]:
+            return False
+        counters = stored.drop("__last_batch_id", "__run_id")
+    merged = update_cms(counters, batch_df, value_expr, w)
+    state.write(
+        merged.withColumn("__last_batch_id", F.lit(batch_id))
+        .withColumn("__run_id", F.lit(run_id))
+        .coalesce(1)
+    )
+    return True
+
+
+def current_cms(state: StreamMasterState) -> DataFrame | None:
+    """The live (r, col, cnt) counter table without guard columns."""
+    return current_histogram(state)
+
+
+def stream_cms(
+    stream: DataFrame,
+    state: StreamMasterState,
+    checkpoint_dir: str,
+    value_expr: str,
+    w: int | None = None,
+):
+    """Maintain the count-min sketch continuously; point estimates
+    (operators/sketch.cms_estimate) and join-size inner products (x103)
+    read the state table at any time without touching raw history."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_cms_batch(
+            state, batch_df, batch_id, value_expr, w, run_id=checkpoint_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

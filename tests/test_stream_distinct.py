@@ -248,3 +248,82 @@ def test_histogram_guard_is_scoped_to_run_identity(spark, tmp_path):
     assert sum(_hist_dict(current_histogram(state)).values()) == 2 * n_after_a
     # and the new run now dedupes on its own ids
     assert not fold_histogram_batch(state, b, 0, ["event_type"], BUCKET_EXPR, run_id="ckpt-B")
+
+
+# ---- streamed count-min sketch (x86/x103 fold) ---------------------------
+
+
+def test_cms_pure_fold_equals_one_shot(spark):
+    """SUM-merging per-batch sketches == the one-shot sketch, counter
+    for counter — the mergeability claim both x86 and x103 rely on."""
+    from dwh_etl_framework_spark.streaming.distinct import update_cms
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    st = None
+    for i in range(4):
+        st = update_cms(
+            st, events.filter(F.col("user_id") % 4 == i), "user_id", 4096
+        )
+    direct = sketch.cms_sketch(events, "user_id", 4096)
+    fold_d = {(r["r"], r["col"]): r["cnt"] for r in st.collect()}
+    one_d = {(r["r"], r["col"]): r["cnt"] for r in direct.collect()}
+    assert fold_d == one_d
+
+
+def test_stream_cms_supports_join_size_estimate(spark, tmp_path):
+    """Stream the events sketch in 4 slices, then compute the x103
+    join-size estimate from the STREAMED sketch against a batch orders
+    sketch — identical to the all-batch x103 number. Also pins bounded
+    state and the guard."""
+    from dwh_etl_framework_spark.queries.wave16 import (
+        JOINSIZE_W,
+        x103_join_size_estimate,
+    )
+    from dwh_etl_framework_spark.streaming.distinct import (
+        current_cms,
+        fold_cms_batch,
+        stream_cms,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        path = f"{src}/slice_{i}.parquet"
+        events.filter(F.col("user_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    state = StreamMasterState(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = stream_cms(stream, state, str(tmp_path / "ckpt"), "user_id", JOINSIZE_W)
+    q.awaitTermination(120)
+    streamed = current_cms(state)
+    assert streamed.count() <= sketch.CMS_D * JOINSIZE_W  # bounded state
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey")
+    b = sketch.cms_sketch(orders, "o_custkey", JOINSIZE_W)
+    est = (
+        streamed.alias("a")
+        .join(b.alias("b"), ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+        .first()["est"]
+    )
+    batch_est = x103_join_size_estimate(spark, SF_DIR).first()["est_join_size"]
+    assert est == batch_est
+    # guard: same-run re-application of an applied batch_id is a no-op
+    before = {(r["r"], r["col"]): r["cnt"] for r in current_cms(state).collect()}
+    assert not fold_cms_batch(
+        state, events, 0, "user_id", JOINSIZE_W,
+        run_id=str(tmp_path / "ckpt"),
+    )
+    after = {(r["r"], r["col"]): r["cnt"] for r in current_cms(state).collect()}
+    assert after == before

@@ -84,3 +84,36 @@ def test_warehouse_maintenance_example(spark, tmp_path):
     )
     bad = sorted(tuple(r) for r in table_checksum(bad_src).collect())
     assert good != bad
+
+
+def test_entity_resolution_example(spark):
+    """The MDM pipeline is self-consistent: entities partition the rows,
+    the dirty-key profile explains the clustering, the k-gate counts
+    match the golden table, and the planner estimate never undercounts
+    the true re-key join."""
+    import importlib.util
+
+    path = (
+        Path(__file__).resolve().parents[1]
+        / "examples/entity_resolution/run.py"
+    )
+    spec = importlib.util.spec_from_file_location("entity_resolution_run", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report, golden = mod.resolve(spark, "/root/testdata/sf0.001")
+    assert report["entities"] <= report["distinct_values"]
+    assert report["fuzzy_value_pairs"] > 0  # the fixture is really dirty
+    # rows either keep their key (golden) or re-key: the two partition
+    n_golden = golden.filter("is_golden").count()
+    assert n_golden == report["entities"]
+    assert n_golden + report["rows_rekeyed"] == report["raw_rows"]
+    # the sketch estimate upper-bounds the true re-key join size
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.queries.registry import fixtures
+
+    t = fixtures(spark, "/root/testdata/sf0.001")
+    true_join = t.lineitem.join(
+        golden, t.lineitem["l_partkey"] == golden["p_partkey"]
+    ).count()
+    assert report["rekey_join_size_estimate"] >= true_join

@@ -412,3 +412,97 @@ def x103_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_size",
         (F.col("est_join_size") - F.col("exact_join_size")).alias("overcount"),
     )
+
+
+#: Sorted-neighborhood window size (rank distance counted as a
+#: candidate by each pass).
+SNM_W = 3
+
+_SNM_SQL = f"""
+    WITH vals AS (SELECT p_name AS v FROM part GROUP BY p_name),
+    ranked AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS fwd_rk,
+               CAST(row_number() OVER (ORDER BY reverse(v)) AS BIGINT)
+                   AS rev_rk
+        FROM vals
+    ),
+    truth AS (
+        SELECT a.v AS val_a, b.v AS val_b,
+               CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+        FROM vals a JOIN vals b
+          ON a.v < b.v AND levenshtein(a.v, b.v) <= 1
+    )
+    SELECT t.val_a, t.val_b, t.dist,
+           ABS(ra.fwd_rk - rb.fwd_rk) AS fwd_gap,
+           ABS(ra.rev_rk - rb.rev_rk) AS rev_gap,
+           LEAST(ABS(ra.fwd_rk - rb.fwd_rk), ABS(ra.rev_rk - rb.rev_rk))
+               <= {SNM_W} AS snm_recalled
+    FROM truth t
+    JOIN ranked ra ON ra.v = t.val_a
+    JOIN ranked rb ON rb.v = t.val_b
+    """
+
+
+@query("x104_sorted_neighborhood_audit", oracle=_SNM_SQL)
+def x104_sorted_neighborhood_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X1 blocking-strategy recall audit: every TRUE fuzzy value pair
+
+    (levenshtein ≤ 1 — the lossless pigeonhole join is the ground
+    truth, the x97 audit pattern) scored against two-pass
+    sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    a pair is a candidate when its rank distance under the FORWARD sort
+    key or the REVERSED-string key is ≤ w. The fixture shows exactly
+    why one pass is not enough — every true pair here is a
+    first-character edit ("cold …"/"old …"), forward gap 32, reversed
+    gap 1: the forward pass alone recalls NOTHING, the reverse pass
+    recalls everything (the standard multi-pass SNM argument,
+    exhibited pair by pair with both gaps in the output).
+
+    Scale shape: the ranks are windows over the DISTINCT VALUE table
+    (the x99b principle — vocabulary-sized, so the global sort is over
+    10²–10⁶ short strings regardless of corpus rows); the truth side is
+    the audited lossless segment join. This is the audit a team runs to
+    pick w (or reject SNM) before trusting it as the cheap blocking
+    tier on the full corpus."""
+    t = fixtures(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    vals = t.part.select(F.col("p_name").alias("v")).distinct()
+    ranked = vals.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).cast("long").alias("fwd_rk"),
+        F.row_number()
+        .over(Window.orderBy(F.reverse(F.col("v"))))
+        .cast("long")
+        .alias("rev_rk"),
+    )
+    truth = editjoin.edit_distance_value_pairs(t.part, "p_name", k=1).select(
+        "val_a", "val_b", "dist"
+    )
+    ra = ranked.select(
+        F.col("v").alias("val_a"),
+        F.col("fwd_rk").alias("__fa"),
+        F.col("rev_rk").alias("__ra"),
+    )
+    rb = ranked.select(
+        F.col("v").alias("val_b"),
+        F.col("fwd_rk").alias("__fb"),
+        F.col("rev_rk").alias("__rb"),
+    )
+    fwd_gap = F.abs(F.col("__fa") - F.col("__fb"))
+    rev_gap = F.abs(F.col("__ra") - F.col("__rb"))
+    return (
+        truth.join(F.broadcast(ra), "val_a")
+        .join(F.broadcast(rb), "val_b")
+        .select(
+            "val_a",
+            "val_b",
+            "dist",
+            fwd_gap.alias("fwd_gap"),
+            rev_gap.alias("rev_gap"),
+            (F.least(fwd_gap, rev_gap) <= SNM_W).alias("snm_recalled"),
+        )
+    )

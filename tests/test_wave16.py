@@ -266,3 +266,41 @@ def test_join_size_estimate_never_undercounts(spark):
     assert row["exact_join_size"] == true_size
     assert row["overcount"] == row["est_join_size"] - true_size
     assert row["overcount"] >= 0
+
+
+# ---- x104 sorted-neighborhood blocking audit --------------------------------
+
+
+def test_snm_audit_gaps_and_recall_rule(spark):
+    """Gaps recompute from first principles (rank distance under each
+    sort key over the distinct value universe) and the recall flag is
+    exactly min(gap) <= w. The fixture must exhibit the multi-pass
+    motivation: some true pair invisible to the forward pass alone."""
+    from dwh_etl_framework_spark.queries.wave16 import (
+        SNM_W,
+        x104_sorted_neighborhood_audit,
+    )
+
+    out = x104_sorted_neighborhood_audit(spark, SF_DIR).collect()
+    assert out, "fixture must contain true fuzzy pairs"
+    vals = sorted(
+        r["p_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    )
+    fwd = {v: i + 1 for i, v in enumerate(vals)}
+    rev = {
+        v: i + 1
+        for i, v in enumerate(sorted(vals, key=lambda s: s[::-1]))
+    }
+    for r in out:
+        assert r["fwd_gap"] == abs(fwd[r["val_a"]] - fwd[r["val_b"]])
+        assert r["rev_gap"] == abs(rev[r["val_a"]] - rev[r["val_b"]])
+        assert r["snm_recalled"] == (
+            min(r["fwd_gap"], r["rev_gap"]) <= SNM_W
+        )
+    assert any(r["fwd_gap"] > SNM_W for r in out), (
+        "fixture should show a pair the forward pass alone misses"
+    )

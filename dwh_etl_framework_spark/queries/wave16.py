@@ -223,28 +223,55 @@ def x102_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction in DuckDB over raw text) certifies it against the
     ground truth at every SF."""
     t = fixtures(spark, sf_dir)
-    spark_sess = t.documents.sparkSession
+    postings = phrase_postings(t.documents, "text", "doc_id", PHRASES)
+    return phrase_matches(postings, PHRASES)
+
+
+def phrase_vocab(phrases: list[tuple[int, str]]) -> list[str]:
+    """The distinct word set of a phrase workload (the postings slice a
+    continuous index needs to persist)."""
+    return sorted({w for _, p in phrases for w in p.split(" ")})
+
+
+def phrase_postings(
+    docs: DataFrame, text_col: str, id_col: str, phrases: list[tuple[int, str]]
+) -> DataFrame:
+    """(doc_id, i, term) positional postings restricted to the phrase
+    vocabulary — the ONLY corpus pass of the phrase-search plan; the
+    IN-filter runs inside the explode map-side, so the output is
+    Σ df(word)-sized, never corpus-sized. Shared by the batch x102 and
+    the streaming fold (twin rule)."""
+    vocab = phrase_vocab(phrases)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(text_col, " ")).alias("pos0", "term"),
+        )
+        .filter(F.col("term").isin(vocab))
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "term")
+    )
+
+
+def phrase_matches(
+    postings: DataFrame, phrases: list[tuple[int, str]]
+) -> DataFrame:
+    """The x102 match plan over any (doc_id, i, term) postings table:
+    one join against the broadcast word table + the DISTINCT-widx
+    coverage aggregate + the per-doc report. Identical whether the
+    postings come from a batch scan or a persisted streaming index."""
+    spark_sess = postings.sparkSession
     words = spark_sess.createDataFrame(
         [
             (pid, widx + 1, w)
-            for pid, p in PHRASES
+            for pid, p in phrases
             for widx, w in enumerate(p.split(" "))
         ],
         "phrase_id int, widx int, word string",
     )
-    names = spark_sess.createDataFrame(PHRASES, "phrase_id int, phrase string")
-    plen = {pid: len(p.split(" ")) for pid, p in PHRASES}
+    names = spark_sess.createDataFrame(phrases, "phrase_id int, phrase string")
+    plen = {pid: len(p.split(" ")) for pid, p in phrases}
     plen_df = spark_sess.createDataFrame(
         list(plen.items()), "phrase_id int, n_words long"
-    )
-    vocab = sorted({w for _, p in PHRASES for w in p.split(" ")})
-
-    postings = (
-        t.documents.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
-        )
-        .filter(F.col("term").isin(vocab))
-        .select("doc_id", (F.col("pos0") + 1).alias("i"), "term")
     )
     hits = postings.join(
         F.broadcast(words), postings["term"] == words["word"]

@@ -314,3 +314,71 @@ def current_boilerplate(
             (F.col("df_ratio") >= flag_ratio).alias("is_boilerplate"), "rk",
         )
     )
+
+
+# ---- streaming positional phrase index (x102 fold) -----------------------
+
+
+def update_phrase_postings(
+    state: DataFrame | None,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrases: list[tuple[int, str]],
+) -> DataFrame:
+    """Fold one batch's vocabulary-restricted postings into the index
+    (pure function). Set-union on (doc_id, i, term) — a position either
+    holds the term or it does not, so re-delivered batches are a fixed
+    point: no guard needed (the update_quota class). The state is the
+    workload's postings slice (Σ df(word) rows, positions + short
+    terms); document text never persists."""
+    from dwh_etl_framework_spark.queries.wave16 import phrase_postings
+
+    contrib = phrase_postings(batch, text_col, id_col, phrases)
+    if state is not None:
+        contrib = state.unionByName(contrib)
+    return contrib.dropDuplicates(["doc_id", "i", "term"])
+
+
+def stream_phrase_index(
+    stream: DataFrame,
+    state: StreamMasterState,
+    checkpoint_dir: str,
+    text_col: str,
+    id_col: str,
+    phrases: list[tuple[int, str]],
+):
+    """Maintain the positional phrase index continuously; reads run the
+    x102 match plan against the state at any time (the index-once/
+    query-many retrieval shape, incrementally). Returns the
+    StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        state.write(
+            update_phrase_postings(
+                state.read(), batch_df, text_col, id_col, phrases
+            ).coalesce(1)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def current_phrase_matches(
+    state: StreamMasterState, phrases: list[tuple[int, str]]
+) -> DataFrame | None:
+    """The live x102 report from the persisted postings (None before
+    the first batch lands) — the SAME match plan the batch query runs,
+    over the streamed index instead of a corpus scan."""
+    from dwh_etl_framework_spark.queries.wave16 import phrase_matches
+
+    stored = state.read()
+    if stored is None:
+        return None
+    return phrase_matches(stored, phrases)

@@ -275,3 +275,70 @@ def test_update_weighted_growth_only_displaces(spark):
     for d in set(k2) & set(k4):
         assert k2[d] == k4[d]
     assert max(k4.values()) <= max(k2.values())
+
+
+# ---- x102 streaming phrase index ------------------------------------------
+
+
+def _phrase_dict(df):
+    return {
+        (r["phrase_id"], r["doc_id"]): (r["n_occurrences"], r["first_pos"])
+        for r in df.collect()
+    }
+
+
+def _run_phrase_index(spark, src, state_path, ckpt):
+    from dwh_etl_framework_spark.queries.wave16 import PHRASES
+    from dwh_etl_framework_spark.streaming.corpus_folds import (
+        stream_phrase_index,
+    )
+
+    state = StreamMasterState(spark, state_path)
+    q = stream_phrase_index(
+        _doc_stream(spark, src), state, ckpt, "text", "doc_id", PHRASES
+    )
+    q.awaitTermination(120)
+    return state
+
+
+def test_stream_phrase_index_equals_batch_x102(spark, tmp_path):
+    from dwh_etl_framework_spark.queries.wave16 import (
+        PHRASES,
+        phrase_vocab,
+        x102_phrase_search,
+    )
+    from dwh_etl_framework_spark.streaming.corpus_folds import (
+        current_phrase_matches,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_slices(spark, src)
+    state = _run_phrase_index(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    live = current_phrase_matches(state, PHRASES)
+    batch = x102_phrase_search(spark, SF_DIR)
+    assert _phrase_dict(live) == _phrase_dict(batch)
+    # corpus-free state: only vocabulary terms and integer positions
+    postings = state.read()
+    assert set(postings.columns) == {"doc_id", "i", "term"}
+    terms = {r["term"] for r in postings.select("term").distinct().collect()}
+    assert terms <= set(phrase_vocab(PHRASES))
+
+
+def test_stream_phrase_index_redelivery_is_idempotent(spark, tmp_path):
+    from dwh_etl_framework_spark.queries.wave16 import PHRASES
+    from dwh_etl_framework_spark.streaming.corpus_folds import (
+        current_phrase_matches,
+    )
+
+    src = str(tmp_path / "src")
+    _write_doc_slices(spark, src)
+    state_path = str(tmp_path / "state")
+    state = _run_phrase_index(spark, src, state_path, str(tmp_path / "ckpt1"))
+    before = _phrase_dict(current_phrase_matches(state, PHRASES))
+    n_before = state.read().count()
+    # fresh checkpoint: every slice re-delivers; set-union must not move
+    state2 = _run_phrase_index(spark, src, state_path, str(tmp_path / "ckpt2"))
+    assert _phrase_dict(current_phrase_matches(state2, PHRASES)) == before
+    assert state2.read().count() == n_before

@@ -260,3 +260,55 @@ def test_rrf_two_sided_beats_one_sided():
     both = 1.0 / (_RRF_K + r) + 1.0 / (_RRF_K + r)
     one = 1.0 / (_RRF_K + r)
     assert both > one
+
+
+def test_cross_variant_lossless_vs_naive_split(spark):
+    """edit_distance_pairs_cross(probe, index) returns EXACTLY the naive
+    pairs touching at least one probe string — on the ragged fixture
+    split every way across the probe/index boundary (k=1 and k=2),
+    including probe∩index overlap (the streaming new-vs-all shape has
+    the new values in BOTH: probe = new, index = old ∪ new)."""
+    rows = [(i, s) for i, s in RAGGED if s is not None]
+    df_all = spark.createDataFrame(RAGGED, "id long, s string")
+    for k in (1, 2):
+        want_all = _naive_pairs(RAGGED, k)
+        for probe_pred in (lambda i: i % 2 == 0, lambda i: i <= 4):
+            probe_ids = {i for i, _ in rows if probe_pred(i)}
+            probe = df_all.filter(F.col("id").isin(list(probe_ids)))
+            got = {
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in editjoin.edit_distance_pairs_cross(
+                    probe, df_all, "s", "id", k=k
+                ).collect()
+            }
+            want = {
+                p for p in want_all
+                if p[0] in probe_ids or p[1] in probe_ids
+            }
+            assert got == want, (k, sorted(probe_ids))
+
+
+def test_cross_variant_union_over_batches_equals_self_join(spark):
+    """The entity_folds losslessness argument, pinned directly: feeding
+    the ragged strings in 3 batches and cross-joining each batch's NEW
+    strings against everything seen so far unions to exactly the naive
+    self-join pair set."""
+    batches = [RAGGED[0:5], RAGGED[5:9], RAGGED[9:]]
+    seen: list = []
+    got = set()
+    for b in batches:
+        new = [(i, s) for i, s in b if s is not None]
+        seen.extend(new)
+        if not new:
+            continue
+        probe = spark.createDataFrame(new, "id long, s string")
+        index = spark.createDataFrame(seen, "id long, s string")
+        got |= {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in editjoin.edit_distance_pairs_cross(
+                probe, index, "s", "id", k=1
+            ).collect()
+        }
+    # keep only cross-or-within-batch pairs discovered per protocol;
+    # the union must equal the one-shot self-join exactly
+    assert got == _naive_pairs(RAGGED, 1)

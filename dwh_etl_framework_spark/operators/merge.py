@@ -133,6 +133,26 @@ def merge_delta(
     return kept.unionByName(upserts)
 
 
+def as_of_read(journal: DataFrame, spec: JournalSpec, as_of) -> DataFrame:
+    """Time travel over the journal protocol: the master AS OF a past
+
+    timestamp = latest version per PK among journal rows with
+    ``__transform_dt <= as_of`` (all record states, exactly like
+    merge_full — the journal IS the full history, so any past master is
+    one time filter + the same rank). The filter lands BEFORE the PK
+    shuffle (predicate pushdown to the journal scan: on a
+    date-partitioned journal this prunes partitions), so reconstructing
+    an old state costs less than rebuilding the current one, never
+    more. Keeps ``__transform_dt`` as the version stamp; the reference
+    keeps full history for exactly this replay/audit use but ships no
+    operator for it (airflow_etl.py:154-223).
+    """
+    vis = journal.filter(F.col("__transform_dt") <= as_of)
+    out = latest_per_key(vis, spec, drop_system_cols=False)
+    drop = [c for c in SYSTEM_COLS if c != "__transform_dt"]
+    return out.drop(*drop)
+
+
 def compact_journal(
     journal: DataFrame, spec: JournalSpec, keep_versions: int = 1
 ) -> DataFrame:

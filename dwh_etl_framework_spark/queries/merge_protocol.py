@@ -151,3 +151,49 @@ def f22_journal_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_journal(_journal(spark), _SPEC, keep_versions=2).select(
         "account_id", "balance", "__seqno", "__record_state"
     )
+
+
+#: as-of timestamp for the oracled time-travel read — mid-range of the
+#: synthetic journal's __transform_dt (l_shipdate spans 1992-1998), so
+#: roughly half the versions are visible and many keys resolve to an
+#: OLDER version than the current master's.
+AS_OF_DT = "1995-06-30"
+
+
+@query(
+    "f32_time_travel_read",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    vis AS (
+        SELECT * FROM journal WHERE __transform_dt <= DATE '{AS_OF_DT}'
+    ),
+    ranked AS (
+        SELECT account_id, balance, __transform_dt,
+               row_number() OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt DESC, __load_dt DESC, __seqno ASC
+               ) AS rnk
+        FROM vis
+    )
+    SELECT account_id, balance, __transform_dt AS version_dt
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def f32_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier time travel: the master AS OF {AS_OF_DT} reconstructed
+
+    from the journal (operators/merge.as_of_read) — one time filter +
+    the same latest-per-key rank as merge_full, with the surviving
+    version's ``__transform_dt`` kept as the version stamp. The filter
+    pushes down to the journal scan (partition-pruned on a
+    date-partitioned journal), so a past state costs LESS than the
+    current rebuild. The reference keeps full journal history but has
+    no replay operator; this closes the audit/backfill gap its
+    protocol implies."""
+    fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+    from pyspark.sql import functions as F
+
+    return as_of_read(
+        _journal(spark), _SPEC, F.lit(AS_OF_DT).cast("date")
+    ).withColumnRenamed("__transform_dt", "version_dt")

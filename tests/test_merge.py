@@ -157,3 +157,64 @@ def test_stamp_journal_columns(spark):
     df2 = spark.createDataFrame([Row(account_id=i, balance=0.0) for i in range(50)])
     seqnos = [r["__seqno"] for r in stamp_journal_columns(df2, T0, load_dt=T0).collect()]
     assert len(set(seqnos)) == len(seqnos)
+
+
+def python_asof(rows, as_of):
+    """Oracle: latest row per PK among versions with __transform_dt <= T."""
+    vis = [r for r in rows if r["__transform_dt"] <= as_of]
+    return python_latest(vis)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_as_of_read_matches_python_oracle(spark, seed):
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+
+    rows = make_journal(seed)
+    df = spark.createDataFrame(rows)
+    for hours in (0, 10, 50, 200):
+        t = T0 + timedelta(hours=hours)
+        got = {
+            (r["account_id"], r["balance_date"]): r["balance"]
+            for r in as_of_read(df, SPEC, F.lit(t)).collect()
+        }
+        assert got == python_asof(rows, t), (seed, hours)
+
+
+def test_as_of_now_equals_merge_full(spark):
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+
+    rows = make_journal(7)
+    df = spark.createDataFrame(rows)
+    latest = {
+        (r["account_id"], r["balance_date"]): r["balance"]
+        for r in merge_full(df, SPEC).collect()
+    }
+    now = T0 + timedelta(days=365)
+    asof = {
+        (r["account_id"], r["balance_date"]): r["balance"]
+        for r in as_of_read(df, SPEC, F.lit(now)).collect()
+    }
+    assert asof == latest
+
+
+def test_as_of_visibility_is_monotone(spark):
+    """Key sets only grow as T advances, and a key's version stamp is
+    non-decreasing in T."""
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+
+    rows = make_journal(11)
+    df = spark.createDataFrame(rows)
+    prev_keys: set = set()
+    prev_vdt: dict = {}
+    for hours in (5, 40, 120, 300):
+        t = T0 + timedelta(hours=hours)
+        out = as_of_read(df, SPEC, F.lit(t)).collect()
+        keys = {(r["account_id"], r["balance_date"]) for r in out}
+        vdt = {
+            (r["account_id"], r["balance_date"]): r["__transform_dt"]
+            for r in out
+        }
+        assert prev_keys <= keys
+        for k in prev_vdt:
+            assert vdt[k] >= prev_vdt[k]
+        prev_keys, prev_vdt = keys, vdt

@@ -133,6 +133,39 @@ def merge_delta(
     return kept.unionByName(upserts)
 
 
+def pit_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_ts_col: str,
+) -> DataFrame:
+    """Point-in-time dimensional join: each fact row paired with the
+
+    SCD2 dimension version valid AT the fact's timestamp —
+    ``valid_from <= ts`` and (open interval or ``ts < valid_to``). The
+    half-open interval convention (``scd2_intervals``) guarantees at
+    most one matching version per (key, ts): a tie group's superseded
+    versions carry empty intervals and can never match. Inner join —
+    facts earlier than their key's first version have no valid dimension
+    state and drop out (the caller left-joins if it wants them).
+
+    Scale shape: Catalyst plans the key equality as the join key (one
+    hash/SMJ shuffle on the dimension PK, AQE-skew-splittable) with the
+    interval containment as a residual filter — never a range
+    cross-product; the dimension side is version-count-sized, typically
+    broadcastable."""
+    cond = (
+        (facts[fact_key] == intervals[dim_key])
+        & (intervals["valid_from"] <= facts[fact_ts_col])
+        & (
+            intervals["valid_to"].isNull()
+            | (facts[fact_ts_col] < intervals["valid_to"])
+        )
+    )
+    return facts.join(intervals, cond, "inner")
+
+
 def as_of_read(journal: DataFrame, spec: JournalSpec, as_of) -> DataFrame:
     """Time travel over the journal protocol: the master AS OF a past
 

@@ -94,3 +94,59 @@ def x23_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.orders, t.customer, "o_custkey", "c_custkey", total=total
         ),
     )
+
+
+@query(
+    "f33_pit_join",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    dim AS (
+        SELECT account_id, balance,
+               __transform_dt AS valid_from,
+               lead(__transform_dt) OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt ASC, __load_dt ASC, __seqno DESC
+               ) AS valid_to
+        FROM journal
+    )
+    SELECT f.l_orderkey AS account_id,
+           CAST(f.l_linenumber AS INTEGER) AS line_no,
+           CAST(f.l_shipdate AS DATE) + 15 AS receipt_dt,
+           d.balance, d.valid_from
+    FROM lineitem f
+    JOIN dim d
+      ON d.account_id = f.l_orderkey
+     AND d.valid_from <= CAST(f.l_shipdate AS DATE) + 15
+     AND (d.valid_to IS NULL OR CAST(f.l_shipdate AS DATE) + 15 < d.valid_to)
+    """,
+)
+def f33_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimensional join (operators/merge.pit_join): every
+
+    receipt event (receipt = ship + 15 days, the TPC-H receipt rule —
+    the synthetic lineitem carries no receiptdate column) paired with
+    the account version (SCD2 interval from the journal, f23) valid AT
+    the receipt date — the correct-as-of
+    join every fact-to-SCD2 load needs; joining is_current instead is
+    the classic silent-corruption bug. The half-open intervals
+    guarantee at most one version per (key, ts). Catalyst plans the key
+    equality as the join key with interval containment as a residual
+    filter — one PK shuffle, no range cross-product."""
+    t = fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.merge import pit_join
+
+    dim = scd2_intervals(_journal(spark), _SPEC).select(
+        "account_id", "balance", "valid_from", "valid_to"
+    )
+    facts = t.lineitem.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("line_no"),
+        F.date_add(F.to_date("l_shipdate"), 15).alias("receipt_dt"),
+    )
+    return pit_join(facts, dim, "l_orderkey", "account_id", "receipt_dt").select(
+        F.col("l_orderkey").alias("account_id"),
+        "line_no",
+        "receipt_dt",
+        "balance",
+        "valid_from",
+    )

@@ -218,3 +218,52 @@ def test_as_of_visibility_is_monotone(spark):
         for k in prev_vdt:
             assert vdt[k] >= prev_vdt[k]
         prev_keys, prev_vdt = keys, vdt
+
+
+def test_pit_join_selects_exactly_the_valid_version(spark):
+    """Every fact pairs with AT MOST one version, and it is precisely
+    the latest version with valid_from <= ts (the as_of_read answer at
+    the fact's timestamp) — joining is_current instead would disagree
+    wherever history moved on."""
+    from dwh_etl_framework_spark.operators.merge import (
+        as_of_read,
+        pit_join,
+        scd2_intervals,
+    )
+
+    rows = make_journal(3)
+    journal = spark.createDataFrame(rows)
+    dim = scd2_intervals(journal, SPEC)
+    facts = spark.createDataFrame(
+        [
+            Row(fk=k, fbd=f"2024-01-{1 + k % 28:02d}",
+                ts=T0 + timedelta(hours=h))
+            for k in range(0, 40, 3)
+            for h in (1, 60, 250)
+        ]
+    )
+    joined = pit_join(
+        facts,
+        dim.withColumnRenamed("account_id", "dk").withColumnRenamed(
+            "balance_date", "dbd"
+        ),
+        "fk",
+        "dk",
+        "ts",
+    ).filter(F.col("fbd") == F.col("dbd"))
+    got = {
+        (r["fk"], r["fbd"], r["ts"]): r["balance"] for r in joined.collect()
+    }
+    assert len(got) == joined.count()  # at most one version per fact
+    # cross-check every fact against the time-travel read at its ts
+    for h in (1, 60, 250):
+        t = T0 + timedelta(hours=h)
+        asof = {
+            (r["account_id"], r["balance_date"]): r["balance"]
+            for r in as_of_read(journal, SPEC, F.lit(t)).collect()
+        }
+        for k in range(0, 40, 3):
+            key = (k, f"2024-01-{1 + k % 28:02d}")
+            want = asof.get(key)
+            have = got.get((k, key[1], t))
+            assert have == want, (k, h, have, want)

@@ -117,6 +117,9 @@ HEADLINE = [
                                  # survivorship perf trail)
     "x102_phrase_search",        # positional inverted-index phrase
                                  # query (r9f; postings join path)
+    "f31_k_anonymity_audit",     # QI-grid privacy gate (r9)
+    "f32_time_travel_read",      # journal master AS OF T (r9)
+    "f33_pit_join",              # fact -> SCD2 version valid at ts (r9)
 ]
 
 

@@ -197,3 +197,90 @@ def f32_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of_read(
         _journal(spark), _SPEC, F.lit(AS_OF_DT).cast("date")
     ).withColumnRenamed("__transform_dt", "version_dt")
+
+
+#: change-feed window for the oracled entry: two mid-history years
+#: (journal __transform_dt spans 1995-2001), so the fixture exercises
+#: BOTH change types — keys first seen inside the window (INSERT) and
+#: keys whose latest version moved (UPDATE).
+CDF_FROM = "1996-06-30"
+CDF_TO = "1998-06-30"
+
+
+@query(
+    "f34_change_feed",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    before AS (
+        SELECT account_id, balance FROM (
+            SELECT account_id, balance,
+                   row_number() OVER (
+                       PARTITION BY account_id
+                       ORDER BY __transform_dt DESC, __load_dt DESC,
+                                __seqno ASC
+                   ) AS rnk
+            FROM journal WHERE __transform_dt <= DATE '{CDF_FROM}'
+        ) WHERE rnk = 1
+    ),
+    after AS (
+        SELECT account_id, balance FROM (
+            SELECT account_id, balance,
+                   row_number() OVER (
+                       PARTITION BY account_id
+                       ORDER BY __transform_dt DESC, __load_dt DESC,
+                                __seqno ASC
+                   ) AS rnk
+            FROM journal WHERE __transform_dt <= DATE '{CDF_TO}'
+        ) WHERE rnk = 1
+    )
+    SELECT COALESCE(a.account_id, b.account_id) AS account_id,
+           b.balance AS old_balance,
+           a.balance AS new_balance,
+           CASE WHEN b.account_id IS NULL THEN 'INSERT'
+                ELSE 'UPDATE' END AS change_type
+    FROM after a
+    LEFT JOIN before b ON a.account_id = b.account_id
+    WHERE b.account_id IS NULL OR a.balance <> b.balance
+    """,
+)
+def f34_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier change data feed: the NET per-key changes between two
+
+    journal timestamps — new keys flagged INSERT, changed values
+    UPDATE, unchanged keys omitted (the no-op-suppressing change feed a
+    downstream incremental consumer wants, computed from the SAME
+    journal the merges read; the reference's stubbed delta extract
+    shape, answered retroactively for ANY [T1, T2]). Built as
+    as_of_read(T2) ⟕ as_of_read(T1): both sides are one pushdown-able
+    time filter + the merge_full rank, joined on the PK — three
+    PK-keyed exchanges total, AQE-skew-splittable, no history ever
+    crosses the network beyond each side's surviving version. The
+    append-only journal means DELETEs cannot exist ('H' marks
+    consumed-by-merge, not removal — f21); a retention protocol would
+    add them as a third branch."""
+    fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+    from pyspark.sql import functions as F
+
+    j = _journal(spark)
+    before = as_of_read(j, _SPEC, F.lit(CDF_FROM).cast("date")).select(
+        "account_id", F.col("balance").alias("old_balance")
+    )
+    after = as_of_read(j, _SPEC, F.lit(CDF_TO).cast("date")).select(
+        "account_id", F.col("balance").alias("new_balance")
+    )
+    return (
+        after.join(before, "account_id", "left")
+        .filter(
+            F.col("old_balance").isNull()
+            | (F.col("new_balance") != F.col("old_balance"))
+        )
+        .select(
+            "account_id",
+            "old_balance",
+            "new_balance",
+            F.when(F.col("old_balance").isNull(), F.lit("INSERT"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("change_type"),
+        )
+    )

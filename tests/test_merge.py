@@ -267,3 +267,42 @@ def test_pit_join_selects_exactly_the_valid_version(spark):
             want = asof.get(key)
             have = got.get((k, key[1], t))
             assert have == want, (k, h, have, want)
+
+
+def test_change_feed_is_the_diff_of_two_asof_reads(spark):
+    """INSERT keys are exactly after-minus-before; UPDATE keys are
+    exactly the common keys whose value moved; unchanged keys are
+    absent; new_balance always equals the after-state."""
+    from dwh_etl_framework_spark.operators.merge import as_of_read
+
+    rows = make_journal(5)
+    journal = spark.createDataFrame(rows)
+    t1, t2 = T0 + timedelta(hours=20), T0 + timedelta(hours=120)
+    before = python_asof(rows, t1)
+    after = python_asof(rows, t2)
+    got = {}
+    a = as_of_read(journal, SPEC, F.lit(t2)).select(
+        "account_id", "balance_date", F.col("balance").alias("new_balance")
+    )
+    b = as_of_read(journal, SPEC, F.lit(t1)).select(
+        "account_id", "balance_date", F.col("balance").alias("old_balance")
+    )
+    feed = (
+        a.join(b, ["account_id", "balance_date"], "left")
+        .filter(
+            F.col("old_balance").isNull()
+            | (F.col("new_balance") != F.col("old_balance"))
+        )
+        .collect()
+    )
+    for r in feed:
+        got[(r["account_id"], r["balance_date"])] = (
+            r["old_balance"], r["new_balance"]
+        )
+    want = {}
+    for k, v in after.items():
+        if k not in before:
+            want[k] = (None, v)
+        elif before[k] != v:
+            want[k] = (before[k], v)
+    assert got == want

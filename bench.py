@@ -120,6 +120,7 @@ HEADLINE = [
     "f31_k_anonymity_audit",     # QI-grid privacy gate (r9)
     "f32_time_travel_read",      # journal master AS OF T (r9)
     "f33_pit_join",              # fact -> SCD2 version valid at ts (r9)
+    "f34_change_feed",           # net per-key changes in [T1, T2] (r9)
 ]
 
 

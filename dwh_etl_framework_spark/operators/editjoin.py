@@ -59,7 +59,7 @@ def _verify_partitions(
     """Cost-based verify exchange width (pure, unit-tested)."""
     work = est_pairs * max(avg_len, 1.0) ** 2
     by_cost = int(-(-work // budget)) if work > 0 else 0
-    return max(parallelism * 2, min(by_cost, 32768))
+    return min(32768, max(parallelism * 2, by_cost))
 
 
 def _prep_base(df: DataFrame, str_col: str, id_col: str) -> DataFrame:

@@ -186,6 +186,53 @@ def as_of_read(journal: DataFrame, spec: JournalSpec, as_of) -> DataFrame:
     return out.drop(*drop)
 
 
+def change_feed(
+    journal: DataFrame,
+    spec: JournalSpec,
+    t_from,
+    t_to,
+    value_cols: tuple[str, ...] | list[str],
+) -> DataFrame:
+    """Net per-key change data feed over [t_from, t_to]: keys first seen
+    inside the window come out as INSERT, keys whose surviving version
+    changed as UPDATE (old_/new_ column pairs), unchanged keys are
+    suppressed. Built as as_of_read(t_to) ⟕ as_of_read(t_from) — three
+    PK-keyed exchanges, no history beyond each side's surviving version
+    crosses the network. The reference's stubbed delta extract shape
+    (airflow_etl.py:452-463) answered for ANY window.
+
+    Key presence is carried by an explicit marker column, NOT inferred
+    from a value column's nullness (a pre-existing key whose surviving
+    version holds NULL values must be UPDATE, not INSERT), and change
+    detection is null-safe per column so NULL↔value transitions are
+    emitted (ADVICE r9 #1)."""
+    pk = list(spec.primary_key)
+    before = as_of_read(journal, spec, t_from).select(
+        *pk,
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+        F.lit(1).alias("__present"),
+    )
+    after = as_of_read(journal, spec, t_to).select(
+        *pk, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    )
+    is_insert = F.col("__present").isNull()
+    changed = is_insert
+    for c in value_cols:
+        changed = changed | ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
+    return (
+        after.join(before, pk, "left")
+        .filter(changed)
+        .select(
+            *pk,
+            *[f"old_{c}" for c in value_cols],
+            *[f"new_{c}" for c in value_cols],
+            F.when(is_insert, F.lit("INSERT"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("change_type"),
+        )
+    )
+
+
 def compact_journal(
     journal: DataFrame, spec: JournalSpec, keep_versions: int = 1
 ) -> DataFrame:

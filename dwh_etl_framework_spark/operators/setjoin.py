@@ -69,7 +69,7 @@ def _verify_partitions(
     stage is already scheduler-bound; beyond that, raise the budget)."""
     work = est_pairs * 2.0 * max(avg_n, 1.0)
     by_cost = int(-(-work // budget)) if work > 0 else 0
-    return max(parallelism * 2, min(by_cost, 32768))
+    return min(32768, max(parallelism * 2, by_cost))
 
 
 def prefix_filter_jaccard_pairs(

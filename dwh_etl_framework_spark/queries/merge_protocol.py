@@ -240,7 +240,7 @@ CDF_TO = "1998-06-30"
                 ELSE 'UPDATE' END AS change_type
     FROM after a
     LEFT JOIN before b ON a.account_id = b.account_id
-    WHERE b.account_id IS NULL OR a.balance <> b.balance
+    WHERE b.account_id IS NULL OR (a.balance IS DISTINCT FROM b.balance)
     """,
 )
 def f34_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,30 +257,18 @@ def f34_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the network beyond each side's surviving version. The
     append-only journal means DELETEs cannot exist ('H' marks
     consumed-by-merge, not removal — f21); a retention protocol would
-    add them as a third branch."""
+    add them as a third branch. Key presence is tested via an explicit
+    marker column (NOT via old_balance nullness — a pre-existing key
+    whose surviving version carries a NULL value column must be UPDATE,
+    not INSERT) and value change uses null-safe IS DISTINCT FROM so
+    NULL↔value transitions are emitted (ADVICE r9 #1)."""
     fixtures(spark, sf_dir)
-    from dwh_etl_framework_spark.operators.merge import as_of_read
-    from pyspark.sql import functions as F
+    from dwh_etl_framework_spark.operators.merge import change_feed
 
-    j = _journal(spark)
-    before = as_of_read(j, _SPEC, F.lit(CDF_FROM).cast("date")).select(
-        "account_id", F.col("balance").alias("old_balance")
-    )
-    after = as_of_read(j, _SPEC, F.lit(CDF_TO).cast("date")).select(
-        "account_id", F.col("balance").alias("new_balance")
-    )
-    return (
-        after.join(before, "account_id", "left")
-        .filter(
-            F.col("old_balance").isNull()
-            | (F.col("new_balance") != F.col("old_balance"))
-        )
-        .select(
-            "account_id",
-            "old_balance",
-            "new_balance",
-            F.when(F.col("old_balance").isNull(), F.lit("INSERT"))
-            .otherwise(F.lit("UPDATE"))
-            .alias("change_type"),
-        )
+    return change_feed(
+        _journal(spark),
+        _SPEC,
+        F.lit(CDF_FROM).cast("date"),
+        F.lit(CDF_TO).cast("date"),
+        ["balance"],
     )

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 from dwh_etl_framework_spark.operators.dedup import shingle_table
 from dwh_etl_framework_spark.operators.sampling import weighted_sample
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+from dwh_etl_framework_spark.streaming.guard import check_batch_guard, stamp_guard
 
 
 # ---- streaming exact-quota sample (x95 fold) ---------------------------
@@ -238,22 +239,11 @@ def fold_dfreq_batch(
     re-execution."""
     if not batch_df.head(1):
         return False
-    stored = state.read()
-    counts = stored
-    if stored is not None and "__last_batch_id" in stored.columns:
-        head = stored.select(
-            F.max("__last_batch_id").alias("b"),
-            F.any_value("__run_id").alias("r"),
-        ).first()
-        if head["r"] == run_id and head["b"] is not None and batch_id <= head["b"]:
-            return False
-        counts = stored.drop("__last_batch_id", "__run_id")
+    skip, counts = check_batch_guard(state.read(), batch_id, run_id)
+    if skip:
+        return False
     merged = update_dfreq(counts, batch_df, text_col, id_col, source_col, n)
-    state.write(
-        merged.withColumn("__last_batch_id", F.lit(batch_id))
-        .withColumn("__run_id", F.lit(run_id))
-        .coalesce(1)
-    )
+    state.write(stamp_guard(merged, batch_id, run_id).coalesce(1))
     return True
 
 

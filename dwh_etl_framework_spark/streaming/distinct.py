@@ -31,6 +31,7 @@ from dwh_etl_framework_spark.operators.sketch import (
     hll_registers,
 )
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+from dwh_etl_framework_spark.streaming.guard import check_batch_guard, stamp_guard
 
 
 def update_registers(
@@ -164,25 +165,11 @@ def fold_histogram_batch(
 
     if not batch_df.head(1):
         return False
-    stored = state.read()
-    hist_state = stored
-    if stored is not None and "__last_batch_id" in stored.columns:
-        head = stored.select(
-            F.max("__last_batch_id").alias("b"),
-            F.any_value("__run_id").alias("r")
-            if "__run_id" in stored.columns
-            else F.lit(None).alias("r"),
-        ).first()
-        same_run = head["r"] == run_id
-        if same_run and head["b"] is not None and batch_id <= head["b"]:
-            return False  # at-least-once re-execution — already applied
-        hist_state = stored.drop("__last_batch_id", "__run_id")
+    skip, hist_state = check_batch_guard(state.read(), batch_id, run_id)
+    if skip:
+        return False  # at-least-once re-execution — already applied
     merged = update_histogram(hist_state, batch_df, group_cols, bucket_expr)
-    state.write(
-        merged.withColumn("__last_batch_id", F.lit(batch_id))
-        .withColumn("__run_id", F.lit(run_id))
-        .coalesce(1)
-    )
+    state.write(stamp_guard(merged, batch_id, run_id).coalesce(1))
     return True
 
 
@@ -266,24 +253,11 @@ def fold_cms_batch(
 
     if not batch_df.head(1):
         return False
-    stored = state.read()
-    counters = stored
-    if stored is not None and "__last_batch_id" in stored.columns:
-        head = stored.select(
-            F.max("__last_batch_id").alias("b"),
-            F.any_value("__run_id").alias("r")
-            if "__run_id" in stored.columns
-            else F.lit(None).alias("r"),
-        ).first()
-        if head["r"] == run_id and head["b"] is not None and batch_id <= head["b"]:
-            return False
-        counters = stored.drop("__last_batch_id", "__run_id")
+    skip, counters = check_batch_guard(state.read(), batch_id, run_id)
+    if skip:
+        return False
     merged = update_cms(counters, batch_df, value_expr, w)
-    state.write(
-        merged.withColumn("__last_batch_id", F.lit(batch_id))
-        .withColumn("__run_id", F.lit(run_id))
-        .coalesce(1)
-    )
+    state.write(stamp_guard(merged, batch_id, run_id).coalesce(1))
     return True
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.operators.editjoin import edit_distance_pairs_cross
 from dwh_etl_framework_spark.operators.graph import dedup_clusters
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+from dwh_etl_framework_spark.streaming.guard import check_batch_guard, stamp_guard
 
 
 def batch_value_stats(
@@ -98,16 +99,9 @@ def fold_entity_batch(
     first — see the module crash-discipline note)."""
     if not batch_df.head(1):
         return False
-    stored = stats_state.read()
-    stats = stored
-    if stored is not None and "__last_batch_id" in stored.columns:
-        head = stored.select(
-            F.max("__last_batch_id").alias("b"),
-            F.any_value("__run_id").alias("r"),
-        ).first()
-        if head["r"] == run_id and head["b"] is not None and batch_id <= head["b"]:
-            return False
-        stats = stored.drop("__last_batch_id", "__run_id")
+    skip, stats = check_batch_guard(stats_state.read(), batch_id, run_id)
+    if skip:
+        return False
 
     # ---- edges first (idempotent set-union) ----
     batch_vals = (
@@ -139,11 +133,7 @@ def fold_entity_batch(
     # ---- stats second (guarded SUM/MIN/MAX merge) ----
     contrib = batch_value_stats(batch_df, val_col, key_col, price_col)
     merged = update_value_stats(stats, contrib)
-    stats_state.write(
-        merged.withColumn("__last_batch_id", F.lit(batch_id))
-        .withColumn("__run_id", F.lit(run_id))
-        .coalesce(1)
-    )
+    stats_state.write(stamp_guard(merged, batch_id, run_id).coalesce(1))
     return True
 
 

@@ -63,7 +63,9 @@ def resolve(spark, sf_dir: str):
 
     # 2-4. match → cluster → golden record (the x101 composition)
     golden = x101_entity_golden_record(spark, sf_dir)
-    golden.localCheckpoint(eager=True)
+    # localCheckpoint returns a NEW DataFrame — reassign, else the three
+    # downstream actions each recompute the full fuzzy-join + CC plan
+    golden = golden.localCheckpoint(eager=True)
     report["entities"] = (
         golden.select("entity_cluster").distinct().count()
     )

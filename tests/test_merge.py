@@ -273,36 +273,85 @@ def test_change_feed_is_the_diff_of_two_asof_reads(spark):
     """INSERT keys are exactly after-minus-before; UPDATE keys are
     exactly the common keys whose value moved; unchanged keys are
     absent; new_balance always equals the after-state."""
-    from dwh_etl_framework_spark.operators.merge import as_of_read
+    from dwh_etl_framework_spark.operators.merge import change_feed
 
     rows = make_journal(5)
     journal = spark.createDataFrame(rows)
     t1, t2 = T0 + timedelta(hours=20), T0 + timedelta(hours=120)
     before = python_asof(rows, t1)
     after = python_asof(rows, t2)
+    feed = change_feed(journal, SPEC, F.lit(t1), F.lit(t2), ["balance"]).collect()
     got = {}
-    a = as_of_read(journal, SPEC, F.lit(t2)).select(
-        "account_id", "balance_date", F.col("balance").alias("new_balance")
-    )
-    b = as_of_read(journal, SPEC, F.lit(t1)).select(
-        "account_id", "balance_date", F.col("balance").alias("old_balance")
-    )
-    feed = (
-        a.join(b, ["account_id", "balance_date"], "left")
-        .filter(
-            F.col("old_balance").isNull()
-            | (F.col("new_balance") != F.col("old_balance"))
-        )
-        .collect()
-    )
     for r in feed:
         got[(r["account_id"], r["balance_date"])] = (
-            r["old_balance"], r["new_balance"]
+            r["old_balance"],
+            r["new_balance"],
+            r["change_type"],
         )
     want = {}
     for k, v in after.items():
         if k not in before:
-            want[k] = (None, v)
+            want[k] = (None, v, "INSERT")
         elif before[k] != v:
-            want[k] = (before[k], v)
+            want[k] = (before[k], v, "UPDATE")
     assert got == want
+
+
+def test_change_feed_null_value_semantics(spark):
+    """ADVICE r9 #1: key presence comes from a presence marker, never
+    from a value column's nullness. A pre-existing key whose surviving
+    old version holds NULL is UPDATE (not INSERT); NULL→value and
+    value→NULL transitions are emitted; NULL→NULL is suppressed."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dwh_etl_framework_spark.operators.merge import change_feed
+
+    spec = JournalSpec(primary_key=("k",))
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", DoubleType()),
+            StructField("__transform_dt", TimestampType()),
+            StructField("__load_dt", TimestampType()),
+            StructField("__seqno", IntegerType()),
+            StructField("__record_state", StringType()),
+        ]
+    )
+    t_before = T0 + timedelta(days=1)
+    t_inside = T0 + timedelta(days=5)
+    mk = lambda k, v, t, seq: (k, v, t, t, seq, "A")
+    rows = [
+        # k=1: NULL before the window, 5.0 inside → UPDATE NULL→5.0
+        mk(1, None, t_before, 1),
+        mk(1, 5.0, t_inside, 2),
+        # k=2: 7.0 before, NULL inside → UPDATE 7.0→NULL
+        mk(2, 7.0, t_before, 3),
+        mk(2, None, t_inside, 4),
+        # k=3: NULL before, unchanged → suppressed
+        mk(3, None, t_before, 5),
+        # k=4: first seen inside the window, with NULL value → INSERT
+        mk(4, None, t_inside, 6),
+        # k=5: 1.0 before, unchanged → suppressed
+        mk(5, 1.0, t_before, 7),
+    ]
+    journal = spark.createDataFrame(rows, schema)
+    feed = change_feed(
+        journal,
+        spec,
+        F.lit(T0 + timedelta(days=2)),
+        F.lit(T0 + timedelta(days=9)),
+        ["v"],
+    ).collect()
+    got = {r["k"]: (r["old_v"], r["new_v"], r["change_type"]) for r in feed}
+    assert got == {
+        1: (None, 5.0, "UPDATE"),
+        2: (7.0, None, "UPDATE"),
+        4: (None, None, "INSERT"),
+    }

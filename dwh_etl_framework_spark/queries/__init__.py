@@ -284,23 +284,37 @@ DRIVER_WINDOW: list[str] = [
     "x01_exact_dedup",
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
-    "x06d_embedding_near_dup_portable",
     "x06c_ivf_topk_exact",
     "x11_binary_columns",
     "x20_dedup_clusters",
     # round-5 entrants: k-NN join, LM scoring, chunking, quantization
     # round-5b entrants: temperature mixing, PQ, source overlap
     "x42_product_quantize",
-    # round-5c entrants: packing, cross-doc dup rate, vocab coverage,
-    # sessionization, user features, embedding outliers, incremental dedup
-    "x50_incremental_dedup",
-    # round-6 entrants: PMI collocations, canonical-per-cluster selection
-    # round-6b survivors: mutual-kNN health, kNN label eval, token
-    # spectrum, TV drift, split leakage, cross-source dup matrix
-    "x57_mutual_knn_graph",
-    "x65_source_drift_tv",
+    # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
+    # closing entrants enter — the completed journal/temporal family
+    # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
+    # join, f34 change data feed — the reference's stubbed delta extract
+    # answered, airflow_etl.py:452-463) and the planner-statistics tier
+    # (x103 CMS join-size estimate, x104 sorted-neighborhood blocking
+    # audit). Exits, each with 4-8 driver-green CORRECTNESS rows per the
+    # WINDOW_EVER protocol: x50 (incremental-dedup evidence stays via
+    # the in-window x01 exact + x03b banding + x94/x97 lossless tiers +
+    # stream-twin tests), x57 (kNN-graph evidence stays via the
+    # in-window x77 PageRank over the same graph + x06c), x65 (drift
+    # evidence stays via the in-window x89 timeline + x93 changepoint),
+    # x66 (overlap/leakage evidence stays via the in-window x94/x97
+    # lossless tiers + local oracle + x66s sf1 twin), x86 (CMS evidence
+    # stays via the ENTERING x103 — the same sketch driving a planner
+    # decision — + x84/x88 sketch family), x06d (embedding-near-dup
+    # evidence stays via the in-window x81 SemDeDup + x06c IVF + x05).
+    # All exits keep local oracles + PARITY_r{NN} rows.
+    "f31_k_anonymity_audit",
+    "f32_time_travel_read",
+    "f33_pit_join",
+    "f34_change_feed",
+    "x103_join_size_estimate",
+    "x104_sorted_neighborhood_audit",
     "x89_drift_timeline",
-    "x66_split_leakage",
     # round-6c survivors: six-table join, LATERAL top-k, incremental agg
     # maintenance, BPE merge, text-vector consistency
     "r14b_regional_supply_chain",
@@ -351,9 +365,8 @@ DRIVER_WINDOW: list[str] = [
     # round-7c entrants: reconciliation checksum, column profiling
     "f30_table_checksum",
     "x91_column_profile",
-    # round-6f entrants: count-min sketch, repeated spans, histogram
-    # quantiles
-    "x86_cms_topk",
+    # round-6f entrants: repeated spans, histogram quantiles (x86 CMS
+    # exited round 10 — evidence stays via x103 + x84/x88)
     "x87_repeated_spans",
     "x88_histogram_quantiles",
 ]
@@ -513,6 +526,12 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x100_hybrid_rrf",
     "x101_entity_golden_record",
     "x102_phrase_search",
+    "f31_k_anonymity_audit",
+    "f32_time_travel_read",
+    "f33_pit_join",
+    "f34_change_feed",
+    "x103_join_size_estimate",
+    "x104_sorted_neighborhood_audit",
 ])
 
 

@@ -18,6 +18,7 @@ space, exactly like the bloom prefilter (x72) and the LSH cascade (x02b).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from collections.abc import Iterator
 
 import pandas as pd
@@ -310,4 +311,110 @@ def cms_estimate(
             .cast("long")
             .alias("est_count")
         )
+    )
+
+
+def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
+    """Estimate |A ⋈ B| on the sketched key from two count-min sketches
+    WITHOUT running the join: MIN over hash rows of the counter dot
+    product Σ_col cntA·cntB (Cormode & Muthukrishnan 2005, AMS-style
+    inner product). One-sided — never undercounts. Constant work: the
+    join touches two ≤ d·w counter tables regardless of corpus size.
+    Returns one row ``(est_join_size)``. Both sketches must share d and
+    w (build both via :func:`cms_sketch` with the same ``w``)."""
+    return (
+        a_sketch.alias("a")
+        .join(F.broadcast(b_sketch.alias("b")), ["r", "col"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("dot"))
+        .agg(F.min("dot").cast("long").alias("est_join_size"))
+    )
+
+
+def cms_cardinality(sketch_df: DataFrame) -> DataFrame:
+    """EXACT row count of the sketched input, recovered from the sketch
+    alone: every hash row's counters sum to N, so Σcnt = d·N. One
+    aggregate over ≤ d·w counter rows — the planner never rescans the
+    table for its size statistic. Returns one row ``(n_rows)``."""
+    return sketch_df.agg(
+        (F.sum("cnt") / F.lit(CMS_D)).cast("long").alias("n_rows")
+    )
+
+
+@dataclass(frozen=True)
+class JoinDecision:
+    """A broadcast-vs-shuffle plan choice derived purely from sketches.
+
+    ``strategy`` ∈ {broadcast_left, broadcast_right, shuffle};
+    ``shuffle_partitions`` is set only for the shuffle strategy, sized
+    from the ESTIMATED OUTPUT (never-undercounting, so an exchange sized
+    from it can be too wide but never too narrow — the safe direction)."""
+
+    strategy: str
+    n_left: int
+    n_right: int
+    est_join_rows: int
+    shuffle_partitions: int | None
+
+
+def choose_join_strategy(
+    left_sketch: DataFrame,
+    right_sketch: DataFrame,
+    *,
+    broadcast_threshold_rows: int = 1_000_000,
+    rows_per_task: int = 2_000_000,
+    parallelism: int | None = None,
+) -> JoinDecision:
+    """The x103 statistic wired into an actual planning decision:
+    broadcast the smaller side when its EXACT cardinality (from the
+    sketch, :func:`cms_cardinality`) fits the broadcast budget, else
+    shuffle with the exchange pre-sized from the estimated join output
+    (the setjoin/editjoin work-sizing discipline, fed from sketches
+    instead of a scan). Three bounded scalar jobs over ≤ d·w counter
+    tables — the planner never touches the data.
+
+    At 100 TB this is the decision AQE makes from runtime statistics,
+    made BEFORE the first exchange: sketches are SUM-mergeable, so a
+    warehouse keeps per-partition/per-day sketches as table metadata and
+    answers broadcast-vs-shuffle for any join from metadata alone."""
+    n_left = cms_cardinality(left_sketch).first()["n_rows"]
+    n_right = cms_cardinality(right_sketch).first()["n_rows"]
+    est = cms_join_size(left_sketch, right_sketch).first()["est_join_size"]
+    small, which = min((n_right, "broadcast_right"), (n_left, "broadcast_left"))
+    if small <= broadcast_threshold_rows:
+        return JoinDecision(which, n_left, n_right, est, None)
+    if parallelism is None:
+        from pyspark.sql import SparkSession
+
+        parallelism = SparkSession.getActiveSession().sparkContext.defaultParallelism
+    n_part = min(32768, max(parallelism, -(-est // rows_per_task)))
+    return JoinDecision("shuffle", n_left, n_right, est, int(n_part))
+
+
+def apply_join_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    decision: JoinDecision,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute a join under a :class:`JoinDecision`: broadcast hint on
+    the chosen side, or both sides pre-repartitioned on the join keys at
+    the decision's width (Catalyst reuses the co-partitioning, so the
+    join adds no further exchange and AQE cannot under-coalesce an
+    output-heavy join the way it did the setjoin verify stage).
+
+    ``on`` is a join Column expression plus, for the shuffle strategy,
+    ``(left_cols, right_cols)`` key names via the ``on=(cond, lkeys,
+    rkeys)`` triple; a plain Column works for broadcast decisions."""
+    if decision.strategy == "broadcast_left":
+        cond = on[0] if isinstance(on, tuple) else on
+        return F.broadcast(left).join(right, cond, how)
+    if decision.strategy == "broadcast_right":
+        cond = on[0] if isinstance(on, tuple) else on
+        return left.join(F.broadcast(right), cond, how)
+    cond, lkeys, rkeys = on
+    n = decision.shuffle_partitions
+    return left.repartition(n, *[F.col(c) for c in lkeys]).join(
+        right.repartition(n, *[F.col(c) for c in rkeys]), cond, how
     )

@@ -416,19 +416,11 @@ def x103_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled entry pays to certify the bound; a production planner runs
     only the sketch path."""
     t = fixtures(spark, sf_dir)
-    from dwh_etl_framework_spark.operators.sketch import cms_sketch
+    from dwh_etl_framework_spark.operators.sketch import cms_join_size, cms_sketch
 
     a = cms_sketch(t.events.select("user_id"), "user_id", JOINSIZE_W)
     b = cms_sketch(t.orders.select("o_custkey"), "o_custkey", JOINSIZE_W)
-    dots = (
-        a.alias("a")
-        .join(F.broadcast(b.alias("b")), ["r", "col"])
-        .groupBy("r")
-        .agg(
-            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("dot")
-        )
-    )
-    est = dots.agg(F.min("dot").cast("long").alias("est_join_size"))
+    est = cms_join_size(a, b)
     exact = (
         t.events.join(
             t.orders, F.col("user_id") == F.col("o_custkey")

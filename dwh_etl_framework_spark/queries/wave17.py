@@ -1,0 +1,198 @@
+"""Round-10 wave: planner decisions from sketch statistics (x105) and
+the Q21-shaped correlated-subquery stress entry (r15c).
+
+The reference delegates planning to Greenplum/Spark wholesale
+(``airflow_etl.py:251-260``); this wave closes the loop VERDICT r9 #2
+asked for — the x103 join-size statistic actually DRIVING a
+broadcast-vs-shuffle choice, oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+from dwh_etl_framework_spark.queries.wave16 import JOINSIZE_W
+
+#: decision-rule constants, shared verbatim by the Spark plan, the
+#: DuckDB oracle and choose_join_strategy's caller in the test: the
+#: build side broadcasts when it is ≤ 1/BCAST_RATIO of the probe side
+#: (a scale-invariant fixture rule — production supplies an absolute
+#: row/byte budget to choose_join_strategy instead); a shuffle exchange
+#: is sized at ROWS_PER_TASK estimated output rows per task, floored at
+#: DECISION_PARALLELISM and capped at 32k (the setjoin/editjoin verify
+#: discipline).
+BCAST_RATIO = 10
+ROWS_PER_TASK = 2_000_000
+DECISION_PARALLELISM = 8
+
+#: the two audited joins: a classic dim join (part should broadcast at
+#: every SF — it is ~1/30 of lineitem) and a fact-fact join (orders is
+#: ~1/4 of lineitem — too big for the ratio budget, must shuffle).
+_JOINS = [
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+def _decision_sql_one(
+    name: str, lt: str, lk: str, rt: str, rk: str
+) -> str:
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_D,
+        DUCK_HEX_AT,
+        cms_col_expr,
+    )
+
+    col_l = cms_col_expr(DUCK_HEX_AT, lk, JOINSIZE_W)
+    col_r = cms_col_expr(DUCK_HEX_AT, rk, JOINSIZE_W)
+    return f"""
+    SELECT '{name}' AS join_name, n_left, n_right, est_join_rows,
+           CASE WHEN least(n_left, n_right) * {BCAST_RATIO} <= n_left
+                THEN CASE WHEN n_right < n_left THEN 'broadcast_right'
+                          ELSE 'broadcast_left' END
+                ELSE 'shuffle' END AS strategy,
+           CASE WHEN least(n_left, n_right) * {BCAST_RATIO} <= n_left
+                THEN CAST(NULL AS BIGINT)
+                ELSE least(32768, greatest({DECISION_PARALLELISM},
+                     CAST(ceil(est_join_rows / {ROWS_PER_TASK}.0) AS BIGINT)))
+           END AS shuffle_partitions
+    FROM (
+        WITH l_cells AS (
+            SELECT r, {col_l} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT {lk},
+                         unnest(generate_series(0, {CMS_D - 1})) AS r
+                  FROM {lt})
+            GROUP BY 1, 2
+        ),
+        r_cells AS (
+            SELECT r, {col_r} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT {rk},
+                         unnest(generate_series(0, {CMS_D - 1})) AS r
+                  FROM {rt})
+            GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+            FROM l_cells a JOIN r_cells b ON a.r = b.r AND a.col = b.col
+            GROUP BY a.r
+        )
+        SELECT (SELECT CAST(SUM(cnt) / {CMS_D} AS BIGINT) FROM l_cells)
+                   AS n_left,
+               (SELECT CAST(SUM(cnt) / {CMS_D} AS BIGINT) FROM r_cells)
+                   AS n_right,
+               (SELECT CAST(MIN(dot) AS BIGINT) FROM dots) AS est_join_rows
+    )
+    """
+
+
+def _x105_sql() -> str:
+    return " UNION ALL ".join(
+        _decision_sql_one(*j) for j in _JOINS
+    )
+
+
+def decision_table(
+    left_sketch: DataFrame, right_sketch: DataFrame, name: str
+) -> DataFrame:
+    """One planner-decision row as a pure DataFrame plan (no collect):
+    exact cardinalities + the never-undercounting join-size estimate
+    from the two sketches, then the broadcast-vs-shuffle CASE. The
+    scalar tables are 1-row, so the cross joins broadcast; everything
+    upstream is counter-table-sized."""
+    from dwh_etl_framework_spark.operators.sketch import (
+        cms_cardinality,
+        cms_join_size,
+    )
+
+    one = (
+        cms_cardinality(left_sketch)
+        .select(F.col("n_rows").alias("n_left"))
+        .crossJoin(
+            F.broadcast(
+                cms_cardinality(right_sketch).select(
+                    F.col("n_rows").alias("n_right")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cms_join_size(left_sketch, right_sketch).select(
+                    F.col("est_join_size").alias("est_join_rows")
+                )
+            )
+        )
+    )
+    can_bcast = (
+        F.least(F.col("n_left"), F.col("n_right")) * BCAST_RATIO
+        <= F.col("n_left")
+    )
+    return one.select(
+        F.lit(name).alias("join_name"),
+        "n_left",
+        "n_right",
+        "est_join_rows",
+        F.when(
+            can_bcast,
+            F.when(
+                F.col("n_right") < F.col("n_left"), F.lit("broadcast_right")
+            ).otherwise(F.lit("broadcast_left")),
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+        F.when(can_bcast, F.lit(None).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(32768).cast("long"),
+                F.greatest(
+                    F.lit(DECISION_PARALLELISM).cast("long"),
+                    F.ceil(
+                        F.col("est_join_rows") / F.lit(float(ROWS_PER_TASK))
+                    ).cast("long"),
+                ),
+            )
+        )
+        .alias("shuffle_partitions"),
+    )
+
+
+@query("x105_join_strategy_decision", oracle=_x105_sql())
+def x105_join_strategy_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier planner: the x103 CMS statistics DRIVING the
+    broadcast-vs-shuffle decision (VERDICT r9 #2). For each audited join
+    the row carries both sides' EXACT cardinality recovered from the
+    sketch (Σcnt = d·N — the planner never rescans the table), the
+    never-undercounting join-size estimate, the chosen strategy and the
+    pre-sized exchange width for shuffles. The fixture pair exercises
+    BOTH branches at every SF: part is ~1/30 of lineitem (broadcast),
+    orders ~1/4 (shuffle). All inputs are ≤ d·w counter tables; the
+    decision costs the same at 100 TB as at sf0.001 — and because the
+    sketches are SUM-mergeable, a warehouse answers it from per-day
+    sketch metadata without touching data at all.
+
+    ``tests/test_join_strategy.py`` pins that
+    ``operators.sketch.choose_join_strategy`` (the imperative planner
+    entry the pipelines call) returns exactly these rows."""
+    from dwh_etl_framework_spark.operators.sketch import cms_sketch
+
+    t = fixtures(spark, sf_dir)
+    tables = {"lineitem": t.lineitem, "orders": t.orders, "part": t.part}
+    # one sketch build per (table, key) — localCheckpoint so the three
+    # scalar consumers (two cardinalities + the dot product) share the
+    # ≤ d·w counter table instead of each rescanning the input; in a
+    # warehouse these sketches ARE persisted table metadata
+    sketches = {
+        (tb, k): cms_sketch(tables[tb].select(k), k, JOINSIZE_W)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+        for tb, k in {(j[1], j[2]) for j in _JOINS}
+        | {(j[3], j[4]) for j in _JOINS}
+    }
+    parts = []
+    for name, lt, lk, rt, rk in _JOINS:
+        parts.append(decision_table(sketches[(lt, lk)], sketches[(rt, rk)], name))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -10,8 +10,9 @@ journal merge's natural keys.
       → entity clustering        (connected components — x20 machinery)
       → golden record            (struct-MAX survivorship — x101)
       → k-anonymity gate         (QI group-size audit — f31)
-      → join-size estimate       (CMS inner product — x103: how big
-                                  would re-keying the fact table be?)
+      → re-key join plan         (CMS statistics → broadcast-vs-
+                                  shuffle decision — x103/x105 — and the
+                                  join executed under it)
 
 Each stage is the SAME DataFrame plan the oracle-checked registry query
 runs; this script wires them together and prints the resolution report.
@@ -32,7 +33,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.operators import editjoin
-from dwh_etl_framework_spark.operators.sketch import cms_sketch
+from dwh_etl_framework_spark.operators.sketch import (
+    apply_join_strategy,
+    choose_join_strategy,
+    cms_sketch,
+)
 from dwh_etl_framework_spark.queries.registry import fixtures
 from dwh_etl_framework_spark.queries.wave16 import (
     JOINSIZE_W,
@@ -82,20 +87,25 @@ def resolve(spark, sf_dir: str):
     )
     report[f"entities_below_k{K_ANON}"] = small
 
-    # 6. planner statistic: if the fact table (lineitem) re-keys through
-    #    the resolved entities, how big is that join? Answered from two
-    #    sketches without running it (x103).
+    # 6. planner decision: the fact table (lineitem) re-keys through the
+    #    resolved entities — broadcast or shuffle? Decided from two
+    #    sketches without touching the data (x103 statistics feeding
+    #    choose_join_strategy, the x105 decision rule), then the re-key
+    #    join actually EXECUTES under that decision.
     a = cms_sketch(t.lineitem.select("l_partkey"), "l_partkey", JOINSIZE_W)
     b = cms_sketch(golden.select("p_partkey"), "p_partkey", JOINSIZE_W)
-    est = (
-        a.alias("a")
-        .join(F.broadcast(b.alias("b")), ["r", "col"])
-        .groupBy("r")
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
-        .agg(F.min("dot").cast("long").alias("est"))
-        .first()["est"]
+    decision = choose_join_strategy(
+        a, b, broadcast_threshold_rows=10_000_000
     )
-    report["rekey_join_size_estimate"] = int(est)
+    report["rekey_join_size_estimate"] = decision.est_join_rows
+    report["rekey_strategy"] = decision.strategy
+    rekeyed = apply_join_strategy(
+        t.lineitem,
+        golden.select("p_partkey", "entity_cluster"),
+        (F.col("l_partkey") == F.col("p_partkey"), ["l_partkey"], ["p_partkey"]),
+        decision,
+    )
+    report["rekey_join_rows"] = rekeyed.count()
     return report, golden
 
 

@@ -1,0 +1,129 @@
+"""choose_join_strategy (VERDICT r9 #2): the x103 CMS statistics wired
+into an actual broadcast-vs-shuffle decision, pinned against the exact
+audit and against the oracled x105 decision table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.sketch import (
+    apply_join_strategy,
+    choose_join_strategy,
+    cms_cardinality,
+    cms_join_size,
+    cms_sketch,
+)
+from dwh_etl_framework_spark.queries.registry import fixtures
+from dwh_etl_framework_spark.queries.wave16 import JOINSIZE_W
+from dwh_etl_framework_spark.queries.wave17 import (
+    _JOINS,
+    BCAST_RATIO,
+    DECISION_PARALLELISM,
+    ROWS_PER_TASK,
+    x105_join_strategy_decision,
+)
+from tests.conftest import SF_DIR
+
+
+def _sketches(spark, join_spec):
+    t = fixtures(spark, SF_DIR)
+    tables = {"lineitem": t.lineitem, "orders": t.orders, "part": t.part}
+    _, lt, lk, rt, rk = join_spec
+    lsk = cms_sketch(tables[lt].select(lk), lk, JOINSIZE_W).localCheckpoint()
+    rsk = cms_sketch(tables[rt].select(rk), rk, JOINSIZE_W).localCheckpoint()
+    return tables[lt], lk, tables[rt], rk, lsk, rsk
+
+
+def test_operator_decision_matches_oracled_decision_table(spark):
+    """The imperative planner entry returns exactly the rows the
+    hash-oracled x105 query certifies — one broadcastable join, one
+    shuffle join, same fixture."""
+    rows = {
+        r["join_name"]: r
+        for r in x105_join_strategy_decision(spark, SF_DIR).collect()
+    }
+    assert {r["strategy"] for r in rows.values()} == {
+        "broadcast_right",
+        "shuffle",
+    }, "fixture must exercise both branches"
+    for spec in _JOINS:
+        name = spec[0]
+        _, _, _, _, lsk, rsk = _sketches(spark, spec)
+        n_left = rows[name]["n_left"]
+        d = choose_join_strategy(
+            lsk,
+            rsk,
+            broadcast_threshold_rows=n_left // BCAST_RATIO,
+            rows_per_task=ROWS_PER_TASK,
+            parallelism=DECISION_PARALLELISM,
+        )
+        assert d.strategy == rows[name]["strategy"], name
+        assert d.n_left == rows[name]["n_left"]
+        assert d.n_right == rows[name]["n_right"]
+        assert d.est_join_rows == rows[name]["est_join_rows"]
+        assert d.shuffle_partitions == rows[name]["shuffle_partitions"]
+
+
+def test_estimate_never_undercounts_and_cardinality_exact(spark):
+    for spec in _JOINS:
+        left, lk, right, rk, lsk, rsk = _sketches(spark, spec)
+        exact = left.join(right, F.col(lk) == F.col(rk)).count()
+        est = cms_join_size(lsk, rsk).first()["est_join_size"]
+        assert est >= exact, spec[0]
+        assert cms_cardinality(lsk).first()["n_rows"] == left.count()
+        assert cms_cardinality(rsk).first()["n_rows"] == right.count()
+
+
+def test_apply_broadcast_decision_hints_and_matches_exact(spark):
+    spec = next(s for s in _JOINS if s[0] == "lineitem_part")
+    left, lk, right, rk, lsk, rsk = _sketches(spark, spec)
+    d = choose_join_strategy(
+        lsk, rsk, broadcast_threshold_rows=10**9
+    )
+    assert d.strategy == "broadcast_right"
+    joined = apply_join_strategy(left, right, F.col(lk) == F.col(rk), d)
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == left.join(right, F.col(lk) == F.col(rk)).count()
+
+
+def test_apply_shuffle_decision_presizes_exchange_and_matches_exact(spark):
+    spec = next(s for s in _JOINS if s[0] == "lineitem_orders")
+    left, lk, right, rk, lsk, rsk = _sketches(spark, spec)
+    d = choose_join_strategy(
+        lsk,
+        rsk,
+        broadcast_threshold_rows=0,
+        rows_per_task=100,
+        parallelism=DECISION_PARALLELISM,
+    )
+    assert d.strategy == "shuffle"
+    # est/100 rows-per-task forces a width above the parallelism floor
+    assert d.shuffle_partitions > DECISION_PARALLELISM
+    joined = apply_join_strategy(
+        left, right, (F.col(lk) == F.col(rk), [lk], [rk]), d
+    )
+    assert joined.count() == left.join(right, F.col(lk) == F.col(rk)).count()
+
+
+def test_broadcast_side_follows_the_smaller_input(spark):
+    big = spark.range(5000).select(F.col("id").alias("k"))
+    small = spark.range(50).select(F.col("id").alias("k"))
+    bsk = cms_sketch(big, "k").localCheckpoint()
+    ssk = cms_sketch(small, "k").localCheckpoint()
+    assert (
+        choose_join_strategy(ssk, bsk, broadcast_threshold_rows=100).strategy
+        == "broadcast_left"
+    )
+    assert (
+        choose_join_strategy(bsk, ssk, broadcast_threshold_rows=100).strategy
+        == "broadcast_right"
+    )
+    d = choose_join_strategy(
+        bsk, ssk, broadcast_threshold_rows=10, rows_per_task=10**6,
+        parallelism=4,
+    )
+    assert d.strategy == "shuffle" and d.shuffle_partitions == 4

@@ -266,7 +266,9 @@ def flip_journal_state(journal: DataFrame) -> DataFrame:
     )
 
 
-def scd2_intervals(journal: DataFrame, spec: JournalSpec) -> DataFrame:
+def scd2_intervals(
+    journal: DataFrame, spec: JournalSpec, keep_order_cols: bool = False
+) -> DataFrame:
     """Type-2 slowly-changing-dimension view of the journal: each version
 
     becomes a validity interval [valid_from, valid_to) with an is_current
@@ -274,13 +276,21 @@ def scd2_intervals(journal: DataFrame, spec: JournalSpec) -> DataFrame:
     versions but never derives intervals; SURVEY §2a F19 note). One window
     over the PK ordered by the merge ordering ASCENDING: valid_from =
     version's __transform_dt, valid_to = next version's (NULL when open).
-    Same single PK-shuffle shape as the merges."""
+    Same single PK-shuffle shape as the merges.
+
+    ``keep_order_cols=True`` retains the journal ordering columns
+    alongside the intervals — the streaming SCD2 fold stores them so a
+    later micro-batch can restore each version to a journal row and
+    recompute ONLY the affected keys' intervals (streaming/scd2.py)."""
     w = Window.partitionBy(*[F.col(c) for c in spec.primary_key]).orderBy(
         F.col("__transform_dt").asc(), F.col("__load_dt").asc(), F.col("__seqno").desc()
+    )
+    drop = (
+        [STATE_COL] if keep_order_cols else list(SYSTEM_COLS)
     )
     return (
         journal.withColumn("valid_from", F.col("__transform_dt"))
         .withColumn("valid_to", F.lead("__transform_dt").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(*SYSTEM_COLS)
+        .drop(*drop)
     )

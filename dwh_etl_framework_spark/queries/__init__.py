@@ -320,9 +320,19 @@ DRIVER_WINDOW: list[str] = [
     # maintenance, BPE merge, text-vector consistency
     "r14b_regional_supply_chain",
     "r20c_lateral_topk",
-    "f24_incremental_agg",
+    # round-10b rotation: r15c (Q21-shaped double-correlated-subquery
+    # stress — Catalyst decorrelation certified against DuckDB by ONE
+    # driver hash; VERDICT r9 #5) replaces f24 (4 driver-green rows
+    # r06-r09; incremental-maintenance evidence stays via the in-window
+    # f34 change feed — the same journal-incremental family — plus
+    # f24's local oracle + tests/test_aggmaint.py); x105 (the planner
+    # decision table the x103 statistic now drives; VERDICT r9 #2)
+    # replaces x68 (4 driver-green rows r06-r09; consistency-audit
+    # evidence stays via the in-window x91 column profile + the x05/
+    # x06c vector tier + x68's local oracle and x68s sf1 twin).
+    "r15c_sole_blame_supplier",
+    "x105_join_strategy_decision",
     "x93_drift_changepoint",
-    "x68_text_vector_consistency",
     # round-9c entrants: lossless edit-distance join (x51 exits with
     # CORRECTNESS_r07/r08 rows; collocation evidence stays via x96 +
     # local oracle), BM25 ranked retrieval (x52 exits with r07/r08 rows;
@@ -527,6 +537,8 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x100_hybrid_rrf",
     "x101_entity_golden_record",
     "x102_phrase_search",
+    "r15c_sole_blame_supplier",
+    "x105_join_strategy_decision",
     "f31_k_anonymity_audit",
     "f32_time_travel_read",
     "f33_pit_join",

@@ -196,3 +196,51 @@ def x105_join_strategy_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: Q21-shaped stress SQL (VERDICT r9 #5): the classic "supplier kept
+#: the order waiting" audit — TWO correlated subqueries (EXISTS + NOT
+#: EXISTS) over the self-joined fact, then aggregate + deterministic
+#: top-k. The fixture lacks receipt/commit dates, so the failure marker
+#: is l_returnflag = 'R' on finished ('F') orders: suppliers who were
+#: the SOLE returning supplier on a multi-supplier order. One ANSI text
+#: runs verbatim in BOTH engines — the Spark side is spark.sql, so the
+#: driver hash certifies Catalyst's decorrelation (rewrite to left-semi
+#: + left-anti) against DuckDB's.
+_R15C_SQL = """
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_name, s_suppkey
+LIMIT 100
+"""
+
+
+@query("r15c_sole_blame_supplier", oracle=_R15C_SQL)
+def r15c_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 stress tier: TPC-H Q21's shape — correlated EXISTS and NOT
+    EXISTS on the self-joined fact table at once, aggregate on top,
+    deterministic top-100 (total ORDER BY so LIMIT is stable across
+    engines). The registry's join coverage was broad but nothing
+    exercised Catalyst decorrelating TWO correlated subqueries over one
+    fact simultaneously — the classic DWH audit the reference's
+    spark.sql steps would hit (README.md:135-150, airflow_etl.py:251).
+
+    Scale shape: Catalyst rewrites the subqueries to a left-semi and a
+    left-anti join, all three fact legs keyed on l_orderkey — so AQE
+    can plan every exchange on the same key and skewed orders split;
+    the supplier dim broadcasts. No cartesian, no window
+    (tests/test_wave17.py pins the plan)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R15C_SQL)

@@ -1,0 +1,140 @@
+"""Streaming SCD2 maintenance: the batch ``scd2_intervals`` protocol kept
+current by a ``foreachBatch`` fold (VERDICT r9 #3).
+
+The batch temporal family (f23 intervals, f32 time travel, f33 PIT join)
+assumes the whole journal is re-windowed per run; a continuous feed wants
+interval close/open to SURVIVE micro-batches: a new version of key K must
+close K's open interval and open its own, late data must slot into the
+middle of K's history, and at-least-once re-delivery must change nothing.
+
+Fold design — recompute ONLY the affected keys, from their own stored
+history (the cdc.py discipline):
+
+1. the state table stores every version as an interval row PLUS the
+   journal ordering columns (``scd2_intervals(keep_order_cols=True)``),
+   so any version can be restored to its original journal row;
+2. per batch: affected keys = the batch's distinct PKs (broadcast);
+   untouched keys' rows pass through byte-identical; affected keys'
+   stored versions are restored to journal rows, unioned with the batch,
+   deduped on (PK, ordering) and re-windowed — O(batch + affected
+   history), never O(state);
+3. idempotence is structural, not guarded: the fold is a pure function
+   of the deduped version SET, so re-delivering any batch (or any crash/
+   re-fold interleaving) is a fixed point — the set-union discipline of
+   the corpus folds, no batch-id guard required. Out-of-order batches
+   converge for the same reason: a late version joins its key's history
+   and the re-window places it correctly.
+
+State publishes through ``StreamMasterState`` (atomic pointer commit), so
+a crash mid-write leaves the previous interval table live — intervals
+and ordering columns always belong to the same version set.
+
+Reference anchor: the journal keeps full history but the reference ships
+no interval/temporal operator at all (``airflow_etl.py:154-223``); its
+delta mode is stubbed (``:452-463``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.merge import (
+    JournalSpec,
+    SYSTEM_COLS,
+    scd2_intervals,
+    stamp_journal_columns,
+)
+from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+#: ordering columns the state retains per version (``__record_state`` is
+#: dropped — interval derivation treats all states alike, exactly like
+#: the batch operator).
+ORDER_COLS = ("__transform_dt", "__load_dt", "__seqno")
+_INTERVAL_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def _normalize_batch(batch_df: DataFrame) -> DataFrame:
+    """Journal-row shape: PK + value columns + the ordering columns."""
+    missing = [c for c in ORDER_COLS if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"SCD2 fold needs journal ordering columns; missing {missing} "
+            "— stamp the stream (stamp_journal_columns) before folding"
+        )
+    drop = [c for c in batch_df.columns if c in ("__record_state",)]
+    return batch_df.drop(*drop) if drop else batch_df
+
+
+def fold_scd2_batch(
+    state: StreamMasterState, batch_df: DataFrame, spec: JournalSpec
+) -> bool:
+    """Fold one micro-batch of journal versions into the interval state.
+
+    Returns False for an empty batch. Safe under re-delivery, partial
+    history, and out-of-order arrival (see module docstring)."""
+    if not batch_df.head(1):
+        return False
+    pk = list(spec.primary_key)
+    dedup_cols = pk + list(ORDER_COLS)
+    batch = _normalize_batch(batch_df).dropDuplicates(dedup_cols)
+    stored = state.read()
+    if stored is None:
+        state.write(
+            scd2_intervals(batch, spec, keep_order_cols=True).coalesce(1)
+        )
+        return True
+    keys = batch.select(*pk).distinct()
+    untouched = stored.join(F.broadcast(keys), on=pk, how="left_anti")
+    history = (
+        stored.join(F.broadcast(keys), on=pk, how="left_semi")
+        .drop(*_INTERVAL_COLS)
+    )
+    merged = history.unionByName(
+        batch.select(*history.columns)
+    ).dropDuplicates(dedup_cols)
+    rebuilt = scd2_intervals(merged, spec, keep_order_cols=True)
+    state.write(
+        untouched.unionByName(rebuilt).coalesce(1)
+    )
+    return True
+
+
+def current_scd2(state: StreamMasterState) -> DataFrame | None:
+    """The live interval table in the batch operator's schema (ordering
+    columns stripped; ``None`` before the first batch). Feed this to
+    ``operators.merge.pit_join`` for point-in-time reads — the f33 plan
+    over streamed intervals."""
+    stored = state.read()
+    if stored is None:
+        return None
+    drop = [c for c in SYSTEM_COLS if c in stored.columns]
+    return stored.drop(*drop) if drop else stored
+
+
+def stream_scd2(
+    journal_stream: DataFrame,
+    spec: JournalSpec,
+    state: StreamMasterState,
+    checkpoint_dir: str,
+    transform_dt=None,
+):
+    """Start the availableNow foreachBatch query maintaining the SCD2
+    state. Streams that already carry the journal ordering columns are
+    folded as-is (event-time versioning); otherwise rows are stamped
+    with ``transform_dt`` exactly like ``stream_merge_to_master``."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if all(c in batch_df.columns for c in ORDER_COLS):
+            stamped = batch_df
+        else:
+            stamped = stamp_journal_columns(batch_df, transform_dt)
+        fold_scd2_batch(state, stamped, spec)
+
+    return (
+        journal_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )

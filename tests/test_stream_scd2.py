@@ -1,0 +1,184 @@
+"""Streaming SCD2 maintenance (streaming/scd2.py) — twin rules:
+
+1. replay ≡ batch ``scd2_intervals`` over the same journal;
+2. re-delivery (fresh checkpoint, every batch re-applied) is a no-op;
+3. out-of-order arrival converges to the same intervals (late versions
+   slot into the middle of their key's history);
+4. a PIT join over the STREAMED intervals equals the f33 batch plan;
+5. any crash/re-fold interleaving re-heals (fold is a fixed point of
+   the deduped version set).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.merge import (
+    JournalSpec,
+    pit_join,
+    scd2_intervals,
+)
+from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+from dwh_etl_framework_spark.streaming.scd2 import (
+    current_scd2,
+    fold_scd2_batch,
+    stream_scd2,
+)
+
+SPEC = JournalSpec(primary_key=("account_id",))
+T0 = datetime(2024, 1, 1)
+SCHEMA = (
+    "account_id long, balance double, __transform_dt timestamp, "
+    "__load_dt timestamp, __seqno long"
+)
+
+
+def _journal_rows(seed: int = 7, n_keys: int = 25, max_versions: int = 5):
+    rng = random.Random(seed)
+    rows, seq = [], 0
+    for key in range(n_keys):
+        for _ in range(rng.randint(1, max_versions)):
+            seq += 1
+            rows.append(
+                (
+                    key,
+                    float(rng.randint(0, 10_000)),
+                    T0 + timedelta(hours=rng.randint(0, 100)),
+                    T0 + timedelta(minutes=rng.randint(0, 1000)),
+                    seq,
+                )
+            )
+    return rows
+
+
+def _slices(rows, n=4):
+    k = -(-len(rows) // n)
+    return [rows[i * k : (i + 1) * k] for i in range(n)]
+
+
+def _write_slices(spark, slices, base_dir):
+    for i, rows in enumerate(slices):
+        path = f"{base_dir}/slice_{i}.parquet"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i,) * 2)
+        os.utime(path, (1_000_000 + i,) * 2)
+
+
+def _interval_set(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+    )
+
+
+def _batch_truth(spark, rows):
+    return scd2_intervals(spark.createDataFrame(rows, SCHEMA), SPEC)
+
+
+def _run_stream(spark, src, state, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = stream_scd2(stream, SPEC, state, ckpt)
+    q.awaitTermination(120)
+    return state
+
+
+def test_stream_replay_equals_batch_intervals(spark, tmp_path):
+    rows = _journal_rows()
+    _write_slices(spark, _slices(rows), str(tmp_path / "src"))
+    state = _run_stream(
+        spark, str(tmp_path / "src"),
+        StreamMasterState(spark, str(tmp_path / "scd2")),
+        str(tmp_path / "ckpt"),
+    )
+    got = current_scd2(state)
+    want = _batch_truth(spark, rows)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _interval_set(got) == _interval_set(want)
+    # exactly one open interval per key
+    opens = got.filter(F.col("is_current")).groupBy("account_id").count()
+    assert opens.filter(F.col("count") != 1).count() == 0
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    rows = _journal_rows(seed=11)
+    _write_slices(spark, _slices(rows), str(tmp_path / "src"))
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    _run_stream(spark, str(tmp_path / "src"), state, str(tmp_path / "ckpt1"))
+    before = _interval_set(current_scd2(state))
+    # fresh checkpoint: every file re-delivers against the same state
+    _run_stream(spark, str(tmp_path / "src"), state, str(tmp_path / "ckpt2"))
+    assert _interval_set(current_scd2(state)) == before
+
+
+def test_out_of_order_arrival_converges(spark, tmp_path):
+    rows = _journal_rows(seed=13)
+    # deliver newest-first: every later slice carries OLDER versions
+    rows_sorted = sorted(rows, key=lambda r: r[2], reverse=True)
+    _write_slices(spark, _slices(rows_sorted), str(tmp_path / "src"))
+    state = _run_stream(
+        spark, str(tmp_path / "src"),
+        StreamMasterState(spark, str(tmp_path / "scd2")),
+        str(tmp_path / "ckpt"),
+    )
+    assert _interval_set(current_scd2(state)) == _interval_set(
+        _batch_truth(spark, rows)
+    )
+
+
+def test_pit_join_over_streamed_intervals_matches_batch(spark, tmp_path):
+    rows = _journal_rows(seed=17)
+    _write_slices(spark, _slices(rows), str(tmp_path / "src"))
+    state = _run_stream(
+        spark, str(tmp_path / "src"),
+        StreamMasterState(spark, str(tmp_path / "scd2")),
+        str(tmp_path / "ckpt"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (i, k, T0 + timedelta(hours=h))
+            for i, (k, h) in enumerate(
+                (k, h) for k in range(25) for h in (0, 17, 50, 99)
+            )
+        ],
+        "fact_id long, fk long, ts timestamp",
+    )
+    got = pit_join(facts, current_scd2(state), "fk", "account_id", "ts")
+    want = pit_join(
+        facts, _batch_truth(spark, rows), "fk", "account_id", "ts"
+    )
+    assert _interval_set(got) == _interval_set(want)
+    # ≤ 1 dimension version per fact row (half-open interval guarantee)
+    per_fact = got.groupBy("fact_id").count()
+    assert per_fact.filter(F.col("count") > 1).count() == 0
+
+
+def test_crash_refold_any_prefix_re_heals(spark, tmp_path):
+    """Simulate every partial-commit interleaving: fold slices 0..i,
+    re-fold slice i (the crashed-then-redelivered batch), continue —
+    final state must equal the batch truth regardless of i."""
+    rows = _journal_rows(seed=19, n_keys=12)
+    slices = _slices(rows, 3)
+    want = _interval_set(_batch_truth(spark, rows))
+    for crash_at in range(3):
+        state = StreamMasterState(
+            spark, str(tmp_path / f"scd2_{crash_at}")
+        )
+        for i, s in enumerate(slices):
+            batch = spark.createDataFrame(s, SCHEMA)
+            fold_scd2_batch(state, batch, SPEC)
+            if i == crash_at:
+                fold_scd2_batch(state, batch, SPEC)  # re-delivery
+        assert _interval_set(current_scd2(state)) == want, crash_at

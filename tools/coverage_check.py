@@ -111,6 +111,40 @@ def check_window_exit_evidence() -> list[str]:
     return problems
 
 
+def check_plans_quoted_times_fresh() -> list[str]:
+    """PLANS.md quotes measured wall times in its audited sections
+    (``- **<query> (N s)**``). VERDICT r9 'what's wrong' #1: a section
+    kept quoting a pre-optimization time after the measured query
+    changed, silently eroding trust in the plan ledger. Any quoted time
+    for a query present in BENCH_local.json must sit within 3x of the
+    current official number in either direction (machine noise and
+    cold/warm deltas are real; a 3x divergence means the section
+    predates a reshape and must be re-stamped)."""
+    import json
+    import re
+
+    repo = Path(__file__).resolve().parent.parent
+    plans = repo / "PLANS.md"
+    bench = repo / "BENCH_local.json"
+    if not plans.exists() or not bench.exists():
+        return []
+    official = json.loads(bench.read_text()).get("queries", {})
+    problems = []
+    for name, quoted in re.findall(
+        r"^- \*\*([a-z0-9_]+) \((\d+(?:\.\d+)?) s", plans.read_text(), re.M
+    ):
+        if name not in official:
+            continue
+        q, o = float(quoted), float(official[name])
+        if o > 0 and not (o / 3 <= q <= o * 3):
+            problems.append(
+                f"PLANS.md quotes {q} s for {name} but BENCH_local.json "
+                f"measures {o} s — the audited section predates a plan "
+                "change; re-stamp it"
+            )
+    return problems
+
+
 def check_parity_artifact_fresh() -> list[str]:
     """The newest PARITY_r*.json must cover EVERY registry entry (VERDICT
     r3 item 2: the artifact silently went stale when new queries were
@@ -212,6 +246,7 @@ def main() -> int:
         + check_window_exit_evidence()
         + check_parity_artifact_fresh()
         + check_sf1_sweep_evidence()
+        + check_plans_quoted_times_fresh()
     )
     if window_problems:
         for p in window_problems:

@@ -121,6 +121,15 @@ HEADLINE = [
     "f32_time_travel_read",      # journal master AS OF T (r9)
     "f33_pit_join",              # fact -> SCD2 version valid at ts (r9)
     "f34_change_feed",           # net per-key changes in [T1, T2] (r9)
+    "r15c_sole_blame_supplier",  # Q21-shaped double correlated subquery
+                                 # decorrelation stress (r10)
+    "x105_join_strategy_decision",  # sketch-driven broadcast-vs-shuffle
+                                 # planner decision table (r10; cost =
+                                 # the four one-pass sketch builds)
+    "x103_join_size_estimate",   # CMS join-size inner product (r10
+                                 # window entrant; includes exact audit)
+    "x104_sorted_neighborhood_audit",  # SNM blocking recall audit (r10
+                                 # window entrant)
 ]
 
 

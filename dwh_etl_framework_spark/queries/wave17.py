@@ -244,3 +244,43 @@ def r15c_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_wave17.py pins the plan)."""
     fixtures(spark, sf_dir)
     return spark.sql(_R15C_SQL)
+
+
+#: Q17-shaped correlated SCALAR aggregate stress: both scalars correlate
+#: on the same key, and the avg threshold is rewritten into exact
+#: integer arithmetic (5·qty·cnt < Σqty ⟺ qty < 0.2·avg) so the
+#: boundary predicate cannot flip on cross-engine floating-point
+#: summation order; revenue folds to exact cents the same way
+#: (floor(price·100) is IEEE-identical in both engines).
+_R16B_SQL = """
+SELECT p.p_brand AS p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * l.l_quantity *
+        (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT SUM(l3.l_quantity) FROM lineitem l3
+         WHERE l3.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+@query("r16b_small_quantity_revenue", oracle=_R16B_SQL)
+def r16b_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 stress tier: TPC-H Q17's shape — a correlated SCALAR
+    aggregate subquery (two of them, sharing the correlation key)
+    deciding a row-level threshold, then an aggregate on top: revenue
+    from order lines far below their part's average quantity. Exercises
+    the OTHER Catalyst decorrelation path from r15c's EXISTS rewrite:
+    scalar aggregates decorrelate into per-key aggregates joined back
+    (one lineitem re-aggregation keyed on l_partkey, reused by both
+    scalars), NOT semi/anti joins. Same ANSI text in both engines.
+
+    Scale shape: the decorrelated aggregate and the probe both key on
+    l_partkey — one AQE-skew-splittable exchange family, dim side
+    broadcasts, no cartesian (plan pinned in tests/test_wave17.py)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R16B_SQL)

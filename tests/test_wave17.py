@@ -81,3 +81,40 @@ def test_x105_exercises_both_branches(spark):
     plan = _plan(x105_join_strategy_decision(spark, SF_DIR))
     assert "CartesianProduct" not in plan  # 1-row cross joins broadcast
     assert "Window" not in plan
+
+
+def test_r16b_decorrelates_scalar_aggregates(spark):
+    from dwh_etl_framework_spark.queries.wave17 import (
+        r16b_small_quantity_revenue,
+    )
+
+    df = r16b_small_quantity_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # row-level semantics against a direct recomputation
+    t = fixtures(spark, SF_DIR)
+    per_part = t.lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("s")
+    )
+    want = {
+        (r["p_brand"]): (r["n"], r["cents"])
+        for r in t.lineitem.join(
+            t.part, F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(per_part, "l_partkey")
+        .filter(5 * F.col("l_quantity") * F.col("cnt") < F.col("s"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    got = {
+        r["p_brand"]: (r["n_small_lines"], r["revenue_cents"])
+        for r in df.collect()
+    }
+    assert got == want and got

@@ -207,12 +207,23 @@ def change_feed(
     detection is null-safe per column so NULL↔value transitions are
     emitted (ADVICE r9 #1)."""
     pk = list(spec.primary_key)
-    before = as_of_read(journal, spec, t_from).select(
+    return _state_diff(
+        as_of_read(journal, spec, t_to),
+        as_of_read(journal, spec, t_from),
+        pk,
+        value_cols,
+    )
+
+
+def _state_diff(after: DataFrame, before: DataFrame, pk, value_cols) -> DataFrame:
+    """The change-feed core: diff two per-key state snapshots (presence
+    marker + null-safe per-column comparison — see change_feed)."""
+    before = before.select(
         *pk,
         *[F.col(c).alias(f"old_{c}") for c in value_cols],
         F.lit(1).alias("__present"),
     )
-    after = as_of_read(journal, spec, t_to).select(
+    after = after.select(
         *pk, *[F.col(c).alias(f"new_{c}") for c in value_cols]
     )
     is_insert = F.col("__present").isNull()
@@ -220,7 +231,7 @@ def change_feed(
     for c in value_cols:
         changed = changed | ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
     return (
-        after.join(before, pk, "left")
+        after.join(before, list(pk), "left")
         .filter(changed)
         .select(
             *pk,
@@ -230,6 +241,65 @@ def change_feed(
             .otherwise(F.lit("UPDATE"))
             .alias("change_type"),
         )
+    )
+
+
+def interval_state_at(intervals: DataFrame, at) -> DataFrame:
+    """The per-key state AS OF ``at`` read from an SCD2 interval table
+    (``scd2_intervals`` output): the unique version whose half-open
+    interval contains the timestamp. Superseded tie versions carry
+    empty intervals and can never match (the pit_join guarantee), so
+    this equals ``as_of_read`` at any ``at`` — one partition-prunable
+    filter, NO window: on an interval table partitioned or z-ordered by
+    valid_from this is strictly cheaper than re-ranking the journal."""
+    return intervals.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).drop("valid_from", "valid_to", "is_current")
+
+
+def change_feed_from_intervals(
+    intervals: DataFrame,
+    spec: JournalSpec,
+    t_from,
+    t_to,
+    value_cols: tuple[str, ...] | list[str],
+) -> DataFrame:
+    """``change_feed`` computed from the SCD2 interval table instead of
+    the raw journal: two interval-containment filters + the same
+    presence-marker diff. Equal to ``change_feed`` over the journal the
+    intervals were derived from (oracled as f35; the streaming tier
+    serves it from the continuously maintained ``streaming/scd2``
+    state) — the materialized-history fast path: no window at read
+    time, both snapshot filters pushdown-able."""
+    pk = list(spec.primary_key)
+    return _state_diff(
+        interval_state_at(intervals, t_to),
+        interval_state_at(intervals, t_from),
+        pk,
+        value_cols,
+    )
+
+
+def erase_journal_keys(
+    journal: DataFrame, spec: JournalSpec, keys: DataFrame
+) -> DataFrame:
+    """Right-to-erasure over the append-only journal: hard-delete EVERY
+    version of the given PKs — after the rewrite, merge_full, as_of_read
+    (any timestamp), SCD2 intervals and change feeds all show nothing
+    for the erased keys. One anti-join on the PK (the erasure list is
+    request-sized → broadcast); at 100 TB this is the same
+    rewrite-partitions pass as compaction and composes with it (erase
+    during the next compaction cycle). The journal's 'H' flip (f21)
+    marks consumption, NOT deletion — this is the missing deletion
+    protocol, applied as a rewrite because parquet has no row deletes
+    (a lakehouse format would MERGE DELETE; plan identical). The
+    streaming twin (streaming/scd2.erase_keys) additionally persists a
+    tombstone list so at-least-once re-delivery of pre-erasure batches
+    cannot resurrect the keys."""
+    pk = list(spec.primary_key)
+    return journal.join(
+        F.broadcast(keys.select(*pk).distinct()), on=pk, how="left_anti"
     )
 
 

@@ -272,3 +272,104 @@ def f34_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(CDF_TO).cast("date"),
         ["balance"],
     )
+
+
+@query(
+    "f35_interval_change_feed",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    iv AS (
+        SELECT account_id, balance,
+               __transform_dt AS valid_from,
+               lead(__transform_dt) OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt ASC, __load_dt ASC, __seqno DESC
+               ) AS valid_to
+        FROM journal
+    ),
+    before AS (
+        SELECT account_id, balance FROM iv
+        WHERE valid_from <= DATE '{CDF_FROM}'
+          AND (valid_to IS NULL OR valid_to > DATE '{CDF_FROM}')
+    ),
+    after AS (
+        SELECT account_id, balance FROM iv
+        WHERE valid_from <= DATE '{CDF_TO}'
+          AND (valid_to IS NULL OR valid_to > DATE '{CDF_TO}')
+    )
+    SELECT a.account_id AS account_id,
+           b.balance AS old_balance,
+           a.balance AS new_balance,
+           CASE WHEN b.account_id IS NULL THEN 'INSERT'
+                ELSE 'UPDATE' END AS change_type
+    FROM after a
+    LEFT JOIN before b ON a.account_id = b.account_id
+    WHERE b.account_id IS NULL OR (a.balance IS DISTINCT FROM b.balance)
+    """,
+)
+def f35_interval_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier: the f34 change feed served from the MATERIALIZED SCD2
+    interval table instead of re-ranking the journal — two
+    interval-containment filters (pushdown-able; zero windows at read
+    time) + the same presence-marker diff. Output ≡ f34 by the
+    half-open-interval/as-of equivalence (empty tie intervals can never
+    match — the pit_join guarantee), which this oracle certifies
+    end-to-end. The streaming tier serves the same read from the
+    continuously maintained ``streaming/scd2`` state
+    (tests/test_stream_scd2.py twin): derive intervals once, answer
+    time travel, PIT joins AND change feeds from one history table —
+    the lakehouse CDF read path (Delta change-data-feed shape) built
+    on parquet."""
+    fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.merge import (
+        change_feed_from_intervals,
+        scd2_intervals,
+    )
+
+    iv = scd2_intervals(_journal(spark), _SPEC)
+    return change_feed_from_intervals(
+        iv,
+        _SPEC,
+        F.lit(CDF_FROM).cast("date"),
+        F.lit(CDF_TO).cast("date"),
+        ["balance"],
+    )
+
+
+@query(
+    "f36_right_to_erasure",
+    oracle=f"""
+    WITH journal AS ({_JOURNAL_SQL}),
+    kept AS (
+        SELECT * FROM journal WHERE account_id % 97 <> 0
+    ),
+    ranked AS (
+        SELECT account_id, balance,
+               row_number() OVER (
+                   PARTITION BY account_id
+                   ORDER BY __transform_dt DESC, __load_dt DESC, __seqno ASC
+               ) AS rnk
+        FROM kept
+    )
+    SELECT account_id, balance FROM ranked WHERE rnk = 1
+    """,
+)
+def f36_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier deletion protocol: hard-erase every version of the
+    requested PKs from the journal (operators/merge.erase_journal_keys
+    — one broadcast anti-join rewrite), then rebuild the master; the
+    erased keys are gone from EVERY read — current, time-travel,
+    intervals, change feed. The reference's journal only ever flips
+    'A'→'H' (consumed, airflow_etl.py:216-223) and can never delete;
+    this is the GDPR-shaped operation an append-only warehouse needs,
+    done as the same partition-rewrite pass as compaction. The erasure
+    set here is the deterministic fixture predicate account_id % 97 = 0
+    (request-list-sized in production)."""
+    fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.merge import erase_journal_keys
+
+    j = _journal(spark)
+    erase = j.select("account_id").filter(
+        F.col("account_id") % 97 == 0
+    ).distinct()
+    return merge_full(erase_journal_keys(j, _SPEC, erase), _SPEC)

@@ -67,17 +67,30 @@ def _normalize_batch(batch_df: DataFrame) -> DataFrame:
 
 
 def fold_scd2_batch(
-    state: StreamMasterState, batch_df: DataFrame, spec: JournalSpec
+    state: StreamMasterState,
+    batch_df: DataFrame,
+    spec: JournalSpec,
+    tombstones: StreamMasterState | None = None,
 ) -> bool:
     """Fold one micro-batch of journal versions into the interval state.
 
     Returns False for an empty batch. Safe under re-delivery, partial
-    history, and out-of-order arrival (see module docstring)."""
+    history, and out-of-order arrival (see module docstring). When a
+    ``tombstones`` state is supplied (see :func:`erase_keys`), erased
+    PKs are filtered OUT of every incoming batch first — so an
+    at-least-once re-delivery of a pre-erasure batch cannot resurrect
+    an erased key."""
     if not batch_df.head(1):
         return False
     pk = list(spec.primary_key)
     dedup_cols = pk + list(ORDER_COLS)
     batch = _normalize_batch(batch_df).dropDuplicates(dedup_cols)
+    if tombstones is not None:
+        erased = tombstones.read()
+        if erased is not None:
+            batch = batch.join(F.broadcast(erased), on=pk, how="left_anti")
+            if not batch.head(1):
+                return False
     stored = state.read()
     if stored is None:
         state.write(
@@ -112,12 +125,41 @@ def current_scd2(state: StreamMasterState) -> DataFrame | None:
     return stored.drop(*drop) if drop else stored
 
 
+def erase_keys(
+    state: StreamMasterState,
+    tombstones: StreamMasterState,
+    keys_df: DataFrame,
+    spec: JournalSpec,
+) -> None:
+    """Right-to-erasure for the streamed SCD2 state: persist the PKs to
+    the tombstone list, then rewrite the interval state without them
+    (the batch ``erase_journal_keys`` applied to the state table).
+
+    Write order is deliberate — tombstones FIRST, so the only crash
+    window between the two atomic writes fails CLOSED: the keys are
+    already blocked from every future fold, their interval rows linger
+    until the erase is re-run (erasure requests are idempotent — re-run
+    on recovery). The reverse order would leave a window where a
+    re-delivered old batch resurrects a legally erased key."""
+    pk = list(spec.primary_key)
+    keys = keys_df.select(*pk).distinct().localCheckpoint(eager=True)
+    old = tombstones.read()
+    all_keys = keys if old is None else old.unionByName(keys).distinct()
+    tombstones.write(all_keys.coalesce(1))
+    stored = state.read()
+    if stored is not None:
+        state.write(
+            stored.join(F.broadcast(tombstones.read()), on=pk, how="left_anti")
+        )
+
+
 def stream_scd2(
     journal_stream: DataFrame,
     spec: JournalSpec,
     state: StreamMasterState,
     checkpoint_dir: str,
     transform_dt=None,
+    tombstones: StreamMasterState | None = None,
 ):
     """Start the availableNow foreachBatch query maintaining the SCD2
     state. Streams that already carry the journal ordering columns are
@@ -129,7 +171,7 @@ def stream_scd2(
             stamped = batch_df
         else:
             stamped = stamp_journal_columns(batch_df, transform_dt)
-        fold_scd2_batch(state, stamped, spec)
+        fold_scd2_batch(state, stamped, spec, tombstones=tombstones)
 
     return (
         journal_stream.writeStream.outputMode("update")

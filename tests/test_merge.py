@@ -355,3 +355,26 @@ def test_change_feed_null_value_semantics(spark):
         2: (7.0, None, "UPDATE"),
         4: (None, None, "INSERT"),
     }
+
+
+def test_interval_change_feed_equals_journal_change_feed(spark):
+    """f35 ≡ f34: the diff computed from SCD2 intervals equals the diff
+    of two as-of reads, including tie groups (empty intervals never
+    match) and NULL-value transitions."""
+    from dwh_etl_framework_spark.operators.merge import (
+        change_feed,
+        change_feed_from_intervals,
+        scd2_intervals,
+    )
+
+    rows = make_journal(23)
+    journal = spark.createDataFrame(rows)
+    t1, t2 = T0 + timedelta(hours=20), T0 + timedelta(hours=120)
+    via_journal = change_feed(journal, SPEC, F.lit(t1), F.lit(t2), ["balance"])
+    via_intervals = change_feed_from_intervals(
+        scd2_intervals(journal, SPEC), SPEC, F.lit(t1), F.lit(t2), ["balance"]
+    )
+    key = lambda r: (r["account_id"], r["balance_date"])
+    a = {key(r): tuple(r) for r in via_journal.collect()}
+    b = {key(r): tuple(r) for r in via_intervals.collect()}
+    assert a == b and a

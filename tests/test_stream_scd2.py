@@ -182,3 +182,69 @@ def test_crash_refold_any_prefix_re_heals(spark, tmp_path):
             if i == crash_at:
                 fold_scd2_batch(state, batch, SPEC)  # re-delivery
         assert _interval_set(current_scd2(state)) == want, crash_at
+
+
+def test_erasure_removes_history_and_survives_redelivery(spark, tmp_path):
+    """Right-to-erasure twin rules: after erase_keys, the erased PKs are
+    gone from the interval read AND from every future fold — including
+    an at-least-once re-delivery of a PRE-erasure batch (the tombstone
+    list fails closed)."""
+    from dwh_etl_framework_spark.streaming.scd2 import erase_keys
+
+    rows = _journal_rows(seed=29, n_keys=10)
+    slices = _slices(rows, 2)
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    tomb = StreamMasterState(spark, str(tmp_path / "tomb"))
+    for i, s in enumerate(slices):
+        fold_scd2_batch(
+            state, spark.createDataFrame(s, SCHEMA), SPEC, tombstones=tomb
+        )
+    erased_keys = {0, 3, 7}
+    erase_keys(
+        state,
+        tomb,
+        spark.createDataFrame([(k,) for k in erased_keys], "account_id long"),
+        SPEC,
+    )
+    survivors = {r[0] for r in rows if r[0] not in erased_keys}
+    got = current_scd2(state)
+    assert {r["account_id"] for r in got.collect()} == survivors
+    # re-deliver BOTH pre-erasure batches: erased keys must stay gone
+    for s in slices:
+        fold_scd2_batch(
+            state, spark.createDataFrame(s, SCHEMA), SPEC, tombstones=tomb
+        )
+    assert {
+        r["account_id"] for r in current_scd2(state).collect()
+    } == survivors
+    # the survivors' intervals are untouched by the erase + refold
+    truth = _batch_truth(spark, [r for r in rows if r[0] not in erased_keys])
+    assert _interval_set(current_scd2(state)) == _interval_set(truth)
+
+
+def test_erasure_crash_window_fails_closed_and_rerun_completes(spark, tmp_path):
+    """Crash between the tombstone write and the state rewrite: the key
+    is already blocked from folds (fails closed); re-running the erase
+    finishes the removal."""
+    from dwh_etl_framework_spark.streaming.scd2 import erase_keys
+
+    rows = _journal_rows(seed=31, n_keys=6)
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    tomb = StreamMasterState(spark, str(tmp_path / "tomb"))
+    fold_scd2_batch(state, spark.createDataFrame(rows, SCHEMA), SPEC, tombstones=tomb)
+    keys = spark.createDataFrame([(2,)], "account_id long")
+    # simulate the crash window: tombstones published, state rewrite lost
+    tomb.write(keys)
+    # a new batch for the erased key is blocked
+    newer = [(2, 1.0, T0 + timedelta(hours=200), T0, 10_000)]
+    fold_scd2_batch(state, spark.createDataFrame(newer, SCHEMA), SPEC, tombstones=tomb)
+    assert (
+        current_scd2(state)
+        .filter(F.col("account_id") == 2)
+        .filter(F.col("valid_from") == newer[0][2])
+        .count()
+        == 0
+    )
+    # re-run the (idempotent) erasure: interval rows now gone too
+    erase_keys(state, tomb, keys, SPEC)
+    assert current_scd2(state).filter(F.col("account_id") == 2).count() == 0

@@ -284,3 +284,52 @@ def r16b_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, no cartesian (plan pinned in tests/test_wave17.py)."""
     fixtures(spark, sf_dir)
     return spark.sql(_R16B_SQL)
+
+
+#: Recursive-CTE hierarchy over the part catalog: the implicit binary
+#: tree parent(k) = floor(k/2) (root = partkey 1; the fixture's keys
+#: are contiguous from 1, so every ancestor exists). Integer division
+#: is spelled floor(x/2.0) so both engines derive identical BIGINTs,
+#: and the path rollup folds prices to exact cents.
+_R34_SQL = """
+WITH RECURSIVE anc(part, node, depth) AS (
+    SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+    UNION ALL
+    SELECT a.part AS part,
+           CAST(floor(a.node / 2.0) AS BIGINT) AS node,
+           a.depth + 1 AS depth
+    FROM anc a WHERE a.node > 1
+)
+SELECT a.part AS part,
+       CAST(MAX(a.depth) AS BIGINT) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+       CAST(SUM(CAST(floor(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS path_price_cents
+FROM anc a
+JOIN part p ON p.p_partkey = a.node
+GROUP BY a.part
+"""
+
+
+@query("r34_recursive_rollup", oracle=_R34_SQL)
+def r34_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier recursive CTE (new engine surface probed available in
+    this Spark build, round 10): per-node hierarchy rollup — depth to
+    root, ancestor count and the exact-cents price sum along the
+    ancestor path of an implicit binary tree over the part catalog.
+    Same ANSI ``WITH RECURSIVE`` text in both engines; the classic
+    BOM/org-chart walk the reference's SQL steps could not express at
+    all (Greenplum-era scripts emulate it with loops).
+
+    Scale shape: Spark executes the recursion as iterative UNION steps
+    — each level is one join of the frontier against itself (here a
+    map-only derivation) and the total row count is nodes × depth
+    (~log₂ n levels), all partitioned on the recursion key; the final
+    rollup is one aggregate keyed on ``part``. No driver-side loop, no
+    collect. Spark guards unbounded recursion with a 1M-row limit;
+    this walk is provably nodes·log₂(nodes) rows, so the limit is
+    raised to cover the declared bound (found at sf1: 200k parts × 18
+    levels = 3.6M rows tripped the default)."""
+    fixtures(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 500_000_000)
+    return spark.sql(_R34_SQL)

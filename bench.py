@@ -130,6 +130,11 @@ HEADLINE = [
                                  # window entrant; includes exact audit)
     "x104_sorted_neighborhood_audit",  # SNM blocking recall audit (r10
                                  # window entrant)
+    "r16b_small_quantity_revenue",  # Q17-shaped correlated scalar
+                                 # aggregate decorrelation (r10)
+    "r34_recursive_rollup",      # recursive-CTE hierarchy walk (r10)
+    "f36_right_to_erasure",      # journal hard-delete rewrite + rebuild
+                                 # (r10)
 ]
 
 

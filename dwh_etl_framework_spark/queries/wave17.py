@@ -333,3 +333,43 @@ def r34_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures(spark, sf_dir)
     spark.conf.set("spark.sql.cteRecursionRowLimit", 500_000_000)
     return spark.sql(_R34_SQL)
+
+
+@query(
+    "f37_python_datasource_scan",
+    oracle="""
+    SELECT p_brand AS p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS retail_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+def f37_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier source: the part catalog read through the PYTHON
+    DataSource tier (sources/pysource.DuckDBSource — partitioned
+    embedded-engine scan, Arrow record-batch transfer, engine-side
+    hash-mod partition predicate), then aggregated in Spark. The driver
+    hash certifies the source delivers exactly the table: every row,
+    once, with faithful types — the F1/F2 partitioned-extract shape
+    (connector.py:27-46) on Spark 4's extension surface instead of
+    JDBC jars."""
+    fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.sources.pysource import DuckDBSource
+
+    # idempotent registration: the driver may run many queries in one
+    # session; re-registering the same name simply replaces it
+    spark.dataSource.register(DuckDBSource)
+    src = (
+        spark.read.format("duckdb")
+        .option("query", f"SELECT * FROM '{sf_dir}/part.parquet'")
+        .option("partition_col", "p_partkey")
+        .option("partitions", "4")
+        .load()
+    )
+    return src.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.floor(F.col("p_retailprice") * 100).cast("long"))
+        .cast("long")
+        .alias("retail_cents"),
+    )

@@ -131,3 +131,103 @@ class DuckDBSource(DataSource):
             self.options.get("partition_col"),
             int(self.options.get("partitions", "1")),
         )
+
+
+# ---- streaming: incremental cursor extract -----------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+def _cursor_literal(v) -> str:
+    """SQL literal for a stored cursor value (numeric pass-through,
+    everything else quoted — dates/timestamps arrive as ISO strings)."""
+    s = str(v)
+    try:
+        float(s)
+        return s
+    except ValueError:
+        return "'" + s.replace("'", "''") + "'"
+
+
+class _CursorStreamReader(SimpleDataSourceStreamReader):
+    """Monotone-cursor tail of an engine query: every micro-batch is
+    ``cursor > last AND cursor <= snapshot-max`` — the reference's
+    stubbed delta extract (``airflow_etl.py:452-463``) as a REAL
+    streaming source with exactly-once replay (offsets are cursor
+    values, so ``readBetweenOffsets`` re-derives any batch verbatim).
+
+    The simple (driver-side) reader is the right shape here: each batch
+    is an incremental sliver, exactly what a JDBC-style extract pulls
+    through one connection anyway. A full-history backfill at 100 TB
+    should bootstrap through the PARTITIONED batch source above, then
+    hand the cursor to this stream."""
+
+    def __init__(self, query: str, cursor_col: str):
+        self.query = query
+        self.cursor_col = cursor_col
+
+    def initialOffset(self) -> dict:
+        return {"cursor": None}
+
+    def _max_cursor(self, con):
+        row = con.sql(
+            f"SELECT CAST(MAX({self.cursor_col}) AS VARCHAR) "
+            f"FROM ({self.query})"
+        ).fetchone()
+        return row[0] if row else None
+
+    def _rows(self, con, lo, hi):
+        if hi is None:
+            return iter(())
+        pred = f"{self.cursor_col} <= {_cursor_literal(hi)}"
+        if lo is not None:
+            pred += f" AND {self.cursor_col} > {_cursor_literal(lo)}"
+        return iter(
+            con.sql(f"SELECT * FROM ({self.query}) WHERE {pred}").fetchall()
+        )
+
+    def read(self, start: dict):
+        import duckdb
+
+        con = duckdb.connect()
+        hi = self._max_cursor(con)
+        lo = start.get("cursor")
+        if hi is None or hi == lo:
+            return iter(()), start
+        return self._rows(con, lo, hi), {"cursor": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import duckdb
+
+        con = duckdb.connect()
+        return self._rows(con, start.get("cursor"), end.get("cursor"))
+
+
+class DuckDBStreamSource(DataSource):
+    """``spark.readStream.format("duckdb_stream")`` — options ``query``
+    and ``cursor_col`` (a monotone column: load seqno, ingest ts). Each
+    micro-batch delivers exactly the rows whose cursor advanced past
+    the checkpointed offset; replay between offsets is deterministic,
+    so recovery is exactly-once into any idempotent sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_stream"
+
+    def schema(self) -> str:
+        import duckdb
+
+        query = self.options.get("query")
+        if not query:
+            raise ValueError("duckdb_stream source requires 'query'")
+        con = duckdb.connect()  # keep a reference: a chained
+        # connect().sql() loses the connection to GC mid-query
+        desc = con.sql(f"DESCRIBE SELECT * FROM ({query})").fetchall()
+        return ", ".join(f"`{n}` {_spark_ddl(t)}" for n, t, *_ in desc)
+
+    def simpleStreamReader(self, schema):
+        if not self.options.get("cursor_col"):
+            raise ValueError("duckdb_stream source requires 'cursor_col'")
+        return _CursorStreamReader(
+            self.options["query"], self.options["cursor_col"]
+        )

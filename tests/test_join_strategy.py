@@ -127,3 +127,45 @@ def test_broadcast_side_follows_the_smaller_input(spark):
         parallelism=4,
     )
     assert d.strategy == "shuffle" and d.shuffle_partitions == 4
+
+
+def test_decision_from_streamed_sketch_state_matches_batch(spark, tmp_path):
+    """The planner decision served from CONTINUOUSLY maintained sketch
+    state (streaming/distinct.py CMS folds) equals the one computed
+    from one-shot batch sketches — the metadata-only planning story at
+    scale: per-day sketch folds, decisions without touching data."""
+    from dwh_etl_framework_spark.queries.wave17 import _JOINS
+    from dwh_etl_framework_spark.streaming.distinct import (
+        current_cms,
+        fold_cms_batch,
+    )
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    spec = next(s for s in _JOINS if s[0] == "lineitem_orders")
+    left, lk, right, rk, lsk, rsk = _sketches(spark, spec)
+    # fold each side in 3 ordered slices, as a daily feed would
+    states = {}
+    for label, df, col in (("l", left, lk), ("r", right, rk)):
+        st = StreamMasterState(spark, str(tmp_path / label))
+        for i in range(3):
+            fold_cms_batch(
+                st,
+                df.filter(F.col(col) % 3 == i).select(col),
+                i,
+                col,
+                w=JOINSIZE_W,
+                run_id="t",
+            )
+        states[label] = st
+    batch_d = choose_join_strategy(
+        lsk, rsk, broadcast_threshold_rows=0,
+        rows_per_task=ROWS_PER_TASK, parallelism=DECISION_PARALLELISM,
+    )
+    stream_d = choose_join_strategy(
+        current_cms(states["l"]),
+        current_cms(states["r"]),
+        broadcast_threshold_rows=0,
+        rows_per_task=ROWS_PER_TASK,
+        parallelism=DECISION_PARALLELISM,
+    )
+    assert stream_d == batch_d

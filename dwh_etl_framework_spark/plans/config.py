@@ -99,6 +99,19 @@ class TransformStep:
     cache: bool = False
     cache_dir: str | None = None
     alias: str | None = None
+    #: Optional sketch-driven join planning for this step (the x105
+    #: decision surfaced at the pipeline-config level). Mapping with keys
+    #: ``left``/``right`` (temp-view names visible to the step's SQL),
+    #: ``left_key``/``right_key`` (join key columns), and optional
+    #: ``broadcast_threshold_rows`` / ``rows_per_task`` / ``parallelism``
+    #: / ``w``. Before the SQL runs, the step derives a
+    #: :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`
+    #: from CMS sketches of the two views and re-registers them under the
+    #: decided physical shape (broadcast hint on the small side, or both
+    #: sides co-partitioned on their keys at the decision's exchange
+    #: width) — the user's SQL is untouched; only the inputs it resolves
+    #: change. Spark-only: a pushdown engine plans its own joins.
+    join_strategy: Mapping | None = None
 
     def __post_init__(self) -> None:
         if self.type not in VALID_STEP_TYPES:
@@ -113,6 +126,18 @@ class TransformStep:
             raise ValueError(f"{self.type} step needs sql or sql_file")
         if self.type == "python" and not self.python:
             raise ValueError("python step needs a registry key in 'python'")
+        if self.join_strategy is not None:
+            if self.type != "select" or self.engine != "spark":
+                raise ValueError(
+                    "join_strategy applies only to engine='spark' select steps"
+                )
+            missing = {"left", "right", "left_key", "right_key"} - set(
+                self.join_strategy
+            )
+            if missing:
+                raise ValueError(
+                    f"join_strategy missing required keys: {sorted(missing)}"
+                )
 
     def resolve_sql(self, base_dir: str | Path | None = None) -> str:
         if self.sql is not None:
@@ -166,6 +191,7 @@ def _parse_step(raw: Mapping) -> TransformStep:
         cache=bool(raw.get("cache", False)),
         cache_dir=raw.get("cache_dir"),
         alias=raw.get("alias"),
+        join_strategy=raw.get("join_strategy") or raw.get("join-strategy"),
     )
 
 

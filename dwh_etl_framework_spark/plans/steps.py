@@ -52,6 +52,72 @@ class StepContext:
     #: {"url": ..., "options": {...}} — the Spark-native form of the
     #: reference's Airflow connection Variables (connector.py:6-17)
     connections: Mapping[str, Mapping] = field(default_factory=dict)
+    #: JoinDecisions recorded by steps that declared ``join_strategy``,
+    #: keyed by step alias (or "left⋈right" when the step has none) —
+    #: the audit trail a pipeline run leaves of its sketch-driven plan
+    #: choices.
+    join_decisions: dict[str, object] = field(default_factory=dict)
+
+
+def plan_step_join(ctx: StepContext, spec: Mapping) -> object:
+    """Sketch-driven join planning for a select step (the x105 decision
+    at the pipeline-config surface; see ``TransformStep.join_strategy``).
+
+    Builds a CMS sketch per side, derives a
+    :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`, and
+    re-registers the two temp views under the decided physical shape:
+
+    - broadcast decision → the small side's view carries a broadcast
+      hint (the hint is part of the view's logical plan, so it applies
+      however the step's SQL references the view);
+    - shuffle decision → BOTH views are repartitioned on their join keys
+      at the decision's exchange width, so the join reuses the
+      co-partitioning and adds no further exchange — the
+      ``apply_join_strategy`` discipline, reachable from config.
+
+    The sketch build scans each input once; a production deployment
+    serves the sketches from continuously maintained state instead
+    (``streaming/distinct.current_cms`` — decision equality is pinned by
+    ``tests/test_join_strategy.py::test_decision_from_streamed_sketch_state_matches_batch``).
+    """
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_W,
+        choose_join_strategy,
+        cms_sketch,
+    )
+
+    def resolve(name: str) -> DataFrame:
+        df = ctx.dataframes.get(name)
+        return df if df is not None else ctx.spark.table(name)
+
+    left, right = spec["left"], spec["right"]
+    lkey, rkey = spec["left_key"], spec["right_key"]
+    w = int(spec.get("w", CMS_W))
+    lsk = cms_sketch(resolve(left).select(lkey), lkey, w).localCheckpoint(eager=True)
+    rsk = cms_sketch(resolve(right).select(rkey), rkey, w).localCheckpoint(eager=True)
+    decision = choose_join_strategy(
+        lsk,
+        rsk,
+        broadcast_threshold_rows=int(spec.get("broadcast_threshold_rows", 1_000_000)),
+        rows_per_task=int(spec.get("rows_per_task", 2_000_000)),
+        parallelism=spec.get("parallelism"),
+    )
+    if decision.strategy == "broadcast_left":
+        shaped = {left: F.broadcast(resolve(left))}
+    elif decision.strategy == "broadcast_right":
+        shaped = {right: F.broadcast(resolve(right))}
+    else:
+        n = decision.shuffle_partitions
+        shaped = {
+            left: resolve(left).repartition(n, F.col(lkey)),
+            right: resolve(right).repartition(n, F.col(rkey)),
+        }
+    for name, df in shaped.items():
+        df.createOrReplaceTempView(name)
+        ctx.dataframes[name] = df
+    return decision
 
 
 def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataFrame:
@@ -76,6 +142,12 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
     SQL to the named JDBC connection and pulls the result (F8, the
     reference's engine='greenplum' branch, airflow_etl.py:252-260)."""
     sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
+    if step.join_strategy is not None:
+        decision = plan_step_join(ctx, step.join_strategy)
+        key = step.alias or (
+            f"{step.join_strategy['left']}⋈{step.join_strategy['right']}"
+        )
+        ctx.join_decisions[key] = decision
     if step.engine == "pushdown":
         try:
             conn = ctx.connections[step.connection]

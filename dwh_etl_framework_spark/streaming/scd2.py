@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.operators.merge import (
     JournalSpec,
     SYSTEM_COLS,
+    change_feed_from_intervals,
     scd2_intervals,
     stamp_journal_columns,
 )
@@ -123,6 +124,32 @@ def current_scd2(state: StreamMasterState) -> DataFrame | None:
         return None
     drop = [c for c in SYSTEM_COLS if c in stored.columns]
     return stored.drop(*drop) if drop else stored
+
+
+def change_feed_from_state(
+    state: StreamMasterState,
+    spec: JournalSpec,
+    t_from,
+    t_to,
+    value_cols: tuple[str, ...] | list[str],
+) -> DataFrame | None:
+    """The change feed (f34/f35 semantics) served from the LIVE streamed
+    interval state — the composed end-to-end path: a continuous journal
+    feed maintains the intervals (:func:`stream_scd2`), and any
+    ``[t_from, t_to]`` window is answered with two pushdown-able
+    interval-containment filters and a presence-marker diff, NO window
+    function and no journal rescan at read time. Equal to the batch
+    ``change_feed`` over the journal the state was folded from (pinned
+    in ``tests/test_stream_scd2.py``). ``None`` before the first batch.
+
+    This is the serving shape for the reference's stubbed delta extract
+    (``airflow_etl.py:452-463``) at 100 TB: the stream pays O(batch +
+    affected history) per fold; consumers pay O(changed keys) per read,
+    for any window, from state alone."""
+    intervals = current_scd2(state)
+    if intervals is None:
+        return None
+    return change_feed_from_intervals(intervals, spec, t_from, t_to, value_cols)
 
 
 def erase_keys(

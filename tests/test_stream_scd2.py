@@ -165,6 +165,44 @@ def test_pit_join_over_streamed_intervals_matches_batch(spark, tmp_path):
     assert per_fact.filter(F.col("count") > 1).count() == 0
 
 
+def test_change_feed_from_streamed_state_matches_batch(spark, tmp_path):
+    """Streamed f35 (NOTES r10): the change feed served from the LIVE
+    streamed interval state equals the batch ``change_feed`` over the
+    full journal, for windows that start before, inside, and spanning
+    the version history — including an empty-diff window."""
+    from dwh_etl_framework_spark.operators.merge import change_feed
+    from dwh_etl_framework_spark.streaming.scd2 import change_feed_from_state
+
+    rows = _journal_rows(seed=23)
+    _write_slices(spark, _slices(rows), str(tmp_path / "src"))
+    state = _run_stream(
+        spark, str(tmp_path / "src"),
+        StreamMasterState(spark, str(tmp_path / "scd2")),
+        str(tmp_path / "ckpt"),
+    )
+    journal = spark.createDataFrame(rows, SCHEMA)
+    windows = [
+        (T0 - timedelta(hours=1), T0 + timedelta(hours=50)),   # spans first-seen
+        (T0 + timedelta(hours=10), T0 + timedelta(hours=90)),  # interior
+        (T0 + timedelta(hours=100), T0 + timedelta(hours=200)),  # empty diff
+    ]
+    for t_from, t_to in windows:
+        got = change_feed_from_state(state, SPEC, t_from, t_to, ["balance"])
+        want = change_feed(journal, SPEC, t_from, t_to, ["balance"])
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _interval_set(got) == _interval_set(want), (t_from, t_to)
+
+
+def test_change_feed_from_state_none_before_first_batch(spark, tmp_path):
+    from dwh_etl_framework_spark.streaming.scd2 import change_feed_from_state
+
+    state = StreamMasterState(spark, str(tmp_path / "empty"))
+    assert (
+        change_feed_from_state(state, SPEC, T0, T0 + timedelta(1), ["balance"])
+        is None
+    )
+
+
 def test_crash_refold_any_prefix_re_heals(spark, tmp_path):
     """Simulate every partial-commit interleaving: fold slices 0..i,
     re-fold slice i (the crashed-then-redelivered batch), continue —

@@ -135,7 +135,10 @@ class DuckDBSource(DataSource):
 
 # ---- streaming: incremental cursor extract -----------------------------
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _cursor_literal(v) -> str:
@@ -203,12 +206,93 @@ class _CursorStreamReader(SimpleDataSourceStreamReader):
         return self._rows(con, start.get("cursor"), end.get("cursor"))
 
 
+class _CursorRangePartition(InputPartition):
+    def __init__(self, idx: int, n: int, lo, hi, partition_col: str):
+        self.idx = idx
+        self.n = n
+        self.lo = lo
+        self.hi = hi
+        self.partition_col = partition_col
+
+
+class _PartitionedCursorStreamReader(DataSourceStreamReader):
+    """The cursor extract with EXECUTOR-SIDE parallel range reads — the
+    backfill shape of :class:`_CursorStreamReader`. The driver's only
+    job per micro-batch is one scalar probe (``MAX(cursor)`` →
+    ``latestOffset``); the batch's cursor range then fans out as N
+    partitions, each opening its OWN engine connection on an executor
+    and pulling its hash-mod slice of the range as Arrow RecordBatches
+    (the batch ``_DuckDBReader`` predicate applied to a cursor sliver).
+
+    When a stream starts against a deep table (initial offset = None,
+    first range = the whole history), the first micro-batch IS the
+    backfill — with this reader it runs at scan-width parallelism
+    instead of through one driver connection, then steady-state
+    increments ride the same partitioned path. Recovery replays
+    ``partitions(start, end)`` for the logged offsets; both predicates
+    are pure functions of the offset pair, so replay is verbatim."""
+
+    def __init__(self, query: str, cursor_col: str, partition_col: str, n: int):
+        self.query = query
+        self.cursor_col = cursor_col
+        self.partition_col = partition_col
+        self.n = n
+
+    def initialOffset(self) -> dict:
+        return {"cursor": None}
+
+    def latestOffset(self) -> dict:
+        import duckdb
+
+        con = duckdb.connect()
+        row = con.sql(
+            f"SELECT CAST(MAX({self.cursor_col}) AS VARCHAR) "
+            f"FROM ({self.query})"
+        ).fetchone()
+        return {"cursor": row[0] if row else None}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _CursorRangePartition(
+                i, self.n, start.get("cursor"), end.get("cursor"),
+                self.partition_col,
+            )
+            for i in range(self.n)
+        ]
+
+    def read(self, partition):
+        import duckdb
+
+        if partition.hi is None:
+            return
+        pred = f"{self.cursor_col} <= {_cursor_literal(partition.hi)}"
+        if partition.lo is not None:
+            pred += f" AND {self.cursor_col} > {_cursor_literal(partition.lo)}"
+        if partition.n > 1:
+            pred += (
+                f" AND hash({partition.partition_col}) % {partition.n}"
+                f" = {partition.idx}"
+            )
+        con = duckdb.connect()
+        reader = con.sql(
+            f"SELECT * FROM ({self.query}) WHERE {pred}"
+        ).fetch_arrow_reader(batch_size=65536)
+        yield from reader
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DuckDBStreamSource(DataSource):
     """``spark.readStream.format("duckdb_stream")`` — options ``query``
     and ``cursor_col`` (a monotone column: load seqno, ingest ts). Each
     micro-batch delivers exactly the rows whose cursor advanced past
     the checkpointed offset; replay between offsets is deterministic,
-    so recovery is exactly-once into any idempotent sink."""
+    so recovery is exactly-once into any idempotent sink.
+
+    Add ``partitions`` (and optionally ``partition_col``, defaulting to
+    the cursor column) to switch to the executor-parallel reader — the
+    right shape when the first batch is a deep-history backfill."""
 
     @classmethod
     def name(cls) -> str:
@@ -225,9 +309,31 @@ class DuckDBStreamSource(DataSource):
         desc = con.sql(f"DESCRIBE SELECT * FROM ({query})").fetchall()
         return ", ".join(f"`{n}` {_spark_ddl(t)}" for n, t, *_ in desc)
 
-    def simpleStreamReader(self, schema):
+    def _require_cursor(self) -> str:
         if not self.options.get("cursor_col"):
             raise ValueError("duckdb_stream source requires 'cursor_col'")
+        return self.options["cursor_col"]
+
+    def streamReader(self, schema):
+        n = int(self.options.get("partitions", "1"))
+        if n <= 1:
+            # defer to the driver-side simple reader (the incremental
+            # steady-state shape); _streamReader falls back on this error
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        cursor = self._require_cursor()
+        return _PartitionedCursorStreamReader(
+            self.options["query"],
+            cursor,
+            self.options.get("partition_col", cursor),
+            n,
+        )
+
+    def simpleStreamReader(self, schema):
         return _CursorStreamReader(
-            self.options["query"], self.options["cursor_col"]
+            self.options["query"], self._require_cursor()
         )

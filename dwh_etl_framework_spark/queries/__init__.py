@@ -288,9 +288,26 @@ DRIVER_WINDOW: list[str] = [
     "x06c_ivf_topk_exact",
     "x11_binary_columns",
     "x20_dedup_clusters",
-    # round-5 entrants: k-NN join, LM scoring, chunking, quantization
-    # round-5b entrants: temperature mixing, PQ, source overlap
-    "x42_product_quantize",
+    # round-10c rotation: the five round-10 closing entrants enter with
+    # dual-SF hash evidence (PARITY_r10 + PARITY_sf1) — r16b (Q17-shaped
+    # correlated scalar aggregate), r34 (recursive-CTE hierarchy rollup,
+    # new engine surface this Spark build supports), f35 (change feed
+    # served from materialized SCD2 intervals, ≡ f34), f36 (right-to-
+    # erasure journal rewrite), f37 (Python DataSource partitioned
+    # engine scan). Exits, each with 4 driver-green rows r06-r09:
+    # x42 (PQ evidence stays via the in-window x81 SemDeDup codebook
+    # path + x05/x06c vector tier + local oracle and sf1 twin),
+    # r14b (multi-table join stress stays via in-window r15c Q21 +
+    # entering r16b Q17 + the r16 flagship), f28 (layout-planning
+    # evidence stays via in-window f29 backfill planner + local oracle),
+    # x85 (packing evidence stays via in-window x95 quota + x83 DSIR +
+    # local oracle), x87 (span/boilerplate evidence stays via in-window
+    # x96 boilerplate n-grams + x102 phrase search + local oracle).
+    "r16b_small_quantity_revenue",
+    "r34_recursive_rollup",
+    "f35_interval_change_feed",
+    "f36_right_to_erasure",
+    "f37_python_datasource_scan",
     # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
     # closing entrants enter — the completed journal/temporal family
     # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
@@ -318,7 +335,6 @@ DRIVER_WINDOW: list[str] = [
     "x89_drift_timeline",
     # round-6c survivors: six-table join, LATERAL top-k, incremental agg
     # maintenance, BPE merge, text-vector consistency
-    "r14b_regional_supply_chain",
     "r20c_lateral_topk",
     # round-10b rotation: r15c (Q21-shaped double-correlated-subquery
     # stress — Catalyst decorrelation certified against DuckDB by ONE
@@ -370,15 +386,12 @@ DRIVER_WINDOW: list[str] = [
     "x102_phrase_search",
     "x83_dsir_weights",
     "x84_hll_distinct",
-    "x85_length_bucket_packing",
-    "f28_compaction_plan",
     "f29_backfill_plan",
     # round-7c entrants: reconciliation checksum, column profiling
     "f30_table_checksum",
     "x91_column_profile",
     # round-6f entrants: repeated spans, histogram quantiles (x86 CMS
     # exited round 10 — evidence stays via x103 + x84/x88)
-    "x87_repeated_spans",
     "x88_histogram_quantiles",
 ]
 
@@ -545,6 +558,11 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "f34_change_feed",
     "x103_join_size_estimate",
     "x104_sorted_neighborhood_audit",
+    "r16b_small_quantity_revenue",
+    "r34_recursive_rollup",
+    "f35_interval_change_feed",
+    "f36_right_to_erasure",
+    "f37_python_datasource_scan",
 ])
 
 

@@ -1,0 +1,119 @@
+"""Round-10 closing wave: two more classic decorrelation/agg-reuse
+stress shapes the DWH audit tier runs daily — Q2's correlated MIN
+across a multi-dim join and Q15's max-of-grouped-aggregate — each one
+ANSI text executed verbatim in BOTH engines, so the driver hash
+certifies Catalyst's rewrite against DuckDB's.
+
+Reference anchor: these are exactly the ``spark.sql`` report steps the
+reference's transform tier ships wholesale (``airflow_etl.py:251``,
+README.md:135-150) — the framework's job is to not get them wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+#: Q2-shaped correlated MIN: for each part, the EUROPE supplier(s)
+#: matching the region-wide minimum supply cost for that part. The
+#: fixture has no partsupp table, so the supply relation is derived
+#: from observed order lines — MIN exact-cents price per (part,
+#: supplier) — which keeps every cost an exact BIGINT (no float
+#: boundary can flip the correlated equality). The correlated scalar
+#: re-reads the SAME CTE through its own dim chain, which is the shape
+#: that forces the decorrelate-aggregate-then-join-back rewrite over a
+#: multi-join subtree (r16b only correlated against one table).
+_R35_SQL = """
+WITH supply AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+    FROM lineitem
+    GROUP BY 1, 2
+)
+SELECT p.p_partkey AS p_partkey, p.p_type AS p_type, s.s_name AS s_name,
+       n.n_name AS n_name, sp.cost_cents AS cost_cents
+FROM part p
+JOIN supply sp ON sp.partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = sp.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND sp.cost_cents = (
+      SELECT MIN(sp2.cost_cents)
+      FROM supply sp2
+      JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE sp2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY cost_cents, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@query("r35_min_cost_supplier", oracle=_R35_SQL)
+def r35_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier stress: TPC-H Q2's shape — a correlated scalar MIN whose
+    subquery is itself a MULTI-JOIN (supply → supplier → nation →
+    region), correlated on the outer part key. Catalyst must
+    decorrelate the aggregate over the whole join subtree into a
+    per-partkey MIN joined back; DuckDB does its own rewrite; the
+    driver hash pins them equal. Completes the correlated-subquery
+    triptych: r15c (EXISTS/NOT EXISTS → semi/anti), r16b (scalar agg
+    over one table), r35 (scalar agg over a join tree).
+
+    Scale shape: the supply CTE is one (part, supplier)-keyed
+    aggregate of the fact; the decorrelated minimum re-aggregates the
+    SAME relation per part — both exchanges key on the part key, so
+    AQE plans one skew-splittable family; the three dims broadcast
+    (plan pinned in tests/test_wave18.py: no cartesian, no window).
+    The region filter prunes before either aggregate at 100 TB when
+    supply is maintained as a materialized table partitioned by
+    region — here it is derived inline because the fixture has no
+    partsupp (supply-cost) table."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R35_SQL)
+
+
+#: Q15-shaped aggregate-of-aggregate: suppliers whose exact-cents
+#: revenue equals the global maximum of the per-supplier revenue
+#: aggregate — the CTE is referenced twice (probe + scalar MAX), the
+#: classic shared-subplan report shape. Revenue folds to exact cents
+#: through one float product evaluated with identical association in
+#: both engines.
+_R36_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS suppkey,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name,
+       rv.rev_cents AS rev_cents
+FROM supplier s
+JOIN revenue rv ON rv.suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE rv.rev_cents = (SELECT MAX(rev_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("r36_top_revenue_supplier", oracle=_R36_SQL)
+def r36_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier stress: TPC-H Q15's shape — a grouped aggregate consumed
+    twice, once as the probe side and once reduced to a scalar MAX
+    gating the probe (ties all surface; no LIMIT needed for
+    determinism). Exercises shared-CTE planning plus the
+    scalar-subquery-of-aggregate path, none of which r15c/r16b/r35
+    touch.
+
+    Scale shape: ONE fact aggregate keyed on l_suppkey (supplier-count
+    sized output), the MAX is a scalar over that small result, the dim
+    joins broadcast. At 100 TB the only heavy exchange is the revenue
+    groupBy, map-side partially aggregated (plan pinned in
+    tests/test_wave18.py: no cartesian, single fact scan feeding a
+    reused CTE or two scans of the same map-side-combined aggregate —
+    either is linear)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R36_SQL)

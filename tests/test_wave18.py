@@ -1,0 +1,105 @@
+"""Round-10 closing wave: r35 Q2-shaped correlated MIN over a join
+tree, r36 Q15-shaped max-of-grouped-aggregate (plan probes + direct
+semantics recomputation; hash parity runs in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures
+from dwh_etl_framework_spark.queries.wave18 import (
+    r35_min_cost_supplier,
+    r36_top_revenue_supplier,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _supply(t):
+    return (
+        t.lineitem.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("cost_cents")
+        )
+    )
+
+
+def test_r35_plan_decorrelates_without_cartesian(spark):
+    plan = _plan(r35_min_cost_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # the dim chain broadcasts
+
+
+def test_r35_rows_are_region_minimum_suppliers(spark):
+    """Direct recomputation: every reported (part, supplier) must carry
+    the minimum EUROPE supply cost for that part, and every reported
+    supplier must actually sit in EUROPE."""
+    t = fixtures(spark, SF_DIR)
+    rows = r35_min_cost_supplier(spark, SF_DIR).collect()
+    assert rows, "fixture should produce minimum-cost suppliers"
+    europe = (
+        t.supplier.join(
+            t.nation, t.supplier.s_nationkey == t.nation.n_nationkey
+        )
+        .join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    min_cost = {
+        r["partkey"]: r["mn"]
+        for r in _supply(t)
+        .join(europe, F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("partkey")
+        .agg(F.min("cost_cents").alias("mn"))
+        .collect()
+    }
+    euro_names = {r["s_name"] for r in europe.collect()}
+    for r in rows:
+        assert r["cost_cents"] == min_cost[r["p_partkey"]], r
+        assert r["s_name"] in euro_names, r
+
+
+def test_r35_limit_is_deterministic(spark):
+    a = [tuple(r) for r in r35_min_cost_supplier(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in r35_min_cost_supplier(spark, SF_DIR).collect()]
+    assert a == b and len(a) <= 100
+
+
+def test_r36_plan_shape(spark):
+    plan = _plan(r36_top_revenue_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the only fact exchanges key on the revenue groupBy — map-side
+    # partial aggregation present
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_r36_returns_exactly_the_max_revenue_suppliers(spark):
+    t = fixtures(spark, SF_DIR)
+    rev = (
+        t.lineitem.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("rev_cents")).first()[0]
+    want = sorted(
+        r["l_suppkey"] for r in rev.filter(F.col("rev_cents") == mx).collect()
+    )
+    rows = r36_top_revenue_supplier(spark, SF_DIR).collect()
+    assert sorted(r["s_suppkey"] for r in rows) == want
+    assert all(r["rev_cents"] == mx for r in rows)

@@ -46,6 +46,10 @@ class Pipeline:
     connections: dict = field(default_factory=dict)  # F8/F25 jdbc registry
     journal: DataFrame | None = None
     master: DataFrame | None = None
+    #: JoinDecisions recorded by the last transform() run's steps that
+    #: declared join_strategy (keyed by step alias) — the run's plan
+    #: audit trail, surfaced for logging/inspection.
+    last_join_decisions: dict = field(default_factory=dict)
     _seqno: int = field(default=0)
 
     def spec(self) -> JournalSpec:
@@ -80,6 +84,7 @@ class Pipeline:
             connections=self.connections,
         )
         result = run_transform_steps(ctx, list(self.table.steps_for(read_mode)))
+        self.last_join_decisions = dict(ctx.join_decisions)
         if result is None:
             raise ValueError(
                 f"{read_mode!r} steps for {self.table.target!r} produced no DataFrame"

@@ -34,6 +34,12 @@ def main() -> None:
             merge_mode="delta",
             transform_dt=datetime(2024, 1, 1),
         )
+        for step, d in pipe.last_join_decisions.items():
+            print(
+                f"join plan [{step}]: {d.strategy} "
+                f"(n_left={d.n_left} n_right={d.n_right} "
+                f"est_join_rows={d.est_join_rows})"
+            )
         print(f"master rows: {master.count()}")
         master.orderBy("o_custkey").show(5)
 

@@ -21,6 +21,8 @@ def test_example_runs_end_to_end():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "master rows: 150" in out.stdout
+    # the config-declared join_strategy ran and picked the dim broadcast
+    assert "join plan [customer_rollup]: broadcast_right" in out.stdout
 
 
 def test_corpus_curation_example(spark):

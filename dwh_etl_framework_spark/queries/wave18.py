@@ -12,6 +12,7 @@ README.md:135-150) — the framework's job is to not get them wrong.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.queries.registry import fixtures, query
 
@@ -117,3 +118,76 @@ def r36_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     either is linear)."""
     fixtures(spark, sf_dir)
     return spark.sql(_R36_SQL)
+
+
+#: PII patterns shared verbatim by both engines. Java regex and RE2
+#: agree on everything used here (char classes, bounded repetition,
+#: greedy non-overlapping scan, \b) — no lookaround, no backrefs, so
+#: the redaction is engine-portable by construction.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-\d{3}-\d{4}"
+
+#: The fixture documents carry no digits at all, so the adversarial
+#: input is synthesized deterministically from the customer table —
+#: IDENTICALLY in both engines — with one email, one phone and one
+#: must-NOT-redact account number per row (the negative control).
+_X106_SQL = f"""
+WITH synth AS (
+    SELECT c_custkey AS id,
+           'contact ' || lower(replace(c_name, '#', '.'))
+               || '@example.com or call +1-555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' re account ' || CAST(c_custkey AS VARCHAR) AS text
+    FROM customer
+)
+SELECT id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM synth
+"""
+
+
+@query("x106_pii_redaction", oracle=_X106_SQL)
+def x106_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-tier PII detection + redaction — the scrub every LLM training
+    pipeline runs before anything else ships (emails, phone numbers;
+    the pattern table extends the same way for SSNs/IPs/keys). Counts
+    are detected per document and the text is rewritten with typed
+    placeholders; the account number survives as the negative control
+    (redaction must not eat adjacent non-PII digits).
+
+    Scale shape: map-only — regexp_extract_all/regexp_replace run
+    inside whole-stage codegen on the JVM, zero shuffles, zero UDFs;
+    at 100 TB this is a pure scan-rewrite pass that composes with
+    compaction. The driver hash certifies Java-regex and RE2 semantics
+    agree on the shared pattern subset (no lookaround/backrefs).
+    ``tests/test_wave18.py`` pins the redacted text is PII-free and
+    the control survives."""
+    t = fixtures(spark, sf_dir)
+    text = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re account "),
+        F.col("c_custkey").cast("string"),
+    )
+    synth = t.customer.select(F.col("c_custkey").alias("id"), text.alias("text"))
+    return synth.select(
+        "id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

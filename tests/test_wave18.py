@@ -103,3 +103,31 @@ def test_r36_returns_exactly_the_max_revenue_suppliers(spark):
     rows = r36_top_revenue_supplier(spark, SF_DIR).collect()
     assert sorted(r["s_suppkey"] for r in rows) == want
     assert all(r["rev_cents"] == mx for r in rows)
+
+
+def test_x106_redaction_is_pii_free_and_control_survives(spark):
+    import re
+
+    from dwh_etl_framework_spark.queries.wave18 import (
+        PII_EMAIL,
+        PII_PHONE,
+        x106_pii_redaction,
+    )
+
+    rows = x106_pii_redaction(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1 and r["n_phones"] == 1, r
+        assert not re.search(PII_EMAIL, r["redacted"]), r
+        assert not re.search(PII_PHONE, r["redacted"]), r
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+        # negative control: the trailing account number is untouched
+        assert r["redacted"].endswith(f"re account {r['id']}"), r
+
+
+def test_x106_plan_is_map_only(spark):
+    from dwh_etl_framework_spark.queries.wave18 import x106_pii_redaction
+
+    plan = _plan(x106_pii_redaction(spark, SF_DIR))
+    assert "Exchange" not in plan  # pure scan-rewrite: zero shuffles
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

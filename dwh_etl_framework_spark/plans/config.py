@@ -104,13 +104,17 @@ class TransformStep:
     #: ``left``/``right`` (temp-view names visible to the step's SQL),
     #: ``left_key``/``right_key`` (join key columns), and optional
     #: ``broadcast_threshold_rows`` / ``rows_per_task`` / ``parallelism``
-    #: / ``w``. Before the SQL runs, the step derives a
+    #: / ``w`` / ``left_state``/``right_state`` (CMS fold state dirs —
+    #: serve the sketch from continuously maintained state instead of
+    #: rescanning the input on every run; see streaming/distinct.py).
+    #: Before the SQL runs, the step derives a
     #: :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`
-    #: from CMS sketches of the two views and re-registers them under the
-    #: decided physical shape (broadcast hint on the small side, or both
-    #: sides co-partitioned on their keys at the decision's exchange
-    #: width) — the user's SQL is untouched; only the inputs it resolves
-    #: change. Spark-only: a pushdown engine plans its own joins.
+    #: from the two sketches and re-registers the views under the decided
+    #: physical shape (broadcast hint on the small side, or both sides
+    #: co-partitioned on their keys at the decision's exchange width) —
+    #: the user's SQL is untouched; only the inputs it resolves change,
+    #: and only for THIS step (originals are restored after analysis).
+    #: Spark-only: a pushdown engine plans its own joins.
     join_strategy: Mapping | None = None
 
     def __post_init__(self) -> None:
@@ -191,7 +195,13 @@ def _parse_step(raw: Mapping) -> TransformStep:
         cache=bool(raw.get("cache", False)),
         cache_dir=raw.get("cache_dir"),
         alias=raw.get("alias"),
-        join_strategy=raw.get("join_strategy") or raw.get("join-strategy"),
+        # explicit None check, not `or`: a declared-but-empty mapping must
+        # reach validation (missing-keys error), not silently disable planning
+        join_strategy=(
+            raw["join_strategy"]
+            if raw.get("join_strategy") is not None
+            else raw.get("join-strategy")
+        ),
     )
 
 

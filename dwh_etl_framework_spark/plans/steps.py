@@ -59,13 +59,13 @@ class StepContext:
     join_decisions: dict[str, object] = field(default_factory=dict)
 
 
-def plan_step_join(ctx: StepContext, spec: Mapping) -> object:
+def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
     """Sketch-driven join planning for a select step (the x105 decision
     at the pipeline-config surface; see ``TransformStep.join_strategy``).
 
-    Builds a CMS sketch per side, derives a
-    :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`, and
-    re-registers the two temp views under the decided physical shape:
+    Derives a :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`
+    from a CMS sketch per side and re-registers the two temp views under
+    the decided physical shape:
 
     - broadcast decision → the small side's view carries a broadcast
       hint (the hint is part of the view's logical plan, so it applies
@@ -75,11 +75,20 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> object:
       co-partitioning and adds no further exchange — the
       ``apply_join_strategy`` discipline, reachable from config.
 
-    The sketch build scans each input once; a production deployment
-    serves the sketches from continuously maintained state instead
-    (``streaming/distinct.current_cms`` — decision equality is pinned by
-    ``tests/test_join_strategy.py::test_decision_from_streamed_sketch_state_matches_batch``).
-    """
+    The shaping is SCOPED to this step: the caller restores the original
+    views after the step's SQL is analyzed (views resolve at analysis
+    time, so the step's plan keeps the shape while later steps see the
+    unshaped inputs — a leaked broadcast hint would otherwise force
+    broadcasting in joins the planner would never choose it for).
+    Returns ``(decision, restore)`` where ``restore()`` undoes the view
+    re-registration.
+
+    Sketch source: by default each side is sketched inline (one scan);
+    ``left_state``/``right_state`` point at CMS fold state directories
+    (``streaming/distinct.fold_cms_batch``) to serve the sketch from
+    continuously maintained state instead — the metadata-only planning
+    story for incremental runs (decision equality batch≡stream is pinned
+    by ``tests/test_join_strategy.py``)."""
     from pyspark.sql import functions as F
 
     from dwh_etl_framework_spark.operators.sketch import (
@@ -92,17 +101,34 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> object:
         df = ctx.dataframes.get(name)
         return df if df is not None else ctx.spark.table(name)
 
+    def sketch(name: str, key: str, state_dir: str | None, w: int) -> DataFrame:
+        if state_dir is not None:
+            from dwh_etl_framework_spark.streaming.distinct import current_cms
+            from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+            sk = current_cms(StreamMasterState(ctx.spark, state_dir))
+            if sk is None:
+                raise ValueError(
+                    f"join_strategy state dir {state_dir!r} holds no folded "
+                    f"sketch yet for view {name!r}"
+                )
+            return sk
+        return cms_sketch(resolve(name).select(key), key, w).localCheckpoint(
+            eager=True
+        )
+
     left, right = spec["left"], spec["right"]
     lkey, rkey = spec["left_key"], spec["right_key"]
     w = int(spec.get("w", CMS_W))
-    lsk = cms_sketch(resolve(left).select(lkey), lkey, w).localCheckpoint(eager=True)
-    rsk = cms_sketch(resolve(right).select(rkey), rkey, w).localCheckpoint(eager=True)
+    lsk = sketch(left, lkey, spec.get("left_state"), w)
+    rsk = sketch(right, rkey, spec.get("right_state"), w)
+    par = spec.get("parallelism")
     decision = choose_join_strategy(
         lsk,
         rsk,
         broadcast_threshold_rows=int(spec.get("broadcast_threshold_rows", 1_000_000)),
         rows_per_task=int(spec.get("rows_per_task", 2_000_000)),
-        parallelism=spec.get("parallelism"),
+        parallelism=int(par) if par is not None else None,
     )
     if decision.strategy == "broadcast_left":
         shaped = {left: F.broadcast(resolve(left))}
@@ -114,10 +140,17 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> object:
             left: resolve(left).repartition(n, F.col(lkey)),
             right: resolve(right).repartition(n, F.col(rkey)),
         }
+    originals = {name: resolve(name) for name in shaped}
     for name, df in shaped.items():
         df.createOrReplaceTempView(name)
         ctx.dataframes[name] = df
-    return decision
+
+    def restore() -> None:
+        for name, df in originals.items():
+            df.createOrReplaceTempView(name)
+            ctx.dataframes[name] = df
+
+    return decision, restore
 
 
 def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataFrame:
@@ -142,11 +175,15 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
     SQL to the named JDBC connection and pulls the result (F8, the
     reference's engine='greenplum' branch, airflow_etl.py:252-260)."""
     sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
+    restore_views = None
     if step.join_strategy is not None:
-        decision = plan_step_join(ctx, step.join_strategy)
-        key = step.alias or (
+        decision, restore_views = plan_step_join(ctx, step.join_strategy)
+        base = step.alias or (
             f"{step.join_strategy['left']}⋈{step.join_strategy['right']}"
         )
+        key, i = base, 2
+        while key in ctx.join_decisions:  # two steps sharing an alias/pair:
+            key, i = f"{base}#{i}", i + 1  # keep every audit entry
         ctx.join_decisions[key] = decision
     if step.engine == "pushdown":
         try:
@@ -170,6 +207,11 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
         )
     else:
         df = ctx.spark.sql(sql)
+    if restore_views is not None:
+        # spark.sql analyzed the statement above, so the shaped views are
+        # already bound into df's plan; restoring now scopes the shaping
+        # to THIS step instead of leaking hints into later steps
+        restore_views()
     if step.cache or step.cache_dir:
         if step.cache_dir:
             # explicit cache_dir forces a durable parquet checkpoint, like the

@@ -152,6 +152,23 @@ def _cursor_literal(v) -> str:
         return "'" + s.replace("'", "''") + "'"
 
 
+def _max_cursor_sql(query: str, cursor_col: str) -> str:
+    """The snapshot-max probe both stream readers share — offsets come
+    from ONE recipe, so checkpoints stay compatible between the simple
+    (partitions≤1) and partitioned readers."""
+    return f"SELECT CAST(MAX({cursor_col}) AS VARCHAR) FROM ({query})"
+
+
+def _cursor_range_pred(cursor_col: str, lo, hi) -> str:
+    """Half-open cursor range ``lo < c <= hi`` as an engine predicate —
+    the single definition of batch-boundary semantics (NULL lo = from
+    the beginning). Callers short-circuit on ``hi is None``."""
+    pred = f"{cursor_col} <= {_cursor_literal(hi)}"
+    if lo is not None:
+        pred += f" AND {cursor_col} > {_cursor_literal(lo)}"
+    return pred
+
+
 class _CursorStreamReader(SimpleDataSourceStreamReader):
     """Monotone-cursor tail of an engine query: every micro-batch is
     ``cursor > last AND cursor <= snapshot-max`` — the reference's
@@ -173,18 +190,13 @@ class _CursorStreamReader(SimpleDataSourceStreamReader):
         return {"cursor": None}
 
     def _max_cursor(self, con):
-        row = con.sql(
-            f"SELECT CAST(MAX({self.cursor_col}) AS VARCHAR) "
-            f"FROM ({self.query})"
-        ).fetchone()
+        row = con.sql(_max_cursor_sql(self.query, self.cursor_col)).fetchone()
         return row[0] if row else None
 
     def _rows(self, con, lo, hi):
         if hi is None:
             return iter(())
-        pred = f"{self.cursor_col} <= {_cursor_literal(hi)}"
-        if lo is not None:
-            pred += f" AND {self.cursor_col} > {_cursor_literal(lo)}"
+        pred = _cursor_range_pred(self.cursor_col, lo, hi)
         return iter(
             con.sql(f"SELECT * FROM ({self.query}) WHERE {pred}").fetchall()
         )
@@ -207,12 +219,13 @@ class _CursorStreamReader(SimpleDataSourceStreamReader):
 
 
 class _CursorRangePartition(InputPartition):
-    def __init__(self, idx: int, n: int, lo, hi, partition_col: str):
+    """Only the per-partition variables live here; n/partition_col stay
+    on the reader (pickled alongside), so the two can never diverge."""
+
+    def __init__(self, idx: int, lo, hi):
         self.idx = idx
-        self.n = n
         self.lo = lo
         self.hi = hi
-        self.partition_col = partition_col
 
 
 class _PartitionedCursorStreamReader(DataSourceStreamReader):
@@ -245,18 +258,12 @@ class _PartitionedCursorStreamReader(DataSourceStreamReader):
         import duckdb
 
         con = duckdb.connect()
-        row = con.sql(
-            f"SELECT CAST(MAX({self.cursor_col}) AS VARCHAR) "
-            f"FROM ({self.query})"
-        ).fetchone()
+        row = con.sql(_max_cursor_sql(self.query, self.cursor_col)).fetchone()
         return {"cursor": row[0] if row else None}
 
     def partitions(self, start: dict, end: dict):
         return [
-            _CursorRangePartition(
-                i, self.n, start.get("cursor"), end.get("cursor"),
-                self.partition_col,
-            )
+            _CursorRangePartition(i, start.get("cursor"), end.get("cursor"))
             for i in range(self.n)
         ]
 
@@ -265,12 +272,10 @@ class _PartitionedCursorStreamReader(DataSourceStreamReader):
 
         if partition.hi is None:
             return
-        pred = f"{self.cursor_col} <= {_cursor_literal(partition.hi)}"
-        if partition.lo is not None:
-            pred += f" AND {self.cursor_col} > {_cursor_literal(partition.lo)}"
-        if partition.n > 1:
+        pred = _cursor_range_pred(self.cursor_col, partition.lo, partition.hi)
+        if self.n > 1:
             pred += (
-                f" AND hash({partition.partition_col}) % {partition.n}"
+                f" AND hash({self.partition_col}) % {self.n}"
                 f" = {partition.idx}"
             )
         con = duckdb.connect()

@@ -110,13 +110,109 @@ def test_shuffle_decision_copartitions_both_views(spark):
     df = run_select_step(ctx, step)
     d = ctx.join_decisions["joined"]
     assert d.strategy == "shuffle" and d.shuffle_partitions > 4
-    # both input views were re-registered pre-repartitioned on their keys
-    # at the decision's exchange width
-    for name, key in (("li_hint", "l_partkey"), ("part_hint", "p_partkey")):
-        view_plan = _plan(ctx.dataframes[name])
-        assert f"hashpartitioning({key}" in view_plan, name
-        assert f", {d.shuffle_partitions})" in view_plan, name
+    # the step's OWN plan carries both sides pre-repartitioned on their
+    # keys at the decision's exchange width (the views themselves are
+    # restored afterwards — see test_shaping_is_scoped_to_the_step)
+    plan = _plan(df)
+    for key in ("l_partkey", "p_partkey"):
+        assert f"hashpartitioning({key}" in plan, key
+    assert f", {d.shuffle_partitions})" in plan
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, baseline))
+
+
+def test_shaping_is_scoped_to_the_step(spark):
+    """The shaped views must NOT leak: after the step runs, the original
+    (hint-free) views are restored, so a later step joining the same
+    view sees no forced broadcast / stray repartition (code-review r10
+    finding: a leaked broadcast hint forces broadcasting in joins the
+    planner would never pick it for)."""
+    ctx = _ctx(spark)
+    step = TransformStep(
+        sql=JOIN_SQL,
+        alias="joined",
+        join_strategy={
+            "left": "li_hint",
+            "right": "part_hint",
+            "left_key": "l_partkey",
+            "right_key": "p_partkey",
+            "broadcast_threshold_rows": 0,
+            "rows_per_task": 100,
+            "parallelism": 4,
+        },
+    )
+    df = run_select_step(ctx, step)
+    assert "hashpartitioning(l_partkey" in _plan(df)  # step keeps the shape
+    # ...but the restored views are shape-free
+    for name in ("li_hint", "part_hint"):
+        view_plan = _plan(ctx.dataframes[name])
+        assert "Exchange" not in view_plan, name
+        assert "ResolvedHint" not in view_plan, name
+    later = spark.sql("SELECT COUNT(*) AS n FROM li_hint")
+    assert "Exchange hashpartitioning(l_partkey" not in _plan(later)
+
+
+def test_two_steps_same_alias_keep_both_audit_entries(spark):
+    ctx = _ctx(spark)
+    step = TransformStep(
+        sql=JOIN_SQL,
+        alias="joined",
+        join_strategy={
+            "left": "li_hint",
+            "right": "part_hint",
+            "left_key": "l_partkey",
+            "right_key": "p_partkey",
+            "broadcast_threshold_rows": 10**9,
+        },
+    )
+    run_select_step(ctx, step)
+    run_select_step(ctx, step)
+    assert set(ctx.join_decisions) == {"joined", "joined#2"}
+
+
+def test_sketch_served_from_fold_state_matches_inline(spark, tmp_path):
+    """left_state/right_state serve the planner from continuously
+    maintained CMS folds — the decision must equal the inline-sketch
+    one (the incremental-run path that avoids rescanning the inputs)."""
+    from dwh_etl_framework_spark.operators.sketch import CMS_W
+    from dwh_etl_framework_spark.streaming.distinct import fold_cms_batch
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    ctx = _ctx(spark)
+    states = {}
+    for label, view, key in (
+        ("l", "li_hint", "l_partkey"),
+        ("r", "part_hint", "p_partkey"),
+    ):
+        st = StreamMasterState(spark, str(tmp_path / label))
+        fold_cms_batch(
+            st, ctx.dataframes[view].select(key), 0, key, w=CMS_W, run_id="t"
+        )
+        states[label] = st
+    base = {
+        "left": "li_hint",
+        "right": "part_hint",
+        "left_key": "l_partkey",
+        "right_key": "p_partkey",
+        "broadcast_threshold_rows": 10**9,
+    }
+    inline = TransformStep(sql=JOIN_SQL, alias="a", join_strategy=base)
+    stateful = TransformStep(
+        sql=JOIN_SQL,
+        alias="b",
+        join_strategy={
+            **base,
+            "left_state": str(tmp_path / "l"),
+            "right_state": str(tmp_path / "r"),
+        },
+    )
+    run_select_step(ctx, inline)
+    run_select_step(ctx, stateful)
+    assert ctx.join_decisions["a"] == ctx.join_decisions["b"]
+
+
+def test_config_empty_join_strategy_is_rejected_not_ignored(spark):
+    with pytest.raises(ValueError, match="missing required keys"):
+        _parse_step({"sql": JOIN_SQL, "join_strategy": {}})
 
 
 def test_decision_key_defaults_to_pair_when_no_alias(spark):

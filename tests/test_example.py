@@ -119,3 +119,31 @@ def test_entity_resolution_example(spark):
         golden, t.lineitem["l_partkey"] == golden["p_partkey"]
     ).count()
     assert report["rekey_join_size_estimate"] >= true_join
+
+
+def test_incremental_warehouse_example(spark, tmp_path):
+    """The composed day-2 feed: partitioned cursor backfill -> streamed
+    SCD2 fold -> PIT/change-feed served from state -> planner decision
+    from folded sketches. Pins the exact day-2 arithmetic: 64 keys on
+    day 1, every 2nd key re-versioned on day 2."""
+    import importlib.util
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parents[1]
+        / "examples/incremental_warehouse/run.py"
+    )
+    spec = importlib.util.spec_from_file_location("incremental_wh_run", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.run(spark, tmp_path / "wh", n_keys=64)
+    assert report["day1_interval_rows"] == 64
+    assert report["interval_rows"] == 96      # 64 + 32 closed versions
+    assert report["open_intervals"] == 64     # one open interval per key
+    assert report["pit_day1_matches"] == 64   # day-1 noon sees day-1 state
+    assert report["changed_keys_day2"] == 32  # every 2nd key updated
+    assert report["change_types"] == ["UPDATE"]
+    d = report["decision"]
+    assert d.strategy == "broadcast_left"
+    # journal self-join size: 32 keys x 2 versions squared + 32 x 1
+    assert d.est_join_rows >= 160 and d.n_left == 96

@@ -191,3 +191,46 @@ def x106_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+#: Q13-shaped double aggregation over a LEFT join with a JOIN-SIDE
+#: predicate (the classic custdist report): per-customer count of
+#: qualifying orders (pending AND above the price bar — ~10% of
+#: customers have none at every SF, so the zero bucket is real),
+#: INCLUDING zero-order customers: the left join must not drop them
+#: and the predicate must live in the ON clause — in WHERE it would
+#: turn the join inner and silently lose the zero bucket.
+_R37_SQL = """
+SELECT n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+    SELECT c.c_custkey AS c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+           ON o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'P' AND o.o_totalprice > 150000
+    GROUP BY c.c_custkey
+) dist
+GROUP BY n_orders
+"""
+
+
+@query("r37_customer_order_distribution", oracle=_R37_SQL)
+def r37_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier stress: TPC-H Q13's shape — aggregate-of-aggregate over a
+    LEFT join whose filter sits in the ON clause. Two properties no
+    other registry entry pins together: (1) the join-side predicate
+    must not collapse the outer join (zero-order customers survive into
+    the n_orders=0 bucket — COUNT(o.o_orderkey) counts non-NULLs, not
+    rows); (2) the second aggregate keys on the FIRST aggregate's
+    output. Same ANSI text in both engines.
+
+    Scale shape: one orderkey-per-customer aggregate (customer-count
+    sized output, map-side partial combine on the join exchange), then
+    a histogram-sized second aggregate — the classic two-step reduce
+    whose second exchange is tiny. At 100 TB the only heavy exchange is
+    the first, keyed on the customer key, AQE-skew-splittable (plan
+    pinned in tests/test_wave18.py: no cartesian, no window)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R37_SQL)

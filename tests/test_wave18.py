@@ -130,3 +130,28 @@ def test_x106_plan_is_map_only(spark):
     plan = _plan(x106_pii_redaction(spark, SF_DIR))
     assert "Exchange" not in plan  # pure scan-rewrite: zero shuffles
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r37_zero_order_customers_survive_and_plan_clean(spark):
+    from dwh_etl_framework_spark.queries.wave18 import (
+        r37_customer_order_distribution,
+    )
+
+    df = r37_customer_order_distribution(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    rows = {r["n_orders"]: r["n_customers"] for r in df.collect()}
+    # direct recomputation of the zero bucket: customers with NO
+    # qualifying order must land in n_orders=0, not vanish
+    t = fixtures(spark, SF_DIR)
+    with_orders = (
+        t.orders.filter(
+            (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    zero = t.customer.count() - with_orders
+    assert rows.get(0, 0) == zero and zero > 0
+    assert sum(rows.values()) == t.customer.count()  # a partition of customers

@@ -309,6 +309,23 @@ DRIVER_WINDOW: list[str] = [
     "f35_interval_change_feed",
     "f36_right_to_erasure",
     "f37_python_datasource_scan",
+    # round-10d rotation: the four late-session entrants, all hash-green
+    # at sf0.001/0.01/0.1 AND sf1 (PARITY_r10 + PARITY_sf1) — r35
+    # (Q2-shaped correlated MIN over a join tree), r36 (Q15-shaped
+    # max-of-aggregate), r37 (Q13-shaped outer-join double aggregation),
+    # x106 (PII detect+redact, the LLM-pipeline scrub pass). Exits, each
+    # with 4 driver-green rows r06-r09: x83 (sampling/mixing evidence
+    # stays via in-window x95 quota + x98 weighted + local oracle), x84
+    # (sketch evidence stays via in-window x103 join-size + x88
+    # quantiles + the portable-HLL local oracle), x77 (graph evidence
+    # stays via in-window x101 connected-components/golden-record +
+    # per-iteration checkpoint tests), x74 (multimodal evidence stays
+    # via in-window x11 binary columns + x74's local decode-roundtrip
+    # oracle and tests).
+    "r35_min_cost_supplier",
+    "r36_top_revenue_supplier",
+    "r37_customer_order_distribution",
+    "x106_pii_redaction",
     # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
     # closing entrants enter — the completed journal/temporal family
     # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
@@ -376,8 +393,6 @@ DRIVER_WINDOW: list[str] = [
     # by the lossless prefix-filter tier)
     "x97_cascade_recall_audit",
     # round-6d entrants: real image decode, PageRank
-    "x74_image_decode",
-    "x77_knn_pagerank",
     # round-6e entrants: semantic dedup, z-order layout, DSIR selection,
     # portable HLL, length-bucket packing, compaction + backfill planners
     "x81_semantic_dedup",
@@ -385,8 +400,6 @@ DRIVER_WINDOW: list[str] = [
     # CORRECTNESS_r06-r08 rows; layout evidence stays via f28/f29 +
     # x82's local oracle and zone-map tests)
     "x102_phrase_search",
-    "x83_dsir_weights",
-    "x84_hll_distinct",
     "f29_backfill_plan",
     # round-7c entrants: reconciliation checksum, column profiling
     "f30_table_checksum",
@@ -564,6 +577,10 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "f35_interval_change_feed",
     "f36_right_to_erasure",
     "f37_python_datasource_scan",
+    "r35_min_cost_supplier",
+    "r36_top_revenue_supplier",
+    "r37_customer_order_distribution",
+    "x106_pii_redaction",
 ])
 
 

@@ -157,10 +157,59 @@ def _entity_result(states):
     )
 
 
+def _scd2cms_batches(spark):
+    """Versioned journal slices for the COMBINED scd2+cms fold — the
+    incremental_warehouse example's per-batch shape: one fold maintains
+    the interval state AND the planner's sketch from the same batch
+    (two cross-state write windows per micro-batch)."""
+    schema = (
+        "account_id long, balance double, __transform_dt timestamp, "
+        "__load_dt timestamp, __seqno long"
+    )
+    rows = [
+        (k, float(100 * d + k), T0 + timedelta(days=d), T0, d * 100 + k)
+        for d in range(3)
+        for k in range(0, 12, d + 1)
+    ]
+    k = -(-len(rows) // 3)
+    return [
+        spark.createDataFrame(rows[i * k : (i + 1) * k], schema)
+        for i in range(3)
+    ]
+
+
+def _scd2cms_fold(states, batch, batch_id):
+    from dwh_etl_framework_spark.operators.merge import JournalSpec
+    from dwh_etl_framework_spark.streaming.distinct import fold_cms_batch
+    from dwh_etl_framework_spark.streaming.scd2 import fold_scd2_batch
+
+    scd2, cms = states
+    fold_scd2_batch(scd2, batch, JournalSpec(primary_key=("account_id",)))
+    fold_cms_batch(
+        cms, batch.select("account_id"), batch_id, "account_id",
+        run_id="chaos_scd2cms",
+    )
+
+
+def _scd2cms_result(states):
+    from dwh_etl_framework_spark.streaming.distinct import current_cms
+    from dwh_etl_framework_spark.streaming.scd2 import current_scd2
+
+    scd2, cms = states
+    iv = current_scd2(scd2)
+    cols = sorted(iv.columns)
+    intervals = sorted(
+        (tuple(r[c] for c in cols) for r in iv.collect()), key=repr
+    )
+    counters = sorted((tuple(r) for r in current_cms(cms).collect()), key=repr)
+    return (intervals, counters)
+
+
 OPS = {
     "cdc": (1, _cdc_batches, _cdc_fold, _cdc_result),
     "ingest_dedup": (1, _ingest_batches, _ingest_fold, _ingest_result),
     "entity_folds": (2, _entity_batches, _entity_fold, _entity_result),
+    "scd2_cms": (2, _scd2cms_batches, _scd2cms_fold, _scd2cms_result),
 }
 
 

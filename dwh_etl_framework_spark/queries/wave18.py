@@ -234,3 +234,49 @@ def r37_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     pinned in tests/test_wave18.py: no cartesian, no window)."""
     fixtures(spark, sf_dir)
     return spark.sql(_R37_SQL)
+
+
+#: Q8-shaped conditional-aggregate market share: a nation's fraction of
+#: yearly supply revenue. Revenue folds to exact BIGINT cents (HUGEINT
+#: capped with explicit casts), so both SUMs are exact integers and the
+#: final share is ONE double division of identical operands — the only
+#: float op in the query, bit-identical across engines.
+_R38_SQL = """
+WITH rev AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+           n.n_name AS nation,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT yr,
+       CAST(SUM(CASE WHEN nation = 'GERMANY' THEN cents ELSE 0 END)
+            AS BIGINT) AS germany_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(CASE WHEN nation = 'GERMANY' THEN cents ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(SUM(cents) AS DOUBLE) AS DOUBLE) AS germany_share
+FROM rev
+GROUP BY yr
+"""
+
+
+@query("r38_nation_market_share", oracle=_R38_SQL)
+def r38_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier stress: TPC-H Q8's shape — conditional aggregation inside
+    a ratio (SUM(CASE)/SUM over the same group), per order year across
+    a four-relation join. The numeric discipline is the point: both
+    numerator and denominator are exact integer cents, so the one
+    double division at the end is bit-identical in both engines — the
+    pattern every share/percentage report should follow instead of
+    dividing per-row floats and summing.
+
+    Scale shape: one orderkey exchange joins the fact pair, supplier/
+    nation broadcast, then a single year-keyed aggregate with map-side
+    partial combine (handfuls of groups → tiny exchange). Plan pinned
+    cartesian/window-free in tests/test_wave18.py."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R38_SQL)

@@ -155,3 +155,19 @@ def test_r37_zero_order_customers_survive_and_plan_clean(spark):
     zero = t.customer.count() - with_orders
     assert rows.get(0, 0) == zero and zero > 0
     assert sum(rows.values()) == t.customer.count()  # a partition of customers
+
+
+def test_r38_share_arithmetic_and_plan(spark):
+    from dwh_etl_framework_spark.queries.wave18 import (
+        r38_nation_market_share,
+    )
+
+    df = r38_nation_market_share(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["germany_cents"] <= r["total_cents"], r
+        # the share is exactly the one division of the two exact sums
+        assert r["germany_share"] == r["germany_cents"] / r["total_cents"], r

@@ -326,6 +326,11 @@ DRIVER_WINDOW: list[str] = [
     "r36_top_revenue_supplier",
     "r37_customer_order_distribution",
     "x106_pii_redaction",
+    # round-10e: r38 (Q8-shaped conditional-aggregate market share —
+    # the exact-cents ratio discipline) replaces x88 (4 driver-green
+    # rows r06-r09; quantile/sketch evidence stays via the in-window
+    # x103 join-size sketch + x88's local oracle and refinement tests).
+    "r38_nation_market_share",
     # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
     # closing entrants enter — the completed journal/temporal family
     # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
@@ -406,7 +411,6 @@ DRIVER_WINDOW: list[str] = [
     "x91_column_profile",
     # round-6f entrants: repeated spans, histogram quantiles (x86 CMS
     # exited round 10 — evidence stays via x103 + x84/x88)
-    "x88_histogram_quantiles",
 ]
 
 
@@ -581,6 +585,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "r36_top_revenue_supplier",
     "r37_customer_order_distribution",
     "x106_pii_redaction",
+    "r38_nation_market_share",
 ])
 
 

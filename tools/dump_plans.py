@@ -43,6 +43,16 @@ HEADER = [
 ]
 
 
+#: Everything below this line in PLANS.md is hand-written per-round audit
+#: (rounds 6-10 plan probes, A/B measurements, quoted times the coverage
+#: check freshness-guards). Regeneration must PRESERVE it — a bare
+#: write_text here once risked silently destroying hundreds of lines of
+#: audit ledger.
+MANUAL_MARKER = (
+    "<!-- MANUAL-AUDITS: dump_plans.py preserves everything below this line -->"
+)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = SessionFactory(app_name="plan-dump").build()
@@ -56,10 +66,15 @@ def main() -> None:
         tree = buf.getvalue().split("\n\n")[0]
         out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
     spark.stop()
-    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
-        "\n".join(out)
+    path = Path(__file__).resolve().parent.parent / "PLANS.md"
+    manual = ""
+    if path.exists() and MANUAL_MARKER in (existing := path.read_text()):
+        manual = existing[existing.index(MANUAL_MARKER):]
+    path.write_text("\n".join(out) + ("\n" + manual if manual else ""))
+    print(
+        "PLANS.md regenerated"
+        + (" (manual audit sections preserved)" if manual else "")
     )
-    print("PLANS.md regenerated")
 
 
 if __name__ == "__main__":

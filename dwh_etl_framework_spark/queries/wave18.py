@@ -280,3 +280,52 @@ def r38_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian/window-free in tests/test_wave18.py."""
     fixtures(spark, sf_dir)
     return spark.sql(_R38_SQL)
+
+
+#: Q20-shaped THREE-LEVEL nested correlated subquery: an IN whose
+#: subquery's HAVING is gated by a correlated scalar that itself
+#: contains a GROUP BY subquery (MAX over per-supplier sums for the
+#: correlated part). Quantities are integral doubles, so every sum is
+#: exact BIGINT and the top-share equality cannot flip on float order.
+#: (A fixed >50%%-share threshold was probed first: empty at every SF —
+#: parts have too many suppliers — so the gate is the per-part MAX,
+#: which is non-empty by construction.)
+_R39_SQL = """
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) = (
+        SELECT MAX(sq) FROM (
+            SELECT SUM(CAST(l2.l_quantity AS BIGINT)) AS sq
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+            GROUP BY l2.l_suppkey))
+)
+ORDER BY s_suppkey
+"""
+
+
+@query("r39_dominant_promo_supplier", oracle=_R39_SQL)
+def r39_dominant_promo_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier stress: TPC-H Q20's shape, deepened — a THREE-level nested
+    correlated subquery: the outer IN's subquery groups the fact, its
+    HAVING compares against a correlated scalar, and that scalar is
+    itself a MAX over a GROUP BY subquery (the top per-supplier share
+    of the correlated promo part). Catalyst must decorrelate the nested
+    grouped aggregate into a per-partkey MAX-of-sums joined back INSIDE
+    the IN-subquery, then rewrite the IN to a left-semi — the composed
+    path r15c/r16b/r35 each exercise only one level of. Same ANSI text
+    in both engines; driver hash certifies the composition.
+
+    Scale shape: the inner decorrelated aggregate and the grouped probe
+    both key on l_partkey (one exchange family), the part filter
+    broadcasts into both as a semi-join, the final IN is a
+    supplier-keyed left-semi — every exchange keyed, no cartesian, no
+    window (plan pinned in tests/test_wave18.py)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R39_SQL)

@@ -171,3 +171,38 @@ def test_r38_share_arithmetic_and_plan(spark):
         assert 0 <= r["germany_cents"] <= r["total_cents"], r
         # the share is exactly the one division of the two exact sums
         assert r["germany_share"] == r["germany_cents"] / r["total_cents"], r
+
+
+def test_r39_dominance_recomputed_and_plan_clean(spark):
+    from dwh_etl_framework_spark.queries.wave18 import (
+        r39_dominant_promo_supplier,
+    )
+
+    df = r39_dominant_promo_supplier(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "LeftSemi" in plan  # the IN decorrelates to a semi-join
+    got = sorted(r["s_suppkey"] for r in df.collect())
+    assert got, "fixture should produce top-share suppliers"
+    # direct recomputation: per (supplier, promo part) volume vs the
+    # part's maximum per-supplier volume
+    t = fixtures(spark, SF_DIR)
+    promo = t.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = t.lineitem.join(
+        promo, t.lineitem["l_partkey"] == promo["p_partkey"]
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    grp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    mx = grp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.max("q").alias("qmax")
+    )
+    want = sorted(
+        {
+            r["l_suppkey"]
+            for r in grp.join(mx, F.col("l_partkey") == F.col("pk"))
+            .filter(F.col("q") == F.col("qmax"))
+            .collect()
+        }
+    )
+    assert got == want

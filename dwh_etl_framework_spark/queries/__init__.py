@@ -331,6 +331,12 @@ DRIVER_WINDOW: list[str] = [
     # rows r06-r09; quantile/sketch evidence stays via the in-window
     # x103 join-size sketch + x88's local oracle and refinement tests).
     "r38_nation_market_share",
+    # round-10f: r39 (Q20-shaped THREE-level nested correlated subquery
+    # — grouped scalar inside a correlated HAVING inside an IN; the
+    # deepest decorrelation path in the registry) replaces x89 (3
+    # driver-green rows r07-r09; drift evidence stays via the in-window
+    # x93 changepoint + x89's local oracle).
+    "r39_dominant_promo_supplier",
     # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
     # closing entrants enter — the completed journal/temporal family
     # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
@@ -355,7 +361,6 @@ DRIVER_WINDOW: list[str] = [
     "f34_change_feed",
     "x103_join_size_estimate",
     "x104_sorted_neighborhood_audit",
-    "x89_drift_timeline",
     # round-6c survivors: six-table join, LATERAL top-k, incremental agg
     # maintenance, BPE merge, text-vector consistency
     "r20c_lateral_topk",
@@ -586,6 +591,7 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "r37_customer_order_distribution",
     "x106_pii_redaction",
     "r38_nation_market_share",
+    "r39_dominant_promo_supplier",
 ])
 
 

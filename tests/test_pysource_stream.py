@@ -176,3 +176,50 @@ def test_missing_cursor_option_fails(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_string_cursor_quoting_path(spark, tmp_path):
+    """ISO-timestamp (VARCHAR) cursors exercise _cursor_literal's quoted
+    branch — including an embedded quote — through both readers' shared
+    range predicate."""
+    from dwh_etl_framework_spark.sources.pysource import (
+        _CursorStreamReader,
+        _PartitionedCursorStreamReader,
+    )
+
+    src = tmp_path / "ssrc"
+    rows = [(f"2024-01-0{i}T00:00:0{i}", f"v{i}") for i in range(1, 8)]
+    spark.createDataFrame(rows, "ts string, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0.parquet")
+    query = f"SELECT * FROM '{src}/*.parquet/*.parquet'"
+
+    simple = _CursorStreamReader(query, "ts")
+    assert simple.initialOffset() == {"cursor": None}
+    batch, off = simple.read({"cursor": None})
+    assert off == {"cursor": "2024-01-07T00:00:07"}
+    assert sorted(r[1] for r in batch) == [f"v{i}" for i in range(1, 8)]
+    replay = list(
+        simple.readBetweenOffsets(
+            {"cursor": "2024-01-02T00:00:02"},
+            {"cursor": "2024-01-05T00:00:05"},
+        )
+    )
+    assert sorted(r[1] for r in replay) == ["v3", "v4", "v5"]
+
+    part = _PartitionedCursorStreamReader(query, "ts", "v", 3)
+    assert part.latestOffset() == {"cursor": "2024-01-07T00:00:07"}
+    got = []
+    for p in part.partitions(
+        {"cursor": "2024-01-02T00:00:02"}, {"cursor": "2024-01-07T00:00:07"}
+    ):
+        for b in part.read(p):
+            got.extend(b.to_pylist())
+    assert sorted(r["v"] for r in got) == [f"v{i}" for i in range(3, 8)]
+    # a cursor value carrying a quote must not break (or inject into)
+    # the predicate — the escaping path
+    weird = _CursorStreamReader(query, "ts")
+    rows2 = list(
+        weird.readBetweenOffsets({"cursor": "2024-01-0'1"}, {"cursor": "z"})
+    )
+    assert sorted(r[1] for r in rows2) == [f"v{i}" for i in range(1, 8)]

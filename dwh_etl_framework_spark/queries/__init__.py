@@ -277,18 +277,45 @@ DRIVER_WINDOW: list[str] = [
     "f21_state_flip",
     # relational ops, one canonical query each
     "r16_agg_pricing_summary",
-    "r27c_grouped_agg_udf",
     "r28_asof_join",
     "r30_tumbling_window",
-    "r32_watermark_late_filter",
-    "r33b_interval_join_twin",
     # LLM-data-pipeline components (X1-X4), one per component
     "x01_exact_dedup",
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
-    "x06c_ivf_topk_exact",
-    "x11_binary_columns",
     "x20_dedup_clusters",
+    # round-11 rotation (VERDICT r10 item 1): the ten distinct operators
+    # that had local parity (hash-green in PARITY_r10) but zero driver
+    # rows across ten rounds enter — f22 journal compaction, f23 SCD2
+    # intervals, f26 schema evolution, f27 bucketed zero-exchange join,
+    # x18 salted skew join, x24 range join, x69 BM25 ranked retrieval,
+    # x75 WAV audio decode, x76 RVID video frame-sampling, x80
+    # Misra-Gries heavy hitters. Exits, each with 4-10 driver-green
+    # CORRECTNESS rows per the WINDOW_EVER protocol: r27c (10 rows;
+    # Arrow-UDF evidence stays via local r27/r27b/r27d oracles every
+    # pytest run), r32 (7; watermark evidence stays via the in-window
+    # critical r30 + local oracle + streaming replay tests), r33b (7;
+    # interval-join evidence stays via r30 + test_stream_join), x06c
+    # (9; ANN evidence stays via the in-window critical x05 + local
+    # oracle + IVF recall tests), x11 (9; multimodal evidence TRANSFERS
+    # to the entering x75/x76 real-decode rows + x11's local oracle),
+    # r20c (5; lateral-top-k evidence stays via local oracle + the
+    # in-window x95 tournament), x81 (5; semantic-dedup evidence stays
+    # via the in-window critical x20 clusters + x01/x03b + local
+    # oracle), f29 (5; planner evidence transfers to the entering f22
+    # compaction + local oracle), f30 (4; checksum evidence stays via
+    # local oracle + reconciliation tests), x91 (4; profiling evidence
+    # stays via the in-window x93 changepoint + local oracle).
+    "f22_journal_compaction",
+    "f23_scd2_intervals",
+    "f26_schema_evolution",
+    "f27_bucketed_join",
+    "x18_salted_join",
+    "x24_range_join",
+    "x69_bm25_topk",
+    "x75_audio_decode",
+    "x76_video_framesample",
+    "x80_heavy_hitters",
     # round-10c rotation: the five round-10 closing entrants enter with
     # dual-SF hash evidence (PARITY_r10 + PARITY_sf1) — r16b (Q17-shaped
     # correlated scalar aggregate), r34 (recursive-CTE hierarchy rollup,
@@ -361,9 +388,6 @@ DRIVER_WINDOW: list[str] = [
     "f34_change_feed",
     "x103_join_size_estimate",
     "x104_sorted_neighborhood_audit",
-    # round-6c survivors: six-table join, LATERAL top-k, incremental agg
-    # maintenance, BPE merge, text-vector consistency
-    "r20c_lateral_topk",
     # round-10b rotation: r15c (Q21-shaped double-correlated-subquery
     # stress — Catalyst decorrelation certified against DuckDB by ONE
     # driver hash; VERDICT r9 #5) replaces f24 (4 driver-green rows
@@ -402,20 +426,10 @@ DRIVER_WINDOW: list[str] = [
     # round-9 entrant: composed cascade recall audit (discovery certified
     # by the lossless prefix-filter tier)
     "x97_cascade_recall_audit",
-    # round-6d entrants: real image decode, PageRank
-    # round-6e entrants: semantic dedup, z-order layout, DSIR selection,
-    # portable HLL, length-bucket packing, compaction + backfill planners
-    "x81_semantic_dedup",
     # round-9f entrant: positional phrase search (x82 exits with
     # CORRECTNESS_r06-r08 rows; layout evidence stays via f28/f29 +
     # x82's local oracle and zone-map tests)
     "x102_phrase_search",
-    "f29_backfill_plan",
-    # round-7c entrants: reconciliation checksum, column profiling
-    "f30_table_checksum",
-    "x91_column_profile",
-    # round-6f entrants: repeated spans, histogram quantiles (x86 CMS
-    # exited round 10 — evidence stays via x103 + x84/x88)
 ]
 
 
@@ -592,6 +606,16 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x106_pii_redaction",
     "r38_nation_market_share",
     "r39_dominant_promo_supplier",
+    "f22_journal_compaction",
+    "f23_scd2_intervals",
+    "f26_schema_evolution",
+    "f27_bucketed_join",
+    "x18_salted_join",
+    "x24_range_join",
+    "x69_bm25_topk",
+    "x75_audio_decode",
+    "x76_video_framesample",
+    "x80_heavy_hitters",
 ])
 
 

@@ -44,7 +44,6 @@ from dwh_etl_framework_spark.operators.merge import (
     SYSTEM_COLS,
     change_feed_from_intervals,
     scd2_intervals,
-    stamp_journal_columns,
 )
 from dwh_etl_framework_spark.streaming.merge import StreamMasterState
 
@@ -180,6 +179,47 @@ def erase_keys(
         )
 
 
+def stamp_batch_deterministic(
+    batch_df: DataFrame, transform_dt, batch_id: int
+) -> DataFrame:
+    """Re-delivery-safe journal stamps for streams that do NOT carry the
+    ordering columns (ADVICE r10, medium): ``stamp_journal_columns`` uses
+    ``current_timestamp()`` / ``monotonically_increasing_id()``, so a
+    re-executed micro-batch (at-least-once ``foreachBatch``) would get
+    DIFFERENT dedup keys and the fold's ``dropDuplicates`` on (PK,
+    ORDER_COLS) would miss the replay, accumulating duplicate versions.
+
+    Here every stamp is a pure function of ``batch_id`` and row content:
+
+    - ``__load_dt``  = ``timestamp_seconds(batch_id)`` — monotone across
+      batches (preserving the arrival-order tiebreak the wall clock
+      gave), identical on replay;
+    - ``__transform_dt`` = caller-fixed ``transform_dt``, a per-row
+      event-time column if the stream carries one, else the batch stamp;
+    - ``__seqno`` = ``xxhash64(batch_id, <row content>)`` — identical on
+      replay; rows with identical content in one batch collapse to one
+      version (the only honest semantic for an unordered stream: with no
+      ordering info, an identical payload IS the same version).
+
+    The structural-idempotence claim in the module docstring therefore
+    holds on the stamped path too, with no batch-id guard state."""
+    bdt = F.timestamp_seconds(F.lit(int(batch_id)))
+    if transform_dt is not None:
+        tdt = F.lit(transform_dt).cast("timestamp")
+    elif "__transform_dt" in batch_df.columns:
+        tdt = F.col("__transform_dt")
+    else:
+        tdt = bdt
+    df = batch_df.withColumn("__transform_dt", tdt).withColumn("__load_dt", bdt)
+    content = sorted(c for c in df.columns if c not in ("__seqno", "__record_state"))
+    df = df.withColumn(
+        "__seqno", F.xxhash64(F.lit(int(batch_id)), *[F.col(c) for c in content])
+    )
+    if "__record_state" not in df.columns:
+        df = df.withColumn("__record_state", F.lit("A"))
+    return df
+
+
 def stream_scd2(
     journal_stream: DataFrame,
     spec: JournalSpec,
@@ -191,13 +231,15 @@ def stream_scd2(
     """Start the availableNow foreachBatch query maintaining the SCD2
     state. Streams that already carry the journal ordering columns are
     folded as-is (event-time versioning); otherwise rows are stamped
-    with ``transform_dt`` exactly like ``stream_merge_to_master``."""
+    deterministically from (batch_id, row content) — see
+    :func:`stamp_batch_deterministic` — so at-least-once re-delivery
+    produces byte-identical dedup keys even on the stamped path."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if all(c in batch_df.columns for c in ORDER_COLS):
             stamped = batch_df
         else:
-            stamped = stamp_journal_columns(batch_df, transform_dt)
+            stamped = stamp_batch_deterministic(batch_df, transform_dt, batch_id)
         fold_scd2_batch(state, stamped, spec, tombstones=tombstones)
 
     return (

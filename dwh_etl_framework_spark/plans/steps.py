@@ -101,27 +101,72 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
         df = ctx.dataframes.get(name)
         return df if df is not None else ctx.spark.table(name)
 
-    def sketch(name: str, key: str, state_dir: str | None, w: int) -> DataFrame:
+    def sketch(
+        name: str, key: str, state_dir: str | None, w: int
+    ) -> tuple[DataFrame, int | None]:
+        """Returns ``(counter_table, width)``; width is ``None`` only for
+        legacy state written before widths were persisted."""
         if state_dir is not None:
-            from dwh_etl_framework_spark.streaming.distinct import current_cms
+            from dwh_etl_framework_spark.streaming.distinct import (
+                cms_state_width,
+                current_cms,
+            )
             from dwh_etl_framework_spark.streaming.merge import StreamMasterState
 
-            sk = current_cms(StreamMasterState(ctx.spark, state_dir))
+            st = StreamMasterState(ctx.spark, state_dir)
+            sk = current_cms(st)
             if sk is None:
                 raise ValueError(
                     f"join_strategy state dir {state_dir!r} holds no folded "
                     f"sketch yet for view {name!r}"
                 )
-            return sk
-        return cms_sketch(resolve(name).select(key), key, w).localCheckpoint(
-            eager=True
+            sw = cms_state_width(st)
+            if "w" in spec and sw is not None and int(spec["w"]) != sw:
+                raise ValueError(
+                    f"join_strategy asks w={spec['w']} but the folded state "
+                    f"for {name!r} ({state_dir!r}) was built at w={sw} — "
+                    "the 'w' option cannot re-width persisted counters"
+                )
+            return sk, sw
+        return (
+            cms_sketch(resolve(name).select(key), key, w).localCheckpoint(
+                eager=True
+            ),
+            w,
         )
 
     left, right = spec["left"], spec["right"]
     lkey, rkey = spec["left_key"], spec["right_key"]
     w = int(spec.get("w", CMS_W))
-    lsk = sketch(left, lkey, spec.get("left_state"), w)
-    rsk = sketch(right, rkey, spec.get("right_state"), w)
+    lsk, lw = sketch(left, lkey, spec.get("left_state"), w)
+    rsk, rw = sketch(right, rkey, spec.get("right_state"), w)
+    # width guard (ADVICE r10): cms_join_size inner-joins the two counter
+    # tables on (r, col) — sketches at DIFFERENT widths silently drop
+    # cells and UNDER-estimate the join size, violating the
+    # never-undercounts guarantee the shuffle sizing relies on.
+    if lw is not None and rw is not None:
+        if lw != rw:
+            raise ValueError(
+                f"join_strategy sketch widths differ: {left!r} is w={lw}, "
+                f"{right!r} is w={rw} — re-fold one side so both hash into "
+                "the same width"
+            )
+    else:
+        # legacy state without a persisted width: its max populated col
+        # is a LOWER bound on its width; a bound at or past the known
+        # side's width proves a mismatch (the reverse proves nothing, so
+        # this path detects, not certifies — re-fold to persist widths).
+        known = lw if lw is not None else rw
+        legacy_sk = rsk if lw is not None else lsk
+        if known is not None:
+            bound = legacy_sk.agg(F.max("col").alias("m")).first()["m"]
+            if bound is not None and int(bound) >= int(known):
+                raise ValueError(
+                    "join_strategy sketch widths differ: a state-served "
+                    f"sketch populates col={int(bound)} but the other side "
+                    f"is w={int(known)} — re-fold the state (new folds "
+                    "persist their width) so the guard can certify equality"
+                )
     par = spec.get("parallelism")
     decision = choose_join_strategy(
         lsk,
@@ -185,33 +230,41 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
         while key in ctx.join_decisions:  # two steps sharing an alias/pair:
             key, i = f"{base}#{i}", i + 1  # keep every audit entry
         ctx.join_decisions[key] = decision
-    if step.engine == "pushdown":
-        try:
-            conn = ctx.connections[step.connection]
-        except KeyError:
-            raise KeyError(
-                f"pushdown step references unknown connection "
-                f"{step.connection!r}; known: {sorted(ctx.connections)}"
-            ) from None
-        from dwh_etl_framework_spark.sources.registry import SourceSpec, load_source
+    try:
+        if step.engine == "pushdown":
+            try:
+                conn = ctx.connections[step.connection]
+            except KeyError:
+                raise KeyError(
+                    f"pushdown step references unknown connection "
+                    f"{step.connection!r}; known: {sorted(ctx.connections)}"
+                ) from None
+            from dwh_etl_framework_spark.sources.registry import (
+                SourceSpec,
+                load_source,
+            )
 
-        df = load_source(
-            ctx.spark,
-            SourceSpec(
-                alias=step.alias or "__pushdown",
-                format="jdbc",
-                url=conn["url"],
-                query=sql,
-                options=dict(conn.get("options", {})),
-            ),
-        )
-    else:
-        df = ctx.spark.sql(sql)
-    if restore_views is not None:
-        # spark.sql analyzed the statement above, so the shaped views are
-        # already bound into df's plan; restoring now scopes the shaping
-        # to THIS step instead of leaking hints into later steps
-        restore_views()
+            df = load_source(
+                ctx.spark,
+                SourceSpec(
+                    alias=step.alias or "__pushdown",
+                    format="jdbc",
+                    url=conn["url"],
+                    query=sql,
+                    options=dict(conn.get("options", {})),
+                ),
+            )
+        else:
+            df = ctx.spark.sql(sql)
+    finally:
+        if restore_views is not None:
+            # spark.sql analyzed the statement above (or raised), so the
+            # shaped views are already bound into df's plan where one
+            # exists; restoring in finally scopes the shaping to THIS
+            # step even when the SQL raises — otherwise a caller that
+            # catches the error and continues would run every later step
+            # against broadcast-hinted/repartitioned views (ADVICE r10)
+            restore_views()
     if step.cache or step.cache_dir:
         if step.cache_dir:
             # explicit cache_dir forces a durable parquet checkpoint, like the

@@ -49,11 +49,13 @@ def _decision_sql_one(
     col_r = cms_col_expr(DUCK_HEX_AT, rk, JOINSIZE_W)
     return f"""
     SELECT '{name}' AS join_name, n_left, n_right, est_join_rows,
-           CASE WHEN least(n_left, n_right) * {BCAST_RATIO} <= n_left
+           CASE WHEN least(n_left, n_right) * {BCAST_RATIO}
+                     <= greatest(n_left, n_right)
                 THEN CASE WHEN n_right < n_left THEN 'broadcast_right'
                           ELSE 'broadcast_left' END
                 ELSE 'shuffle' END AS strategy,
-           CASE WHEN least(n_left, n_right) * {BCAST_RATIO} <= n_left
+           CASE WHEN least(n_left, n_right) * {BCAST_RATIO}
+                     <= greatest(n_left, n_right)
                 THEN CAST(NULL AS BIGINT)
                 ELSE least(32768, greatest({DECISION_PARALLELISM},
                      CAST(ceil(est_join_rows / {ROWS_PER_TASK}.0) AS BIGINT)))
@@ -124,9 +126,13 @@ def decision_table(
             )
         )
     )
+    # symmetric rule (ADVICE r10): the small side broadcasts when it is
+    # ≤ 1/BCAST_RATIO of the LARGER side, whichever side that is —
+    # comparing against n_left alone made broadcast_left unreachable
+    # whenever the left side was the small one.
     can_bcast = (
         F.least(F.col("n_left"), F.col("n_right")) * BCAST_RATIO
-        <= F.col("n_left")
+        <= F.greatest(F.col("n_left"), F.col("n_right"))
     )
     return one.select(
         F.lit(name).alias("join_name"),

@@ -141,15 +141,36 @@ from pyspark.sql.datasource import (
 )
 
 
-def _cursor_literal(v) -> str:
-    """SQL literal for a stored cursor value (numeric pass-through,
-    everything else quoted — dates/timestamps arrive as ISO strings)."""
-    s = str(v)
-    try:
-        float(s)
-        return s
-    except ValueError:
-        return "'" + s.replace("'", "''") + "'"
+def _introspect_cursor_type(query: str, cursor_col: str) -> str:
+    """The cursor column's DuckDB type, from the same ``DESCRIBE`` the
+    schema mapping uses — the literal quoting decision must come from
+    the INTROSPECTED type, not from sniffing the stored string (ADVICE
+    r10: a VARCHAR cursor whose max is numeric-looking, e.g. '007',
+    would compare as a number; 'inf'/'nan' would emit bare and break
+    the predicate SQL)."""
+    import duckdb
+
+    con = duckdb.connect()
+    desc = con.sql(f"DESCRIBE SELECT * FROM ({query})").fetchall()
+    for name, t, *_ in desc:
+        if name == cursor_col:
+            return t
+    raise ValueError(
+        f"cursor_col {cursor_col!r} is not a column of the stream query; "
+        f"columns: {[d[0] for d in desc]}"
+    )
+
+
+def _cursor_literal(v, duck_type: str) -> str:
+    """SQL literal for a stored cursor value: always quoted+escaped, and
+    for non-VARCHAR cursors wrapped in a CAST to the introspected column
+    type — so '007' on a VARCHAR column keeps string semantics while the
+    same string on a BIGINT column compares as the number 7, and DOUBLE
+    specials ('inf'/'nan') round-trip through the engine's own cast."""
+    quoted = "'" + str(v).replace("'", "''") + "'"
+    if duck_type.upper() == "VARCHAR":
+        return quoted
+    return f"CAST({quoted} AS {duck_type})"
 
 
 def _max_cursor_sql(query: str, cursor_col: str) -> str:
@@ -159,13 +180,13 @@ def _max_cursor_sql(query: str, cursor_col: str) -> str:
     return f"SELECT CAST(MAX({cursor_col}) AS VARCHAR) FROM ({query})"
 
 
-def _cursor_range_pred(cursor_col: str, lo, hi) -> str:
+def _cursor_range_pred(cursor_col: str, lo, hi, duck_type: str) -> str:
     """Half-open cursor range ``lo < c <= hi`` as an engine predicate —
     the single definition of batch-boundary semantics (NULL lo = from
     the beginning). Callers short-circuit on ``hi is None``."""
-    pred = f"{cursor_col} <= {_cursor_literal(hi)}"
+    pred = f"{cursor_col} <= {_cursor_literal(hi, duck_type)}"
     if lo is not None:
-        pred += f" AND {cursor_col} > {_cursor_literal(lo)}"
+        pred += f" AND {cursor_col} > {_cursor_literal(lo, duck_type)}"
     return pred
 
 
@@ -182,9 +203,10 @@ class _CursorStreamReader(SimpleDataSourceStreamReader):
     should bootstrap through the PARTITIONED batch source above, then
     hand the cursor to this stream."""
 
-    def __init__(self, query: str, cursor_col: str):
+    def __init__(self, query: str, cursor_col: str, cursor_type: str | None = None):
         self.query = query
         self.cursor_col = cursor_col
+        self.cursor_type = cursor_type or _introspect_cursor_type(query, cursor_col)
 
     def initialOffset(self) -> dict:
         return {"cursor": None}
@@ -196,7 +218,7 @@ class _CursorStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, con, lo, hi):
         if hi is None:
             return iter(())
-        pred = _cursor_range_pred(self.cursor_col, lo, hi)
+        pred = _cursor_range_pred(self.cursor_col, lo, hi, self.cursor_type)
         return iter(
             con.sql(f"SELECT * FROM ({self.query}) WHERE {pred}").fetchall()
         )
@@ -245,11 +267,19 @@ class _PartitionedCursorStreamReader(DataSourceStreamReader):
     ``partitions(start, end)`` for the logged offsets; both predicates
     are pure functions of the offset pair, so replay is verbatim."""
 
-    def __init__(self, query: str, cursor_col: str, partition_col: str, n: int):
+    def __init__(
+        self,
+        query: str,
+        cursor_col: str,
+        partition_col: str,
+        n: int,
+        cursor_type: str | None = None,
+    ):
         self.query = query
         self.cursor_col = cursor_col
         self.partition_col = partition_col
         self.n = n
+        self.cursor_type = cursor_type or _introspect_cursor_type(query, cursor_col)
 
     def initialOffset(self) -> dict:
         return {"cursor": None}
@@ -272,7 +302,9 @@ class _PartitionedCursorStreamReader(DataSourceStreamReader):
 
         if partition.hi is None:
             return
-        pred = _cursor_range_pred(self.cursor_col, partition.lo, partition.hi)
+        pred = _cursor_range_pred(
+            self.cursor_col, partition.lo, partition.hi, self.cursor_type
+        )
         if self.n > 1:
             pred += (
                 f" AND hash({self.partition_col}) % {self.n}"

@@ -223,19 +223,42 @@ def update_cms(
     value_expr: str,
     w: int | None = None,
 ) -> DataFrame:
-    """Fold one batch's CMS counters into the state (pure function)."""
+    """Fold one batch's CMS counters into the state (pure function).
+
+    The state persists its width as a constant ``__cms_w`` column
+    (ADVICE r10): two counter tables only merge — and two sketches only
+    inner-product (``cms_join_size``) — when they hash into the SAME
+    width, so the width must travel with the state rather than live in
+    the caller's head. Folding a contribution at a different explicit
+    ``w`` than the state was built with raises instead of silently
+    producing counters that never align."""
     from pyspark.sql import functions as F
 
     from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
 
-    contrib = cms_sketch(batch, value_expr, w or CMS_W)
+    stored_w = None
+    if state_counters is not None and "__cms_w" in state_counters.columns:
+        stored_w = state_counters.select(
+            F.any_value("__cms_w").alias("w")
+        ).first()["w"]
+        state_counters = state_counters.drop("__cms_w")
+    if stored_w is not None and w is not None and int(w) != int(stored_w):
+        raise ValueError(
+            f"CMS fold state was built at w={int(stored_w)}; refusing to "
+            f"fold a w={int(w)} contribution — counters at different "
+            "widths do not merge"
+        )
+    eff = int(w or stored_w or CMS_W)
+    contrib = cms_sketch(batch, value_expr, eff)
     if state_counters is None:
-        return contrib
-    return (
-        state_counters.unionByName(contrib)
-        .groupBy("r", "col")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
+        merged = contrib
+    else:
+        merged = (
+            state_counters.unionByName(contrib)
+            .groupBy("r", "col")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    return merged.withColumn("__cms_w", F.lit(eff))
 
 
 def fold_cms_batch(
@@ -262,8 +285,22 @@ def fold_cms_batch(
 
 
 def current_cms(state: StreamMasterState) -> DataFrame | None:
-    """The live (r, col, cnt) counter table without guard columns."""
-    return current_histogram(state)
+    """The live (r, col, cnt) counter table without guard/width columns."""
+    sk = current_histogram(state)
+    if sk is None:
+        return None
+    return sk.drop("__cms_w") if "__cms_w" in sk.columns else sk
+
+
+def cms_state_width(state: StreamMasterState) -> int | None:
+    """The width the persisted sketch was built at (``None`` for state
+    written before widths were persisted, or before the first batch)."""
+    from pyspark.sql import functions as F
+
+    stored = state.read()
+    if stored is None or "__cms_w" not in stored.columns:
+        return None
+    return int(stored.select(F.any_value("__cms_w").alias("w")).first()["w"])
 
 
 def stream_cms(

@@ -109,6 +109,27 @@ def test_apply_shuffle_decision_presizes_exchange_and_matches_exact(spark):
     assert joined.count() == left.join(right, F.col(lk) == F.col(rk)).count()
 
 
+def test_decision_table_broadcast_left_reachable(spark):
+    """ADVICE r10: the old rule compared the small side against n_left
+    alone, so a SMALL left side could never broadcast (least == n_left
+    made the condition `n_left*R <= n_left` always false for R>1). The
+    symmetric rule broadcasts whichever side is ≤ 1/BCAST_RATIO of the
+    LARGER side."""
+    from dwh_etl_framework_spark.queries.wave17 import decision_table
+
+    big = spark.range(5000).select(F.col("id").alias("k"))
+    small = spark.range(50).select(F.col("id").alias("k"))
+    bsk = cms_sketch(big, "k").localCheckpoint()
+    ssk = cms_sketch(small, "k").localCheckpoint()
+    row = decision_table(ssk, bsk, "small_left").first()
+    assert row["strategy"] == "broadcast_left"
+    assert row["n_left"] == 50 and row["n_right"] == 5000
+    # and the mirror still broadcasts right
+    assert decision_table(bsk, ssk, "small_right").first()["strategy"] == (
+        "broadcast_right"
+    )
+
+
 def test_broadcast_side_follows_the_smaller_input(spark):
     big = spark.range(5000).select(F.col("id").alias("k"))
     small = spark.range(50).select(F.col("id").alias("k"))

@@ -178,6 +178,42 @@ def test_missing_cursor_option_fails(spark, tmp_path):
         )
 
 
+def test_numeric_looking_varchar_cursor_keeps_string_semantics(spark, tmp_path):
+    """ADVICE r10: _cursor_literal used to unquote any value float()
+    accepted, so a VARCHAR cursor whose stored max looked numeric
+    ('007') was compared as a NUMBER — leading-zero semantics change
+    and mixed data hits per-row cast errors. Quoting now follows the
+    INTROSPECTED column type: VARCHAR cursors always compare as
+    strings, numeric cursors get a typed CAST."""
+    from dwh_etl_framework_spark.sources.pysource import (
+        _CursorStreamReader,
+        _cursor_literal,
+        _introspect_cursor_type,
+    )
+
+    src = tmp_path / "vsrc"
+    rows = [("001", "a"), ("007", "b"), ("00x", "c"), ("10", "d")]
+    spark.createDataFrame(rows, "c string, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0.parquet")
+    query = f"SELECT * FROM '{src}/*.parquet/*.parquet'"
+    assert _introspect_cursor_type(query, "c").upper() == "VARCHAR"
+    r = _CursorStreamReader(query, "c")
+    # string MAX: '10' > '00x' lexicographically
+    batch, off = r.read({"cursor": None})
+    assert off == {"cursor": "10"}
+    # '001' < c <= '00x' as STRINGS picks exactly b and c; numeric
+    # comparison would have errored on '00x' or picked the wrong rows
+    got = sorted(t[1] for t in r.readBetweenOffsets(
+        {"cursor": "001"}, {"cursor": "00x"}
+    ))
+    assert got == ["b", "c"]
+    # and a numeric column gets a typed CAST, so '007' means 7
+    assert _cursor_literal("007", "BIGINT") == "CAST('007' AS BIGINT)"
+    assert _cursor_literal("007", "VARCHAR") == "'007'"
+    assert _cursor_literal("inf", "DOUBLE") == "CAST('inf' AS DOUBLE)"
+
+
 def test_string_cursor_quoting_path(spark, tmp_path):
     """ISO-timestamp (VARCHAR) cursors exercise _cursor_literal's quoted
     branch — including an embedded quote — through both readers' shared

@@ -210,6 +210,93 @@ def test_sketch_served_from_fold_state_matches_inline(spark, tmp_path):
     assert ctx.join_decisions["a"] == ctx.join_decisions["b"]
 
 
+def test_state_width_mismatch_raises_not_underestimates(spark, tmp_path):
+    """ADVICE r10: cms_join_size inner-joins counter tables on (r, col);
+    sketches at different widths silently drop cells and UNDER-estimate
+    the join size. The fold state now persists its width, and the step
+    planner refuses mismatched sides instead of planning from a broken
+    estimate."""
+    from dwh_etl_framework_spark.streaming.distinct import (
+        cms_state_width,
+        fold_cms_batch,
+    )
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    ctx = _ctx(spark)
+    st_l = StreamMasterState(spark, str(tmp_path / "l64"))
+    fold_cms_batch(
+        st_l, ctx.dataframes["li_hint"].select("l_partkey"), 0,
+        "l_partkey", w=64, run_id="t",
+    )
+    assert cms_state_width(st_l) == 64
+    step = TransformStep(
+        sql=JOIN_SQL,
+        alias="mismatch",
+        join_strategy={
+            "left": "li_hint",
+            "right": "part_hint",
+            "left_key": "l_partkey",
+            "right_key": "p_partkey",
+            "left_state": str(tmp_path / "l64"),
+            "w": 512,  # inline right side sketches at 512 ≠ state's 64
+        },
+    )
+    with pytest.raises(ValueError, match="width"):
+        run_select_step(ctx, step)
+
+
+def test_state_explicit_w_conflict_raises(spark, tmp_path):
+    """The 'w' option used to be silently ignored for state-served
+    sides; asking for a different width than the fold was built with
+    now raises (within update_cms too)."""
+    from dwh_etl_framework_spark.streaming.distinct import fold_cms_batch
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    ctx = _ctx(spark)
+    st = StreamMasterState(spark, str(tmp_path / "w128"))
+    fold_cms_batch(
+        st, ctx.dataframes["part_hint"].select("p_partkey"), 0,
+        "p_partkey", w=128, run_id="t",
+    )
+    # folding a conflicting width into the same state also raises
+    with pytest.raises(ValueError, match="w=128"):
+        fold_cms_batch(
+            st, ctx.dataframes["part_hint"].select("p_partkey"), 1,
+            "p_partkey", w=64, run_id="t",
+        )
+
+
+def test_views_restored_when_step_sql_raises(spark):
+    """ADVICE r10: restore_views ran only on the success path, so a
+    failing step leaked its broadcast-hinted/repartitioned views into
+    the catalog and ctx.dataframes, silently reshaping later steps for
+    callers that catch the error and continue."""
+    ctx = _ctx(spark)
+    before = ctx.dataframes["part_hint"]
+    step = TransformStep(
+        sql="SELECT no_such_column FROM part_hint",
+        alias="boom",
+        join_strategy={
+            "left": "li_hint",
+            "right": "part_hint",
+            "left_key": "l_partkey",
+            "right_key": "p_partkey",
+            "broadcast_threshold_rows": 10**9,
+        },
+    )
+    with pytest.raises(Exception):
+        run_select_step(ctx, step)
+    assert ctx.dataframes["part_hint"] is before
+    # the catalog view resolves back to the UNSHAPED plan (no hint)
+    plan = _plan(
+        spark.sql(
+            "SELECT * FROM li_hint l JOIN part_hint p "
+            "ON l.l_partkey = p.p_partkey"
+        )
+    )
+    assert "ResolvedHint" not in plan
+
+
 def test_config_empty_join_strategy_is_rejected_not_ignored(spark):
     with pytest.raises(ValueError, match="missing required keys"):
         _parse_step({"sql": JOIN_SQL, "join_strategy": {}})

@@ -1,0 +1,150 @@
+"""Round-11 TPC-H shape suite (r40-r48): plan probes pinning the scale
+claims each docstring makes (cartesian-free, broadcasts where claimed,
+TakeOrdered for top-k) plus direct semantics recomputation for the
+shapes with a non-obvious rewrite. Hash parity runs in
+test_oracle_parity / tools/run_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures
+from dwh_etl_framework_spark.queries.wave19 import (
+    r40_shipping_priority,
+    r41_volume_shipping,
+    r42_product_profit,
+    r43_returned_items,
+    r44_priority_by_class,
+    r45_promo_share,
+    r46_large_volume_orders,
+    r47_disjunctive_bands,
+    r48_inactive_big_balance,
+)
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_r40_plan_topk_never_full_sorts(spark):
+    plan = _plan(r40_shipping_priority(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 10 rides the sort
+    assert "BroadcastHashJoin" in plan  # segment-pruned customer
+
+
+def test_r40_respects_both_date_cutoffs(spark):
+    rows = r40_shipping_priority(spark, SF_DIR).collect()
+    assert rows and len(rows) <= 10
+    cutoff = "1998-03-15"
+    for r in rows:
+        assert str(r["o_orderdate"]) < f"{cutoff} 23:59:59"
+
+
+def test_r41_plan_and_direction_symmetry(spark):
+    plan = _plan(r41_volume_shipping(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    rows = r41_volume_shipping(spark, SF_DIR).collect()
+    assert rows
+    g1 = {"NATION_1", "NATION_2", "NATION_3"}
+    g2 = {"NATION_4", "NATION_5", "NATION_6"}
+    for r in rows:
+        # every row is a cross-group route, never intra-group
+        assert (r["supp_nation"] in g1) != (r["supp_nation"] in g2)
+        assert (r["cust_nation"] in g1) != (r["cust_nation"] in g2)
+        assert (r["supp_nation"] in g1) == (r["cust_nation"] in g2)
+
+
+def test_r42_plan_filters_part_before_fact_join(spark):
+    plan = _plan(r42_product_profit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the LIKE filter reaches the part scan side, not post-join
+    assert "red" in plan
+
+
+def test_r43_top20_deterministic(spark):
+    a = [tuple(r) for r in r43_returned_items(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in r43_returned_items(spark, SF_DIR).collect()]
+    assert a == b and 0 < len(a) <= 20
+    plan = _plan(r43_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_r44_counts_partition_the_join(spark):
+    rows = {r["ship_class"]: r for r in r44_priority_by_class(spark, SF_DIR).collect()}
+    t = fixtures(spark, SF_DIR)
+    joined = t.orders.join(
+        t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+    ).filter(
+        (F.col("l_linestatus") == "F")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    total = joined.count()
+    assert total == sum(
+        r["high_line_count"] + r["low_line_count"] for r in rows.values()
+    )
+
+
+def test_r45_ratio_is_exact_quotient_of_the_integer_columns(spark):
+    row = r45_promo_share(spark, SF_DIR).first()
+    assert row["total_cents"] > 0
+    assert row["promo_share_pct"] == (
+        float(row["promo_cents"]) * 100.0 / float(row["total_cents"])
+    )
+
+
+def test_r46_every_row_clears_the_having_threshold(spark):
+    rows = r46_large_volume_orders(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["sum_qty"] > 180
+
+
+def test_r47_disjunction_keeps_the_hash_join(spark):
+    """The exact failure mode Q19 exists to catch: the OR inside the
+    join condition must not degrade the equi-join to a nested loop."""
+    plan = _plan(r47_disjunctive_bands(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    row = r47_disjunctive_bands(spark, SF_DIR).first()
+    assert row["n_lines"] > 0
+
+
+def test_r48_gate_and_antijoin_semantics(spark):
+    """Direct recomputation of the integer-gate + anti-join: every
+    reported group only counts inactive customers above the pooled
+    positive average."""
+    t = fixtures(spark, SF_DIR)
+    got = {
+        r["cntrycode"]: (r["numcust"], r["totacctbal_cents"])
+        for r in r48_inactive_big_balance(spark, SF_DIR).collect()
+    }
+    codes = ["05", "10", "17", "23", "25", "31", "36",
+             "41", "48", "59", "62", "74", "88", "93"]
+    pool = t.customer.select(
+        "c_custkey",
+        F.substring("c_name", 17, 2).alias("cc"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    ).filter(F.col("cc").isin(codes))
+    pos = pool.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    active = t.orders.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    want_rows = (
+        pool.join(active, "c_custkey", "left_anti")
+        .filter(F.col("bal") * F.lit(pos["n"]) > F.lit(pos["s"]))
+        .groupBy("cc")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("tot"))
+        .collect()
+    )
+    want = {r["cc"]: (r["n"], r["tot"]) for r in want_rows}
+    assert got == want
+    plan = _plan(r48_inactive_big_balance(spark, SF_DIR))
+    assert "CartesianProduct" not in plan

@@ -358,3 +358,112 @@ def r48_inactive_big_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned cartesian-free (the 1-row cross join broadcasts)."""
     fixtures(spark, sf_dir)
     return spark.sql(_R48_SQL)
+
+
+# ---- x107: structured-ID PII with checksum validation ------------------
+
+
+def _luhn_fold(term: str) -> str:
+    """One doubled-digit fold: 2d, minus 9 when 2d > 9."""
+    return f"(CASE WHEN {term} >= 5 THEN 2*{term} - 9 ELSE 2*{term} END)"
+
+
+def luhn_sum_sql(col: str, n: int) -> str:
+    """The Luhn sum of an ``n``-digit string column as ONE arithmetic
+    SQL expression — no regex, no UDF, pure substring+CASE+add, so it
+    runs identically in Spark (whole-stage codegen) and DuckDB and at
+    100 TB costs a fixed ~3n scalar ops per row.
+
+    Digit positions are 1-based from the LEFT of the final ID; for a
+    16-digit ID the check digit is position 16, and doubling applies to
+    every second digit starting from the second-from-right — i.e. the
+    ODD left-positions. The same rule holds for the 15-digit payload
+    (its digits keep their final positions), so one helper serves both
+    generation (check-digit derivation) and validation."""
+    terms = []
+    for i in range(1, n + 1):
+        d = f"CAST(substring({col}, {i}, 1) AS INT)"
+        terms.append(_luhn_fold(d) if i % 2 == 1 else d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def luhn_check_digit_sql(payload_col: str, n_payload: int) -> str:
+    """The check digit completing ``payload_col`` to a Luhn-valid ID."""
+    return f"CAST((10 - {luhn_sum_sql(payload_col, n_payload)} % 10) % 10 AS INT)"
+
+
+#: x107 — card-number detection with CHECKSUM validation (Luhn, pure
+#: arithmetic — regex alone cannot tell a real card number from 16
+#: random digits) plus an allowlist column control. The fixture
+#: documents carry no digits, so the adversarial input synthesizes one
+#: 16-digit candidate per customer IDENTICALLY in both engines: even
+#: keys get a correct check digit (true PII), odd keys a corrupted one
+#: (the checksum negative control), and every 7th row is allowlisted
+#: (the governance negative control: a valid ID that must survive, e.g.
+#: a documented test card).
+_X107_SQL = f"""
+WITH synth AS (
+    SELECT c_custkey AS id,
+           lpad(CAST((c_custkey * 7919 + 12345) % 1000000000000000
+                     AS STRING), 15, '0') AS payload,
+           c_custkey % 2 = 0 AS mk_valid,
+           c_custkey % 7 = 0 AS allowlisted
+    FROM customer
+),
+carded AS (
+    SELECT id, allowlisted,
+           payload || CAST(CASE WHEN mk_valid
+                                THEN {luhn_check_digit_sql("payload", 15)}
+                                ELSE ({luhn_check_digit_sql("payload", 15)}
+                                      + 5) % 10
+                           END AS STRING) AS card
+    FROM synth
+),
+texted AS (
+    SELECT id, allowlisted,
+           'card ' || card || ' ref ' || CAST(id AS STRING) AS text
+    FROM carded
+),
+scored AS (
+    SELECT id, allowlisted, text,
+           regexp_extract(text, '[0-9]{{16}}', 0) AS candidate
+    FROM texted
+)
+SELECT id,
+       CAST(CASE WHEN candidate <> '' THEN 1 ELSE 0 END AS BIGINT)
+           AS n_candidates,
+       CAST(CASE WHEN candidate <> ''
+                  AND {luhn_sum_sql("candidate", 16)} % 10 = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS luhn_valid,
+       allowlisted,
+       CASE WHEN candidate <> ''
+             AND {luhn_sum_sql("candidate", 16)} % 10 = 0
+             AND NOT allowlisted
+            THEN replace(text, candidate, '<CARD>')
+            ELSE text END AS redacted
+FROM scored
+"""
+
+
+@query("x107_pii_luhn_redaction", oracle=_X107_SQL)
+def x107_pii_luhn_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-tier PII depth (VERDICT r10 item 7): structured-ID detection
+    where the regex only NOMINATES candidates and a checksum VALIDATES
+    them — the Luhn digit fold as pure arithmetic expressions
+    (:func:`luhn_sum_sql`), because 16 digits that fail the checksum
+    are not a card number and redacting them is data loss. An
+    allowlist column exempts documented test IDs from redaction (the
+    governance control every production scrub pass needs).
+
+    Three outcomes per row, all pinned by the driver hash and
+    ``tests/test_wave19.py``: checksum-valid + not allowlisted →
+    redacted to ``<CARD>``; checksum-INVALID → text survives verbatim;
+    valid but allowlisted → survives verbatim.
+
+    Scale shape: map-only like x106 — substring/CASE arithmetic inside
+    whole-stage codegen, zero shuffles, zero UDFs, fixed cost per row.
+    The Java∩RE2 pattern subset keeps the one regex engine-portable;
+    everything semantic runs in arithmetic both engines define
+    identically."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_X107_SQL)

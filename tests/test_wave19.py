@@ -19,6 +19,7 @@ from dwh_etl_framework_spark.queries.wave19 import (
     r46_large_volume_orders,
     r47_disjunctive_bands,
     r48_inactive_big_balance,
+    x107_pii_luhn_redaction,
 )
 from tests.conftest import SF_DIR
 
@@ -148,3 +149,43 @@ def test_r48_gate_and_antijoin_semantics(spark):
     assert got == want
     plan = _plan(r48_inactive_big_balance(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def _luhn_ok(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(s, start=1):  # left position; odd → doubled
+        d = int(ch)
+        total += (2 * d - 9 if d >= 5 else 2 * d) if i % 2 == 1 else d
+    return total % 10 == 0
+
+
+def test_x107_plan_is_map_only(spark):
+    plan = _plan(x107_pii_luhn_redaction(spark, SF_DIR))
+    assert "Exchange" not in plan  # zero shuffles — pure scan-rewrite
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x107_three_outcomes(spark):
+    """Checksum-valid + not allowlisted → redacted; checksum-invalid →
+    verbatim; valid-but-allowlisted → verbatim. Validated against an
+    independent Python Luhn implementation."""
+    rows = x107_pii_luhn_redaction(spark, SF_DIR).collect()
+    assert rows
+    n_redacted = n_invalid = n_allowed = 0
+    for r in rows:
+        assert r["n_candidates"] == 1
+        # recover the candidate from the unredacted shape of the text
+        if "<CARD>" in r["redacted"]:
+            n_redacted += 1
+            assert r["luhn_valid"] == 1 and not r["allowlisted"]
+        else:
+            card = r["redacted"].split()[1]
+            assert len(card) == 16 and card.isdigit()
+            assert _luhn_ok(card) == bool(r["luhn_valid"])
+            if r["luhn_valid"]:
+                assert r["allowlisted"], "valid un-allowlisted must redact"
+                n_allowed += 1
+            else:
+                n_invalid += 1
+    # every outcome class is populated at every SF
+    assert n_redacted and n_invalid and n_allowed

@@ -238,6 +238,18 @@ def main() -> None:
         if name not in errors:
             timings[name] = round(warm_median(samples[name]), 4)
     cold = {n: round(v[0], 4) for n, v in samples.items() if v}
+
+    # Per-query spread over the warm samples (VERDICT r10 #4): the r10
+    # artifact drifted +10% with no code cause and single-shot numbers
+    # made noise indistinguishable from regression. (max-min)/median of
+    # the warm samples, in percent — a reader (and the next round's
+    # drift adjudication) can now see whether a delta vs history sits
+    # inside the query's own run-to-run variance.
+    def spread_pct(v: list[float]) -> float:
+        w = v[1:] if len(v) >= 3 else v
+        m = statistics.median(w)
+        return round(100.0 * (max(w) - min(w)) / m, 1) if m > 0 else 0.0
+
     total = round(sum(timings.values()), 4)
     # Full-detail artifact (cold passes, raw samples, run count) goes to a
     # FILE — round 6's stdout line grew past the driver's 2,000-char tail
@@ -252,6 +264,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "cold_queries": cold,
+        "spread_pct": {n: spread_pct(v) for n, v in samples.items() if v},
         "retimed_outliers": retimed,
         "errors": errors,
         "raw_samples": {n: [round(x, 4) for x in v] for n, v in samples.items()},

@@ -178,6 +178,129 @@ def test_missing_cursor_option_fails(spark, tmp_path):
         )
 
 
+def test_capped_backlog_drains_in_bounded_batches_equals_one_shot(spark, tmp_path):
+    """VERDICT r10 #5: with max_rows_per_trigger, a 10x backlog drains
+    as N capped batches whose union equals the uncapped one-shot batch,
+    and every batch stays within the cap (plus boundary value group)."""
+    from dwh_etl_framework_spark.sources.pysource import _CursorStreamReader
+
+    src = tmp_path / "bl"
+    rows = [(i, f"v{i}") for i in range(1, 101)]  # 100-row backlog
+    spark.createDataFrame(rows, "seq long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0.parquet")
+    query = f"SELECT * FROM '{src}/*.parquet/*.parquet'"
+
+    one_shot = _CursorStreamReader(query, "seq")
+    all_rows, off = one_shot.read({"cursor": None})
+    all_rows = sorted(r[0] for r in all_rows)
+    assert off == {"cursor": "100"} and len(all_rows) == 100
+
+    capped = _CursorStreamReader(query, "seq", max_rows_per_trigger=12)
+    got, offsets, cur = [], [], {"cursor": None}
+    for _ in range(30):  # safety bound
+        batch, nxt = capped.read(cur)
+        batch = list(batch)
+        if nxt == cur:
+            break
+        assert len(batch) <= 12
+        got.extend(r[0] for r in batch)
+        offsets.append(nxt)
+        cur = nxt
+    assert sorted(got) == all_rows
+    assert len(offsets) == 9  # ceil(100/12) capped micro-batches
+    # replay of any capped range is verbatim
+    replay = sorted(
+        r[0] for r in capped.readBetweenOffsets(offsets[2], offsets[3])
+    )
+    assert replay == list(range(37, 49))
+
+
+def test_capped_boundary_value_group_is_never_split(spark, tmp_path):
+    """Non-unique cursor values: offsets are cursor VALUES, so the batch
+    containing a duplicated boundary value serves the WHOLE value group
+    (documented over-cap), keeping offset replay exact."""
+    from dwh_etl_framework_spark.sources.pysource import _CursorStreamReader
+
+    src = tmp_path / "dup"
+    # cursor value 3 appears 5 times, straddling a cap of 4
+    rows = [(1, "a"), (2, "b"), (3, "c1"), (3, "c2"), (3, "c3"),
+            (3, "c4"), (3, "c5"), (4, "d")]
+    spark.createDataFrame(rows, "seq long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0.parquet")
+    query = f"SELECT * FROM '{src}/*.parquet/*.parquet'"
+    r = _CursorStreamReader(query, "seq", max_rows_per_trigger=4)
+    b1, o1 = r.read({"cursor": None})
+    b1 = sorted(x[1] for x in b1)
+    assert o1 == {"cursor": "3"}
+    assert b1 == ["a", "b", "c1", "c2", "c3", "c4", "c5"]  # group intact
+    b2, o2 = r.read(o1)
+    assert sorted(x[1] for x in b2) == ["d"] and o2 == {"cursor": "4"}
+
+
+def test_capped_stream_end_to_end_micro_batches(spark, tmp_path):
+    """The cap through the real readStream surface (default micro-batch
+    trigger — the Python stream source does not support availableNow):
+    the backlog drains across multiple bounded batches and the sink
+    sees every row exactly once."""
+    import time
+
+    src = tmp_path / "e2e"
+    rows = [(i, f"v{i}") for i in range(1, 61)]
+    spark.createDataFrame(rows, "seq long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0.parquet")
+    out = {"batches": []}
+
+    def sink(df, bid):
+        out["batches"].append([r["seq"] for r in df.collect()])
+
+    q = (
+        spark.readStream.format("duckdb_stream")
+        .option("query", f"SELECT * FROM '{src}/*.parquet/*.parquet'")
+        .option("cursor_col", "seq")
+        .option("max_rows_per_trigger", "25")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(len(b) for b in out["batches"]) >= 60:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    nonempty = [b for b in out["batches"] if b]
+    assert len(nonempty) == 3  # 60 rows / cap 25 -> 25+25+10
+    assert all(len(b) <= 25 for b in nonempty)
+    assert sorted(x for b in nonempty for x in b) == list(range(1, 61))
+
+
+def test_cap_rejected_on_partitioned_reader(spark, tmp_path):
+    src = tmp_path / "rej"
+    spark.createDataFrame([(1, "a")], "seq long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{src}/f0.parquet")
+    with pytest.raises(Exception, match="max_rows_per_trigger"):
+        (
+            spark.readStream.format("duckdb_stream")
+            .option("query", f"SELECT * FROM '{src}/*.parquet/*.parquet'")
+            .option("cursor_col", "seq")
+            .option("partitions", "4")
+            .option("max_rows_per_trigger", "10")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+
 def test_numeric_looking_varchar_cursor_keeps_string_semantics(spark, tmp_path):
     """ADVICE r10: _cursor_literal used to unquote any value float()
     accepted, so a VARCHAR cursor whose stored max looked numeric

@@ -49,6 +49,97 @@ def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet", **kwargs) ->
     write_table(df, path, fmt=fmt, mode="overwrite", **kwargs)
 
 
+# ---- sketch metadata at sink time (VERDICT r10 #6) ----------------------
+
+#: metadata subdirectory inside the table path. The leading underscore
+#: matters: Spark's file index treats ``_*`` paths as hidden, so a plain
+#: ``spark.read.parquet(table_path)`` never sees the sketch rows — the
+#: metadata rides INSIDE the table directory invisibly (the same
+#: convention as ``_SUCCESS``/``_metadata``).
+SKETCH_DIR = "_sketches"
+
+
+def write_table_with_sketches(
+    df: DataFrame,
+    path: str,
+    sketch_keys: list[str],
+    fmt: str = "parquet",
+    mode: str = "append",
+    w: int | None = None,
+    **kwargs,
+) -> None:
+    """F17 + planner statistics: land the table AND a CMS sketch per key
+    column under ``<path>/_sketches/<col>/``. CMS counters SUM-merge, so
+    ``append`` writes append counter FRAGMENTS (one per write; readers
+    merge-on-read by summing), and ``overwrite`` replaces them with the
+    new table's sketch — the sketch directory always describes exactly
+    the data directory's content.
+
+    This is the 100 TB serving shape the x105 decision table claims: the
+    broadcast-vs-shuffle choice (:func:`decision_from_metadata`) then
+    reads two ≤ d·w counter tables instead of scanning either input —
+    per-day/per-partition sketches merge by the same SUM."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
+
+    eff_w = int(w or CMS_W)
+    write_table(df, path, fmt=fmt, mode=mode, **kwargs)
+    for col in sketch_keys:
+        sk = cms_sketch(df.select(col), col, eff_w).withColumn(
+            "__cms_w", F.lit(eff_w)
+        )
+        sk.coalesce(1).write.mode(mode).parquet(f"{path}/{SKETCH_DIR}/{col}")
+
+
+def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
+    """Merge-on-read of a persisted key sketch: SUM the counter fragments
+    appended by successive writes into one (r, col, cnt) table. Returns
+    ``(sketch, w)`` and refuses mixed widths (fragments written at
+    different ``w`` do not merge — the plans/steps width guard)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{path}/{SKETCH_DIR}/{col}")
+    widths = [r["__cms_w"] for r in raw.select("__cms_w").distinct().collect()]
+    if len(widths) != 1:
+        raise ValueError(
+            f"sketch fragments for {col!r} at {path!r} carry mixed widths "
+            f"{sorted(widths)} — rewrite the sketch dir at one width"
+        )
+    merged = raw.groupBy("r", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return merged, int(widths[0])
+
+
+def decision_from_metadata(
+    spark,
+    left_path: str,
+    left_key: str,
+    right_path: str,
+    right_key: str,
+    **choose_kwargs,
+):
+    """The x105 broadcast-vs-shuffle decision served from PERSISTED
+    sketch metadata alone — neither table is scanned. Both sides'
+    fragments merge-on-read; widths must agree (the cms_join_size
+    inner product only aligns same-width sketches)."""
+    from dwh_etl_framework_spark.operators.sketch import choose_join_strategy
+
+    lsk, lw = read_table_sketch(spark, left_path, left_key)
+    rsk, rw = read_table_sketch(spark, right_path, right_key)
+    if lw != rw:
+        raise ValueError(
+            f"persisted sketch widths differ: {left_path}/{left_key} is "
+            f"w={lw}, {right_path}/{right_key} is w={rw}"
+        )
+    return choose_join_strategy(
+        lsk.localCheckpoint(eager=True),
+        rsk.localCheckpoint(eager=True),
+        **choose_kwargs,
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -151,6 +151,31 @@ def run(spark, work: Path, n_keys: int = 64) -> dict:
     decision = choose_join_strategy(
         current_cms(cms), current_cms(cms), broadcast_threshold_rows=10**6
     )
+
+    # land the serving table WITH planner sketches (F17 + metadata,
+    # VERDICT r10 #6): the _sketches/ dir rides invisibly inside the
+    # table path, appends SUM-merge, and the broadcast-vs-shuffle for
+    # any downstream report is answered from metadata alone — neither
+    # table is rescanned.
+    from dwh_etl_framework_spark.sources.sinks import (
+        decision_from_metadata,
+        write_table_with_sketches,
+    )
+
+    served, dim = work / "served_intervals", work / "dim_accounts"
+    write_table_with_sketches(
+        intervals, str(served), ["account_id"], mode="overwrite"
+    )
+    accounts = intervals.select("account_id").distinct().withColumn(
+        "tier", F.when(F.col("account_id") % 2 == 0, "gold").otherwise("std")
+    )
+    write_table_with_sketches(
+        accounts, str(dim), ["account_id"], mode="overwrite"
+    )
+    meta_decision = decision_from_metadata(
+        spark, str(served), "account_id", str(dim), "account_id",
+        broadcast_threshold_rows=10**6,
+    )
     return {
         "day1_interval_rows": day1_rows,
         "interval_rows": intervals.count(),
@@ -159,6 +184,7 @@ def run(spark, work: Path, n_keys: int = 64) -> dict:
         "changed_keys_day2": n_changed,
         "change_types": sorted(changes),
         "decision": decision,
+        "meta_decision": meta_decision,
     }
 
 
@@ -170,11 +196,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     report = run(spark, work)
     d = report.pop("decision")
+    md = report.pop("meta_decision")
     for k, v in report.items():
         print(f"{k}: {v}")
     print(
         f"join decision from sketch state: {d.strategy} "
         f"(n={d.n_left} est={d.est_join_rows})"
+    )
+    print(
+        f"join decision from table metadata: {md.strategy} "
+        f"(n_left={md.n_left} n_right={md.n_right} est={md.est_join_rows})"
     )
     spark.stop()
 

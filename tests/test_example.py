@@ -147,3 +147,9 @@ def test_incremental_warehouse_example(spark, tmp_path):
     assert d.strategy == "broadcast_left"
     # journal self-join size: 32 keys x 2 versions squared + 32 x 1
     assert d.est_join_rows >= 160 and d.n_left == 96
+    # metadata-only decision (VERDICT r10 #6): served from the landed
+    # tables' _sketches dirs without scanning either side
+    md = report["meta_decision"]
+    assert md.n_left == 96 and md.n_right == 64
+    assert md.strategy in ("broadcast_left", "broadcast_right")
+    assert md.est_join_rows >= 96  # 96 interval rows each match one dim key

@@ -1,0 +1,206 @@
+"""Round-11 env-probe productization (VERDICT r10 #8): the standing
+re-probe found THREE new engine surfaces live in this Spark build —
+the VARIANT type, string collations, and Python UDTF polymorphic
+``analyze()`` — and, per the r34/f37 precedent, each becomes an
+oracled registry entry the same round it is found.
+
+The oracles run DIFFERENT (classic) SQL in DuckDB — JSON string
+functions for VARIANT, lower() for collations, split for the UDTF —
+so the driver hash certifies the NEW surface against the portable
+semantics it claims to implement.
+
+Reference anchor: the reference's transform tier is raw ``spark.sql``
+(``airflow_etl.py:251``); these entries keep that surface current as
+the engine grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+#: r49 — VARIANT ingestion: JSON text → parse_json → typed variant_get
+#: extraction, then a grouped exact-cents aggregate over the extracted
+#: fields. The open-schema ingestion path every event pipeline wants:
+#: at 100 TB the variant binary encoding shreds at the scan and the
+#: typed accessor pushes into the columnar reader, where a raw JSON
+#: string re-parses per access.
+_R49_SPARK = """
+WITH raw AS (
+    SELECT o_orderkey AS id,
+           '{"status":"' || o_orderstatus || '","cents":'
+               || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)
+               || ',"pri":"' || o_orderpriority || '"}' AS js
+    FROM orders
+),
+v AS (SELECT id, parse_json(js) AS var FROM raw)
+SELECT variant_get(var, '$.status', 'string') AS status,
+       variant_get(var, '$.pri', 'string') AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(variant_get(var, '$.cents', 'long')) AS BIGINT) AS cents
+FROM v
+GROUP BY 1, 2
+ORDER BY status, pri
+"""
+
+_R49_ORACLE = """
+WITH raw AS (
+    SELECT o_orderkey AS id,
+           '{"status":"' || o_orderstatus || '","cents":'
+               || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)
+               || ',"pri":"' || o_orderpriority || '"}' AS js
+    FROM orders
+)
+SELECT json_extract_string(js, '$.status') AS status,
+       json_extract_string(js, '$.pri') AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(json_extract(js, '$.cents') AS BIGINT)) AS BIGINT)
+           AS cents
+FROM raw
+GROUP BY 1, 2
+ORDER BY status, pri
+"""
+
+
+@query("r49_variant_json", oracle=_R49_ORACLE)
+def r49_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier, NEW engine surface: the VARIANT type end-to-end —
+    ``parse_json`` to the binary variant encoding, ``variant_get`` with
+    a type argument for schema-on-read extraction, grouped exact-cents
+    aggregation over the extracted fields. The DuckDB oracle computes
+    the same result from the raw JSON text (json_extract), so the hash
+    certifies the variant path against plain-JSON semantics — the r26
+    upgrade for the open-schema ingestion tier.
+
+    Scale shape: parse + typed access are map-side; the only exchange
+    is the (status, pri)-keyed aggregate (≤ 15 groups, partial
+    map-side). Found live by the round-11 env probe."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R49_SPARK)
+
+
+#: r50 — collations: case-insensitive equality and DISTINCT without
+#: lower() rewrites. The mixed-case segment column is synthesized
+#: deterministically (odd keys lowercase).
+_R50_SPARK = """
+WITH seggy AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                ELSE lower(c_mktsegment) END AS seg
+    FROM customer
+)
+SELECT n.n_name AS n_name,
+       CAST(COUNT(CASE WHEN s.seg = 'BuIlDiNg' COLLATE UTF8_LCASE
+                       THEN 1 END) AS BIGINT) AS n_building,
+       CAST(COUNT(DISTINCT s.seg COLLATE UTF8_LCASE) AS BIGINT)
+           AS n_segments_ci
+FROM seggy s
+JOIN nation n ON n.n_nationkey = s.c_nationkey
+GROUP BY n.n_name
+ORDER BY n_name
+"""
+
+_R50_ORACLE = """
+WITH seggy AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                ELSE lower(c_mktsegment) END AS seg
+    FROM customer
+)
+SELECT n.n_name AS n_name,
+       CAST(COUNT(CASE WHEN lower(s.seg) = 'building' THEN 1 END)
+            AS BIGINT) AS n_building,
+       CAST(COUNT(DISTINCT lower(s.seg)) AS BIGINT) AS n_segments_ci
+FROM seggy s
+JOIN nation n ON n.n_nationkey = s.c_nationkey
+GROUP BY n.n_name
+ORDER BY n_name
+"""
+
+
+@query("r50_collated_segments", oracle=_R50_ORACLE)
+def r50_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier, NEW engine surface: string collations — case-insensitive
+    equality (``= 'BuIlDiNg' COLLATE UTF8_LCASE``) and collated
+    COUNT(DISTINCT), no lower() rewrite on the data path. The oracle IS
+    the lower() rewrite, so the hash certifies the collation semantics
+    equal the classic normalization for this alphabet.
+
+    Scale shape: the collated comparison evaluates in the scan filter /
+    aggregate exactly like a binary comparison (no extra projection of
+    a normalized copy — at 100 TB that saves materializing a shadow
+    column per case-insensitive predicate). Found live by the round-11
+    env probe."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R50_SPARK)
+
+
+#: r51 — Python UDTF with a polymorphic ``analyze()``: the output
+#: schema (number of word columns) is computed at PLAN time from a
+#: constant argument. r27b's UDTF had a fixed 2-column signature; this
+#: is the table-function-generics surface.
+def _make_split_udtf():
+    from pyspark.sql.functions import udtf
+
+    class SplitWords:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+            from pyspark.sql.udtf import AnalyzeResult
+
+            k = int(n.value)  # constant-folded at plan time
+            return AnalyzeResult(
+                StructType(
+                    [StructField("n_words", IntegerType())]
+                    + [StructField(f"w{i + 1}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text, n):
+            words = (text or "").split(" ")
+            out = [len(words)] + [
+                words[i] if i < len(words) else None for i in range(int(n))
+            ]
+            yield tuple(out)
+
+    return udtf(SplitWords)
+
+
+_R51_ORACLE = """
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+       string_split(p_name, ' ')[1] AS w1,
+       string_split(p_name, ' ')[2] AS w2
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@query("r51_udtf_polymorphic_split", oracle=_R51_ORACLE)
+def r51_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier, NEW engine surface: Python UDTF whose ``analyze()``
+    derives the output schema from a constant argument at plan time —
+    ``split_words(p_name, 2)`` plans a (n_words, w1, w2) schema, and
+    ``split_words(p_name, 3)`` would plan four columns from the SAME
+    registration (pinned in tests/test_wave20.py). The r27 Arrow-UDF
+    tier's missing generics. Oracle: DuckDB string_split indexing.
+
+    Scale shape: one LATERAL per row, Arrow-batched like every Python
+    surface in this repo; no shuffle (the ORDER BY is the driver
+    hash's determinism sort, dropped in production use). Found live by
+    the round-11 env probe."""
+    fixtures(spark, sf_dir)
+    spark.udtf.register("split_words", _make_split_udtf())
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.n_words, s.w1, s.w2
+        FROM part p, LATERAL split_words(p.p_name, 2) s
+        ORDER BY p.p_partkey
+        """
+    )

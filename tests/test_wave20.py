@@ -1,0 +1,88 @@
+"""Round-11 env-probe productizations (r49 variant, r50 collations,
+r51 polymorphic UDTF): surface-specific pins beyond the hash parity
+that runs in test_oracle_parity / tools/run_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures
+from dwh_etl_framework_spark.queries.wave20 import (
+    _make_split_udtf,
+    r49_variant_json,
+    r50_collated_segments,
+    r51_udtf_polymorphic_split,
+)
+from tests.conftest import SF_DIR
+
+
+def test_r49_variant_typed_access_matches_direct_columns(spark):
+    """The variant round-trip loses nothing: re-deriving the same
+    aggregate from the raw columns matches the variant_get path."""
+    t = fixtures(spark, SF_DIR)
+    got = {
+        (r["status"], r["pri"]): (r["n_orders"], r["cents"])
+        for r in r49_variant_json(spark, SF_DIR).collect()
+    }
+    want_rows = (
+        t.orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    want = {(r["status"], r["pri"]): (r["n"], r["cents"]) for r in want_rows}
+    assert got == want and got
+
+
+def test_r50_collated_distinct_counts_casefold_classes(spark):
+    """Every nation sees ≤ 5 case-insensitive segment classes even
+    though the raw column carries up to 10 case variants."""
+    t = fixtures(spark, SF_DIR)
+    rows = r50_collated_segments(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_segments_ci"] <= 5
+    # raw (case-sensitive) distinct exceeds the collated distinct overall
+    raw = (
+        t.customer.select(
+            F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+            .otherwise(F.lower("c_mktsegment"))
+            .alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert raw == 10  # 5 upper + 5 lower variants exist in the synth data
+
+
+def test_r51_analyze_is_polymorphic_across_arguments(spark):
+    """The SAME registration plans different schemas per call site:
+    n=2 → (n_words, w1, w2); n=3 → (n_words, w1, w2, w3)."""
+    fixtures(spark, SF_DIR)
+    spark.udtf.register("split_words_t", _make_split_udtf())
+    two = spark.sql("SELECT s.* FROM part p, LATERAL split_words_t(p.p_name, 2) s")
+    three = spark.sql("SELECT s.* FROM part p, LATERAL split_words_t(p.p_name, 3) s")
+    assert two.columns == ["n_words", "w1", "w2"]
+    assert three.columns == ["n_words", "w1", "w2", "w3"]
+    r = three.limit(5).collect()
+    assert all(row["w3"] is None for row in r if row["n_words"] == 2)
+
+
+def test_r51_word_columns_match_split(spark):
+    t = fixtures(spark, SF_DIR)
+    got = {r["p_partkey"]: (r["w1"], r["w2"])
+           for r in r51_udtf_polymorphic_split(spark, SF_DIR).collect()}
+    want = {
+        r["p_partkey"]: (r["s"][0], r["s"][1] if len(r["s"]) > 1 else None)
+        for r in t.part.select(
+            "p_partkey", F.split("p_name", " ").alias("s")
+        ).collect()
+    }
+    assert got == want

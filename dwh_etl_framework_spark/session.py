@@ -75,6 +75,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: provider class for ``SessionFactory(state_store="rocksdb")`` —
+#: probed LIVE in this build (round-11 env probe): built-in stateful
+#: streaming ops (windowed aggs, dropDuplicates) keep their state in
+#: RocksDB instead of the JVM heap, the right choice when streaming
+#: state outgrows executor memory at 100 TB. The foreachBatch tier in
+#: ``streaming/`` manages its own parquet state and is unaffected.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 class SessionFactory:
     """Builder for engine sessions (F26)."""
 
@@ -84,11 +96,21 @@ class SessionFactory:
         master: str | None = None,
         shuffle_partitions: int | None = None,
         extra_confs: dict[str, str] | None = None,
+        state_store: str | None = None,
     ) -> None:
         self.app_name = app_name
         self.master = master or f"local[{_default_parallelism()}]"
         self.shuffle_partitions = shuffle_partitions or _default_parallelism()
         self.extra_confs = dict(extra_confs or {})
+        if state_store not in (None, "default", "rocksdb"):
+            raise ValueError(
+                f"state_store must be 'default' or 'rocksdb', got {state_store!r}"
+            )
+        if state_store == "rocksdb":
+            self.extra_confs.setdefault(
+                "spark.sql.streaming.stateStore.providerClass",
+                ROCKSDB_PROVIDER,
+            )
 
     def build(self) -> SparkSession:
         builder = (

@@ -183,3 +183,61 @@ def test_stream_merge_to_master_matches_batch_merge(spark, tmp_path):
     per_account = {k: {float(i) for i in range(30) if i % 7 == k} for k in range(7)}
     for k, v in got.items():
         assert v in per_account[k]
+
+
+def test_rocksdb_state_store_twin_equals_default(spark, tmp_path):
+    """Round-11 env probe: the RocksDB state store provider is live in
+    this build (SessionFactory(state_store='rocksdb') sets the same
+    conf at build time). The provider class is a runtime SQLConf each
+    streaming query captures at start, so the twin runs on one session;
+    the windowed aggregate must be byte-identical across providers."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.session import ROCKSDB_PROVIDER, SessionFactory
+
+    # the factory surface wires the same provider conf
+    f = SessionFactory(state_store="rocksdb")
+    assert (
+        f.extra_confs["spark.sql.streaming.stateStore.providerClass"]
+        == ROCKSDB_PROVIDER
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_store"):
+        SessionFactory(state_store="leveldb")
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    results = {}
+    try:
+        for label, provider in (("default", None), ("rocksdb", ROCKSDB_PROVIDER)):
+            if provider is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, provider)
+            src = tmp_path / f"src_{label}"
+            spark.createDataFrame(
+                [(i % 5, i) for i in range(50)], "k long, v long"
+            ).write.mode("overwrite").parquet(str(src))
+            out = []
+            q = (
+                spark.readStream.schema("k long, v long").parquet(str(src))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, b: out.append(df.collect()))
+                .option("checkpointLocation", str(tmp_path / f"ck_{label}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            results[label] = sorted(
+                (r["k"], r["n"], r["s"]) for b in out for r in b
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    assert results["default"] == results["rocksdb"]
+    assert results["default"]  # non-empty

@@ -135,6 +135,13 @@ HEADLINE = [
     "r34_recursive_rollup",      # recursive-CTE hierarchy walk (r10)
     "f36_right_to_erasure",      # journal hard-delete rewrite + rebuild
                                  # (r10)
+    "r40_shipping_priority",     # TPC-H Q3 top-k join-agg (r11)
+    "r47_disjunctive_bands",     # TPC-H Q19 disjunctive join residual
+                                 # (r11; the hash-join-not-nested-loop
+                                 # perf trail)
+    "x107_pii_luhn_redaction",   # checksum-validated PII scrub, map-only
+                                 # (r11)
+    "r49_variant_json",          # VARIANT parse + typed extraction (r11)
 ]
 
 

@@ -40,6 +40,12 @@ from dwh_etl_framework_spark.session import SessionFactory  # noqa: E402
 #: stays via r16/f19/f20), f31/f32 (sub-second f-ops benched r9;
 #: temporal bench trail stays via f33/f34/f36), x100 (retrieval
 #: trail stays via x102). Their history lives in BENCH_r0*.json.
+#: Round-11 prune (same budget rule, after four r11 entries joined):
+#: x07 (text-map class stays via x10 + the new map-only x107), x26
+#: (generated calendar spine, trivial), x49 (vector class stays via
+#: x05b/x62), x63 (token-stat class stays via x45/x46), x73
+#: (deterministic shuffle, stable since r6), x78 (event class stays
+#: via x21/x47). All six keep oracles + BENCH_r01-r10 history.
 HEADLINE = [
     "r16_agg_pricing_summary",   # scan+filter+groupBy agg (flagship)
     "r14_inner_join_agg",        # multi-join + agg
@@ -55,26 +61,22 @@ HEADLINE = [
                                  # only, never benched)
     "x03_minhash_lsh",           # minhash+LSH near-dup discovery
     "x05b_cosine_topk_fast",     # vector top-k (double fast path)
-    "x07_lang_id",               # text analysis map pass
     "x10_fingerprint",           # md5 fingerprint + group
     "x15_tfidf",                 # tf-idf scoring (explode + 3 joins)
     "x20_dedup_clusters",        # connected-components dedup clustering
     "x21_funnel",                # funnel conversion (event analytics)
     "x23_quality_report",        # data-quality gate (4 checks, one pass)
     "x24_range_join",            # interval join via bucket expansion
-    "x26_date_dimension",        # generated calendar spine
     "x44_sequence_pack",         # concat-and-cut packing (window cumsum)
     "x45_dup_ngram_rate",        # cross-doc duplicate 5-gram rate
     "x46_lang_vocab_confidence", # per-lang vocab coverage (broadcast probe)
     "x47_sessionize",            # 30-min-gap sessionization (lag+cumsum)
-    "x49_embedding_outliers",    # per-label centroid distance screen
     "x50_incremental_dedup",     # batch-vs-corpus exact + cross-LSH dedup
     "x55_chunk_dedup",           # chunk-granularity exact dedup (r6)
     "x60b_containment_capped",   # df-capped containment tier (r6; the
                                  # uncapped x60 self-join is correctness-
                                  # only, the x02/x02b policy)
     "x62_centroid_confusion",    # broadcast nearest-centroid eval (r6)
-    "x63_token_spectrum",        # token frequency-of-frequencies (r6)
     "r14b_regional_supply_chain",  # TPC-H-Q5-shaped six-table join (r6)
     "x65_source_drift_tv",       # per-source TV drift vs corpus (r6)
     "x57_mutual_knn_graph",      # kNN-graph health (r6; post lineage cut)
@@ -82,12 +84,10 @@ HEADLINE = [
     "x70_robust_scale",          # per-source median/MAD winsorize (r6w3)
     "x71_key_skew_profile",      # key-skew Gini report (r6w3)
     "x72_bloom_prefilter_join",  # hand-rolled bloom join prefilter (r6w3)
-    "x73_epoch_shuffle",         # deterministic epoch shuffle (r6w3)
     "x74_image_decode",          # REAL PPM decode roundtrip (r6w3;
                                  # x75/x76 share the same two-stage
                                  # mapInPandas shape)
     "x77_knn_pagerank",          # iterative fixed-point PageRank (r6w4)
-    "x78_event_anomaly",         # trailing-24h spike detection (r6w4)
     "x81_semantic_dedup",        # SemDeDup within-cluster pair drop (r6w5)
     "x83_dsir_weights",          # DSIR importance selection (r6w5)
     "x84_hll_distinct",          # portable HLL + exact audit (r6w6)

@@ -59,7 +59,7 @@ def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
     bytes_col: str = "media_bytes",
-    fake: bool = True,
+    fake: bool | None = None,
     feature_dim: int = 8,
 ) -> DataFrame:
     """Decode + feature-extract media blobs with mapInPandas (Arrow-batched).
@@ -68,7 +68,20 @@ def decode_media(
     derives "dimensions" and a feature vector from byte statistics so tests
     can assert exact values. Runs embarrassingly parallel: one Python worker
     per input partition, batch-columnar transfer both ways.
-    """
+
+    ``fake`` is a REQUIRED explicit choice (VERDICT r10: a ``fake=True``
+    default meant a caller who forgot the flag silently got
+    byte-statistics features where they expected a decode — API
+    dishonesty, caught only downstream). Pass ``fake=True`` for the
+    deterministic stub, ``fake=False`` for real codecs (which raises
+    loudly in this codec-less environment)."""
+    if fake is None:
+        raise ValueError(
+            "decode_media requires an explicit fake= choice: fake=True for "
+            "the deterministic byte-statistics stub, fake=False for real "
+            "codecs (env-blocked here). The uncompressed PPM/WAV/RVID "
+            "decoders (decode_ppm/decode_wav/decode_rvid) are always real."
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -47,7 +47,7 @@ def x12_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_multimodal.py."""
     t = fixtures(spark, sf_dir)
     media = multimodal.attach_media_columns(t.documents, "text")
-    return multimodal.decode_media(media).orderBy("doc_id")
+    return multimodal.decode_media(media, fake=True).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -28,8 +28,18 @@ def test_attach_media_schema(media):
     assert row[2].media_meta.n_bytes == 0
 
 
+def test_decode_media_requires_explicit_fake_choice(media):
+    """VERDICT r10 minor: forgetting the flag must fail loudly, not
+    silently deliver byte-statistics features."""
+    with pytest.raises(ValueError, match="explicit fake="):
+        multimodal.decode_media(media)
+
+
 def test_decode_media_deterministic_stub(media):
-    out = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_media(media, fake=True).collect()
+    }
     r1 = out[1]
     blob = b"hello world"
     assert r1.n_bytes == len(blob)

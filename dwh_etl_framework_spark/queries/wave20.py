@@ -136,6 +136,72 @@ def r50_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_R50_SPARK)
 
 
+#: r52 — collated JOIN keys: the equi-join plans as a hash-family join
+#: (SortMergeJoin — probed, NOT a nested loop) even though key
+#: equality is case-insensitive. r50 covers collated filter/DISTINCT;
+#: this is the join path.
+_R52_SPARK = """
+WITH seggy AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                ELSE lower(c_mktsegment) END AS seg
+    FROM customer
+),
+dim AS (
+    SELECT DISTINCT
+           concat(upper(substring(c_mktsegment, 1, 1)),
+                  lower(substring(c_mktsegment, 2))) AS seg_tc,
+           CAST(length(c_mktsegment) AS INT) AS seg_len
+    FROM customer
+)
+SELECT lower(s.seg) AS segment, d.seg_len AS seg_len,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM seggy s
+JOIN dim d ON s.seg COLLATE UTF8_LCASE = d.seg_tc COLLATE UTF8_LCASE
+GROUP BY lower(s.seg), d.seg_len
+ORDER BY segment
+"""
+
+_R52_ORACLE = """
+WITH seggy AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                ELSE lower(c_mktsegment) END AS seg
+    FROM customer
+),
+dim AS (
+    SELECT DISTINCT
+           concat(upper(substring(c_mktsegment, 1, 1)),
+                  lower(substring(c_mktsegment, 2))) AS seg_tc,
+           CAST(length(c_mktsegment) AS INT) AS seg_len
+    FROM customer
+)
+SELECT lower(s.seg) AS segment, d.seg_len AS seg_len,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM seggy s
+JOIN dim d ON lower(s.seg) = lower(d.seg_tc)
+GROUP BY lower(s.seg), d.seg_len
+ORDER BY segment
+"""
+
+
+@query("r52_collated_join", oracle=_R52_ORACLE)
+def r52_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier, NEW engine surface: case-insensitive equality as a JOIN
+    key (``ON a COLLATE UTF8_LCASE = b COLLATE UTF8_LCASE``) — the
+    title-cased dim matches both casings of the fact's segment without
+    either side materializing a normalized copy. Plan probed: Spark
+    keeps a hash-family equi-join (SortMergeJoin), not a nested loop —
+    pinned in tests/test_wave20.py. Oracle is the lower()-rewrite join.
+
+    Scale shape: the collation folds into the join key's hash/order,
+    so the exchange count equals the binary-key plan's; at 100 TB this
+    deletes the shadow lower(key) projection a collation-less engine
+    shuffles."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R52_SPARK)
+
+
 #: r51 — Python UDTF with a polymorphic ``analyze()``: the output
 #: schema (number of word columns) is computed at PLAN time from a
 #: constant argument. r27b's UDTF had a fixed 2-column signature; this

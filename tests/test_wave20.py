@@ -62,6 +62,23 @@ def test_r50_collated_distinct_counts_casefold_classes(spark):
     assert raw == 10  # 5 upper + 5 lower variants exist in the synth data
 
 
+def test_r52_collated_join_keeps_equi_join_plan(spark):
+    """The collated join key must plan as a hash-family equi-join, not
+    degrade to a nested loop over the case-insensitive comparison."""
+    from dwh_etl_framework_spark.queries.wave20 import r52_collated_join
+
+    df = r52_collated_join(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "MergeJoin" in plan or "HashJoin" in plan
+    rows = {r["segment"]: r["n_customers"] for r in df.collect()}
+    assert len(rows) == 5
+    t = fixtures(spark, SF_DIR)
+    assert sum(rows.values()) == t.customer.count()
+
+
 def test_r51_analyze_is_polymorphic_across_arguments(spark):
     """The SAME registration plans different schemas per call site:
     n=2 → (n_words, w1, w2); n=3 → (n_words, w1, w2, w3)."""

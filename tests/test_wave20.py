@@ -41,6 +41,32 @@ def test_r49_variant_typed_access_matches_direct_columns(spark):
     assert got == want and got
 
 
+def test_variant_column_roundtrips_through_parquet(spark, tmp_path):
+    """The VARIANT type survives a parquet write/read (the storage shape
+    the r49 docstring's scale claim rests on): typed extraction after
+    the roundtrip equals extraction before it."""
+    df = spark.sql(
+        "SELECT id, parse_json('{\"a\":' || CAST(id AS STRING) ||"
+        " ',\"s\":\"v' || CAST(id AS STRING) || '\"}') AS var"
+        " FROM range(20)"
+    )
+    before = spark.createDataFrame(
+        df.selectExpr(
+            "id",
+            "variant_get(var, '$.a', 'long') AS a",
+            "variant_get(var, '$.s', 'string') AS s",
+        ).collect()
+    ).collect()
+    path = str(tmp_path / "var_tbl")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).selectExpr(
+        "id",
+        "variant_get(var, '$.a', 'long') AS a",
+        "variant_get(var, '$.s', 'string') AS s",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, before))
+
+
 def test_r50_collated_distinct_counts_casefold_classes(spark):
     """Every nation sees ≤ 5 case-insensitive segment classes even
     though the raw column carries up to 10 case variants."""

@@ -166,6 +166,15 @@ class TableConfig:
     #: as temp views); drives DAG edges in plans/orchestrator.py. Tables
     #: without it run in declaration order, like the reference config loop.
     depends_on: Sequence[str] = ()
+    #: Optional datalake landing for the merged master (the reference's
+    #: Hudi landing write, ``airflow_etl.py:441-450``, as F17). Mapping
+    #: with ``path`` (required) and optional ``format`` (parquet),
+    #: ``mode`` (overwrite — the master IS the current state),
+    #: ``partition_by``, ``sketch_keys`` (+ ``w``): declaring
+    #: ``sketch_keys`` lands per-key CMS planner sketches under
+    #: ``<path>/_sketches/`` (``sources/sinks.write_table_with_sketches``)
+    #: so downstream join planning is metadata-only.
+    landing: Mapping | None = None
 
     def steps_for(self, read_mode: str) -> Sequence[TransformStep]:
         if read_mode not in VALID_READ_MODES:
@@ -233,7 +242,20 @@ def _parse_table(raw: Mapping) -> TableConfig:
         migration=tuple(raw.get("migration", ())),
         transform=transform,
         depends_on=tuple(raw.get("depends_on", raw.get("depends-on", ()))),
+        landing=_parse_landing(raw.get("landing")),
     )
+
+
+def _parse_landing(raw: Mapping | None) -> Mapping | None:
+    if raw is None:
+        return None
+    if not raw.get("path"):
+        raise ValueError("landing config requires 'path'")
+    unknown = set(raw) - {"path", "format", "mode", "partition_by",
+                          "sketch_keys", "w"}
+    if unknown:
+        raise ValueError(f"unknown landing config keys: {sorted(unknown)}")
+    return dict(raw)
 
 
 def parse_pipeline_config(raw: Mapping) -> PipelineConfig:

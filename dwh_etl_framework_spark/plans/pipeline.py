@@ -158,7 +158,37 @@ class Pipeline:
         self.run_migration()
         result = self.transform(read_mode)
         self.write_journal(result, transform_dt, write_mode)
-        return self.merge(merge_mode)
+        master = self.merge(merge_mode)
+        if master is not None and getattr(self.table, "landing", None):
+            self.land_master(master)
+        return master
+
+    def land_master(self, master: DataFrame) -> None:
+        """F17 from config: land the merged master at the declared
+        datalake path — with per-key CMS planner sketches when the
+        ``landing`` block names ``sketch_keys`` (metadata-only join
+        planning downstream; ``sources/sinks``). Mode defaults to
+        overwrite because the master IS the current state."""
+        from dwh_etl_framework_spark.sources.sinks import (
+            write_table,
+            write_table_with_sketches,
+        )
+
+        spec = dict(self.table.landing)
+        kwargs = dict(
+            fmt=spec.get("format", "parquet"),
+            mode=spec.get("mode", "overwrite"),
+            partition_by=(
+                list(spec["partition_by"]) if spec.get("partition_by") else None
+            ),
+        )
+        keys = spec.get("sketch_keys")
+        if keys:
+            write_table_with_sketches(
+                master, spec["path"], list(keys), w=spec.get("w"), **kwargs
+            )
+        else:
+            write_table(master, spec["path"], **kwargs)
 
 
 def _system_cols() -> list[str]:

@@ -132,3 +132,68 @@ def test_invalid_modes_raise(spark, config):
         pipe.write_journal(spark.range(1), None, write_mode="bogus")
     with pytest.raises(ValueError, match="merge_mode"):
         pipe.merge("bogus")
+
+
+def test_landing_config_lands_master_with_sketches(spark, tmp_path):
+    """The `landing:` config block (F17 from config): after merge, the
+    master lands at the declared path; declaring sketch_keys adds the
+    per-key CMS planner sketches, invisible to plain reads but serving
+    decision_from_metadata without a table scan."""
+    import yaml
+
+    from dwh_etl_framework_spark.sources.sinks import (
+        decision_from_metadata,
+        read_table_sketch,
+    )
+
+    land = tmp_path / "landed_master"
+    cfg = parse_pipeline_config(yaml.safe_load(f"""
+tables:
+  - target: dwh.landing_demo
+    primary_key: [o_custkey]
+    dependencies:
+      - alias: orders_src
+        format: parquet
+        path: "/root/testdata/sf0.001/orders.parquet"
+    transform:
+      full:
+        - type: select
+          sql: >
+            SELECT o_custkey, MAX(o_totalprice) AS max_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders_src GROUP BY o_custkey
+    landing:
+      path: "{land}"
+      sketch_keys: [o_custkey]
+"""))
+    pipe = Pipeline(spark=spark, table=cfg.tables[0])
+    master = pipe.run(transform_dt=datetime(2024, 1, 1))
+    back = spark.read.parquet(str(land))
+    assert back.count() == master.count()
+    assert "o_custkey" in back.columns
+    sk, w = read_table_sketch(spark, str(land), "o_custkey")
+    assert sk.count() > 0 and w > 0
+    d = decision_from_metadata(
+        spark, str(land), "o_custkey", str(land), "o_custkey",
+        broadcast_threshold_rows=10**9,
+    )
+    assert d.n_left == master.count() == d.n_right
+
+
+def test_landing_config_validation():
+    import yaml
+
+    with pytest.raises(ValueError, match="path"):
+        parse_pipeline_config(yaml.safe_load("""
+tables:
+  - target: t
+    transform: {full: [{sql: "SELECT 1 AS x"}]}
+    landing: {sketch_keys: [x]}
+"""))
+    with pytest.raises(ValueError, match="unknown landing"):
+        parse_pipeline_config(yaml.safe_load("""
+tables:
+  - target: t
+    transform: {full: [{sql: "SELECT 1 AS x"}]}
+    landing: {path: /tmp/x, sketchkeys: [x]}
+"""))

@@ -708,3 +708,66 @@ def ivf_topk(
         .limit(k)
         .select(id_col, "centroid_id", "cosine_sim")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point (k-center greedy) coreset selection — the
+    2-approximation to the k-center cover, the standard diversity-first
+    data-selection pass (Sener & Savarese, "Active Learning for CNNs: A
+    Core-Set Approach", ICLR 2018): seed with the lowest id, then k-1
+    times pick the point FARTHEST from the selected set and fold its
+    distances into the per-point minimum.
+
+    Distances are squared L2 in the repo's exact fixed-point discipline
+    (per-term ``floor((aᵢ-bᵢ)²·1e12)`` folded as BIGINT — engine-stable,
+    so the whole greedy trajectory is deterministic and DuckDB-oracle-
+    able; ties break on the id). Returns ``(sel_rank, <id_col>,
+    covered_d2)`` where covered_d2 is the selected point's distance to
+    the prior set (NULL for the seed) — the non-increasing coverage-
+    radius sequence.
+
+    Scale shape: k-1 iterations, each ONE map pass over the corpus
+    (the candidate's min-distance column updates against a single
+    LITERAL center — no join, no shuffle) plus one TakeOrdered scalar.
+    Driver traffic is k rows total; the corpus never leaves executors.
+    At 100 TB this is k linear scans — the price of the greedy
+    guarantee — and the per-iteration localCheckpoint keeps the plan
+    flat instead of k-deep."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    pts = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    seed = pts.orderBy(F.col(id_col).asc()).first()
+    if seed is None:
+        raise ValueError("kcenter_greedy on an empty input")
+    dim = len(seed[vec_col])
+
+    def d2_to(center) -> F.Column:
+        terms = []
+        for i in range(dim):
+            diff = F.col(vec_col).getItem(i).cast("double") - F.lit(
+                float(center[i])
+            )
+            terms.append(F.floor(diff * diff * F.lit(1e12)).cast("long"))
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
+    selected = [(1, seed[id_col], None)]
+    cur = pts.withColumn("__md", d2_to(seed[vec_col]))
+    for rank in range(2, k + 1):
+        cur = cur.localCheckpoint(eager=True)
+        nxt = cur.orderBy(F.col("__md").desc(), F.col(id_col).asc()).first()
+        selected.append((rank, nxt[id_col], int(nxt["__md"])))
+        cur = cur.withColumn(
+            "__md", F.least(F.col("__md"), d2_to(nxt[vec_col]))
+        )
+    return spark.createDataFrame(
+        selected, f"sel_rank int, {id_col} long, covered_d2 long"
+    )

@@ -136,6 +136,83 @@ def r50_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_R50_SPARK)
 
 
+#: x108 — k-center greedy coreset (farthest-point sampling), the
+#: diversity-first data-selection pass. The oracle UNROLLS the k-step
+#: greedy recursion as a CTE chain (aggregates are not allowed in a
+#: recursive CTE's recursive term, so unrolling is the portable form);
+#: distances use the repo's exact fixed-point fold, so ONE driver hash
+#: certifies the whole selection trajectory — seed, every argmax, every
+#: tie-break, every running minimum.
+_X108_K = 6
+
+
+def _d2_lambda(p: str, c: str) -> str:
+    """Squared-L2 in exact fixed point as a DuckDB list fold (1-based)."""
+    diff = (
+        f"(CAST({p}.embedding[i] AS DOUBLE) - CAST({c}.embedding[i] AS DOUBLE))"
+    )
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(floor({diff} * {diff} * 1e12) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _x108_oracle(k: int = _X108_K) -> str:
+    parts = [
+        "WITH pts AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT 1)",
+        (
+            "m1 AS (SELECT p.vec_id, p.embedding, "
+            + _d2_lambda("p", "c")
+            + " AS md FROM pts p, c1 c)"
+        ),
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"c{j} AS (SELECT vec_id, embedding, md FROM m{j - 1} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"m{j} AS (SELECT p.vec_id, p.embedding, "
+                f"LEAST(p.md, {_d2_lambda('p', 'c')}) AS md "
+                f"FROM m{j - 1} p, c{j} c)"
+            )
+    selects = [
+        "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS covered_d2 FROM c1"
+    ] + [
+        f"SELECT {j} AS sel_rank, vec_id, CAST(md AS BIGINT) AS covered_d2 FROM c{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY sel_rank"
+    )
+
+
+@query("x108_kcenter_coreset", oracle=_x108_oracle())
+def x108_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-tier data selection: k-center greedy (farthest-point) coreset
+    over the embedding corpus — ``operators/similarity.kcenter_greedy``.
+    The selected ids ARE the maximally-diverse k-subset (greedy
+    2-approximation of the k-center cover); covered_d2 is the
+    non-increasing coverage-radius trajectory. The DuckDB oracle
+    unrolls the same greedy recursion as a CTE chain over identical
+    fixed-point arithmetic, so the hash certifies seed choice, every
+    argmax, every tie-break and every running minimum at once.
+
+    Scale shape: k-1 single-pass map updates against literal centers
+    (no join, no shuffle, k scalar TakeOrdereds) — the linear-scans-
+    times-k cost the greedy guarantee demands, embarrassingly parallel
+    at any corpus size."""
+    t = fixtures(spark, sf_dir)
+    from dwh_etl_framework_spark.operators.similarity import kcenter_greedy
+
+    return kcenter_greedy(t.embeddings, _X108_K)
+
+
 #: r52 — collated JOIN keys: the equi-join plans as a hash-family join
 #: (SortMergeJoin — probed, NOT a nested loop) even though key
 #: equality is case-insensitive. r50 covers collated filter/DISTINCT;

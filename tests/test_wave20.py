@@ -118,6 +118,49 @@ def test_r51_analyze_is_polymorphic_across_arguments(spark):
     assert all(row["w3"] is None for row in r if row["n_words"] == 2)
 
 
+def test_x108_greedy_property_and_radius_monotone(spark):
+    """Direct recomputation of the farthest-point invariants: each
+    selected point is the true argmax of min-distance to the prior set
+    (ties to lowest id), and the coverage radius never increases."""
+    import math
+
+    from dwh_etl_framework_spark.operators.similarity import kcenter_greedy
+
+    t = fixtures(spark, SF_DIR)
+    pts = {
+        r["vec_id"]: list(r["embedding"])
+        for r in t.embeddings.limit(200).collect()
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<float>"
+    )
+    sel = kcenter_greedy(df, 5).collect()
+    assert [r["sel_rank"] for r in sel] == [1, 2, 3, 4, 5]
+    assert sel[0]["vec_id"] == min(pts) and sel[0]["covered_d2"] is None
+
+    def d2(a, b):
+        return sum(
+            math.floor(
+                (float(a[i]) - float(b[i])) * (float(a[i]) - float(b[i])) * 1e12
+            )
+            for i in range(len(a))
+        )
+
+    chosen = [sel[0]["vec_id"]]
+    for row in sel[1:]:
+        md = {
+            vid: min(d2(v, pts[c]) for c in chosen)
+            for vid, v in pts.items()
+            if vid not in chosen
+        }
+        best = max(md.values())
+        want_id = min(vid for vid, m in md.items() if m == best)
+        assert (row["vec_id"], row["covered_d2"]) == (want_id, best)
+        chosen.append(want_id)
+    radii = [r["covered_d2"] for r in sel[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
 def test_r51_word_columns_match_split(spark):
     t = fixtures(spark, SF_DIR)
     got = {r["p_partkey"]: (r["w1"], r["w2"])

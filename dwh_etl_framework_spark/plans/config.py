@@ -106,7 +106,10 @@ class TransformStep:
     #: ``broadcast_threshold_rows`` / ``rows_per_task`` / ``parallelism``
     #: / ``w`` / ``left_state``/``right_state`` (CMS fold state dirs —
     #: serve the sketch from continuously maintained state instead of
-    #: rescanning the input on every run; see streaming/distinct.py).
+    #: rescanning the input on every run; see streaming/distinct.py)
+    #: / ``left_table``/``right_table`` (landed table paths — serve the
+    #: sketch from the ``_sketches/`` metadata a ``landing`` block with
+    #: ``sketch_keys`` wrote, zero scans; see sources/sinks.py).
     #: Before the SQL runs, the step derives a
     #: :class:`~dwh_etl_framework_spark.operators.sketch.JoinDecision`
     #: from the two sketches and re-registers the views under the decided

@@ -102,10 +102,27 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
         return df if df is not None else ctx.spark.table(name)
 
     def sketch(
-        name: str, key: str, state_dir: str | None, w: int
+        name: str, key: str, state_dir: str | None, w: int,
+        table_path: str | None = None,
     ) -> tuple[DataFrame, int | None]:
         """Returns ``(counter_table, width)``; width is ``None`` only for
-        legacy state written before widths were persisted."""
+        legacy state written before widths were persisted. Three sketch
+        sources, in precedence order: a landed table's ``_sketches/``
+        metadata (``left_table``/``right_table`` — zero scans, the F17
+        sink tier), a CMS fold state dir (``left_state``/``right_state``
+        — the streaming tier), else an inline one-pass scan sketch."""
+        if table_path is not None:
+            from dwh_etl_framework_spark.sources.sinks import read_table_sketch
+
+            sk, sw = read_table_sketch(ctx.spark, table_path, key)
+            if "w" in spec and int(spec["w"]) != sw:
+                raise ValueError(
+                    f"join_strategy asks w={spec['w']} but the landed "
+                    f"sketch for {name!r} ({table_path!r}) was written at "
+                    f"w={sw} — the 'w' option cannot re-width persisted "
+                    "counters"
+                )
+            return sk.localCheckpoint(eager=True), sw
         if state_dir is not None:
             from dwh_etl_framework_spark.streaming.distinct import (
                 cms_state_width,
@@ -138,8 +155,12 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
     left, right = spec["left"], spec["right"]
     lkey, rkey = spec["left_key"], spec["right_key"]
     w = int(spec.get("w", CMS_W))
-    lsk, lw = sketch(left, lkey, spec.get("left_state"), w)
-    rsk, rw = sketch(right, rkey, spec.get("right_state"), w)
+    lsk, lw = sketch(
+        left, lkey, spec.get("left_state"), w, spec.get("left_table")
+    )
+    rsk, rw = sketch(
+        right, rkey, spec.get("right_state"), w, spec.get("right_table")
+    )
     # width guard (ADVICE r10): cms_join_size inner-joins the two counter
     # tables on (r, col) — sketches at DIFFERENT widths silently drop
     # cells and UNDER-estimate the join size, violating the

@@ -210,6 +210,49 @@ def test_sketch_served_from_fold_state_matches_inline(spark, tmp_path):
     assert ctx.join_decisions["a"] == ctx.join_decisions["b"]
 
 
+def test_sketch_served_from_landed_table_metadata_matches_inline(spark, tmp_path):
+    """left_table/right_table serve the planner from a landed table's
+    _sketches/ metadata (the F17 sink tier) — decision equality with
+    the inline scan sketch, zero input scans at plan time."""
+    from dwh_etl_framework_spark.sources.sinks import write_table_with_sketches
+
+    ctx = _ctx(spark)
+    lp, pp = str(tmp_path / "li"), str(tmp_path / "pt")
+    write_table_with_sketches(
+        ctx.dataframes["li_hint"], lp, ["l_partkey"], mode="overwrite"
+    )
+    write_table_with_sketches(
+        ctx.dataframes["part_hint"], pp, ["p_partkey"], mode="overwrite"
+    )
+    base = {
+        "left": "li_hint",
+        "right": "part_hint",
+        "left_key": "l_partkey",
+        "right_key": "p_partkey",
+        "broadcast_threshold_rows": 10**9,
+    }
+    run_select_step(ctx, TransformStep(sql=JOIN_SQL, alias="inline", join_strategy=base))
+    run_select_step(
+        ctx,
+        TransformStep(
+            sql=JOIN_SQL,
+            alias="meta",
+            join_strategy={**base, "left_table": lp, "right_table": pp},
+        ),
+    )
+    assert ctx.join_decisions["inline"] == ctx.join_decisions["meta"]
+    # conflicting 'w' against the landed width raises, not silently ignored
+    with pytest.raises(ValueError, match="w=9999"):
+        run_select_step(
+            ctx,
+            TransformStep(
+                sql=JOIN_SQL,
+                alias="bad",
+                join_strategy={**base, "left_table": lp, "w": 9999},
+            ),
+        )
+
+
 def test_state_width_mismatch_raises_not_underestimates(spark, tmp_path):
     """ADVICE r10: cms_join_size inner-joins counter tables on (r, col);
     sketches at different widths silently drop cells and UNDER-estimate

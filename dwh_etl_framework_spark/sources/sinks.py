@@ -83,6 +83,8 @@ def write_table_with_sketches(
 
     from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
 
+    from dwh_etl_framework_spark.operators.sketch import hll_registers
+
     eff_w = int(w or CMS_W)
     write_table(df, path, fmt=fmt, mode=mode, **kwargs)
     for col in sketch_keys:
@@ -90,6 +92,14 @@ def write_table_with_sketches(
             "__cms_w", F.lit(eff_w)
         )
         sk.coalesce(1).write.mode(mode).parquet(f"{path}/{SKETCH_DIR}/{col}")
+        # NDV tier: per-key HLL registers (MAX-mergeable, so appended
+        # fragments merge-on-read like the CMS counters SUM). NDV feeds
+        # the System-R join-output estimate (:func:`ndv_join_estimate`)
+        # — the TIGHT companion to the CMS inner product's SAFE bound.
+        regs = hll_registers(df.select(col), [], col)
+        regs.coalesce(1).write.mode(mode).parquet(
+            f"{path}/{SKETCH_DIR}/{col}__hll"
+        )
 
 
 def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
@@ -110,6 +120,69 @@ def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
         F.sum("cnt").cast("long").alias("cnt")
     )
     return merged, int(widths[0])
+
+
+def read_table_ndv(spark, path: str, col: str) -> int:
+    """Approximate distinct count of a persisted key, merge-on-read:
+    MAX the HLL register fragments appended by successive writes, then
+    the all-integer estimate (``operators/sketch.hll_estimate`` — ~2%
+    at the configured register count). Never touches the data files."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import HLL_M, hll_estimate
+
+    raw = spark.read.parquet(f"{path}/{SKETCH_DIR}/{col}__hll")
+    merged = raw.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    row = hll_estimate(merged, []).first()
+    est = int(row["hll_estimate"])
+    # Flajolet's small-range (linear counting) correction: the raw
+    # estimator is biased below ~2.5m; with empty registers, m·ln(m/V)
+    # is the better estimate. Driver-side float math is fine here — the
+    # NDV is a costing statistic, not an oracle value (the oracled x84
+    # twin pins the integer-only raw formula instead).
+    empty = HLL_M - int(row["n_buckets_used"])
+    if est < 5 * HLL_M // 2 and empty > 0:
+        return int(round(HLL_M * math.log(HLL_M / empty)))
+    return est
+
+
+def ndv_join_estimate(
+    spark,
+    left_path: str,
+    left_key: str,
+    right_path: str,
+    right_key: str,
+) -> dict:
+    """The System-R uniform-containment join-output estimate from
+    persisted metadata alone: ``n_l · n_r / max(ndv_l, ndv_r)`` —
+    row counts recovered exactly from the CMS counters
+    (:func:`~dwh_etl_framework_spark.operators.sketch.cms_cardinality`),
+    distinct counts from the HLL tier.
+
+    Division of labor (NOTES r10 weakness #5): the CMS inner product
+    NEVER undercounts, so exchanges size from it; this estimate is
+    TIGHT on fact-fact joins where the inner-product bound is loose,
+    but assumes per-key uniformity and key containment, so it CAN
+    undercount under skew — use it for costing/comparison, never for
+    the never-undercounts exchange sizing."""
+    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
+
+    lsk, _ = read_table_sketch(spark, left_path, left_key)
+    rsk, _ = read_table_sketch(spark, right_path, right_key)
+    n_l = int(cms_cardinality(lsk).first()["n_rows"])
+    n_r = int(cms_cardinality(rsk).first()["n_rows"])
+    ndv_l = read_table_ndv(spark, left_path, left_key)
+    ndv_r = read_table_ndv(spark, right_path, right_key)
+    denom = max(ndv_l, ndv_r, 1)
+    return {
+        "n_left": n_l,
+        "n_right": n_r,
+        "ndv_left": ndv_l,
+        "ndv_right": ndv_r,
+        "est_join_rows_ndv": -(-n_l * n_r // denom),
+    }
 
 
 def decision_from_metadata(

@@ -128,3 +128,48 @@ def test_mixed_width_sketch_fragments_refused(spark, tmp_path):
     write_table_with_sketches(df, path, ["k"], mode="append", w=256)
     with pytest.raises(ValueError, match="mixed widths"):
         read_table_sketch(spark, path, "k")
+
+
+def test_ndv_tier_and_system_r_estimate(spark, tmp_path):
+    """The HLL NDV metadata (NOTES r10 weakness #5): appended register
+    fragments MAX-merge on read; per-key NDV lands within HLL error of
+    the exact distinct count; and the System-R estimate from metadata
+    alone is TIGHT on the dim join where the CMS inner-product bound is
+    loose — while the CMS bound stays one-sided safe."""
+    from dwh_etl_framework_spark.operators.sketch import cms_join_size
+    from dwh_etl_framework_spark.sources.sinks import (
+        ndv_join_estimate,
+        read_table_ndv,
+        read_table_sketch,
+        write_table_with_sketches,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    lp, pp = str(tmp_path / "li"), str(tmp_path / "pt")
+    # append in two fragments to exercise the merge-on-read path
+    half = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    rest = lineitem.filter(F.col("l_orderkey") % 2 != 0)
+    write_table_with_sketches(half, lp, ["l_partkey"], mode="append")
+    write_table_with_sketches(rest, lp, ["l_partkey"], mode="append")
+    write_table_with_sketches(part, pp, ["p_partkey"], mode="overwrite")
+
+    exact_ndv = lineitem.select("l_partkey").distinct().count()
+    got_ndv = read_table_ndv(spark, lp, "l_partkey")
+    # m=64 registers → ~13% standard error; 3σ bound (the NDV is a
+    # costing statistic, not an oracle value)
+    assert abs(got_ndv - exact_ndv) <= max(5, 0.4 * exact_ndv)
+
+    est = ndv_join_estimate(spark, lp, "l_partkey", pp, "p_partkey")
+    assert est["n_left"] == lineitem.count()
+    assert est["n_right"] == part.count()
+    exact_join = lineitem.join(
+        part, lineitem.l_partkey == part.p_partkey
+    ).count()
+    # System-R: tight (within 2x either way on the uniform fixture)
+    assert exact_join / 2 <= est["est_join_rows_ndv"] <= exact_join * 2
+    # CMS: one-sided safe, and looser than the NDV estimate's error
+    lsk, _ = read_table_sketch(spark, lp, "l_partkey")
+    rsk, _ = read_table_sketch(spark, pp, "p_partkey")
+    cms_est = cms_join_size(lsk, rsk).first()["est_join_size"]
+    assert cms_est >= exact_join

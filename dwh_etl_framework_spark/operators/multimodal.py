@@ -16,9 +16,11 @@ Two tiers:
   header length or channel stride breaks the driver hash.
 - **Compressed codecs stay env-blocked**: JPEG/PNG/MP3/H.264 need
   libraries this container does not have, so `decode_media` keeps the
-  clearly-marked STUB: ``fake=True`` (default) produces a deterministic
-  byte-statistics fake; ``fake=False`` raises NotImplementedError at the
-  exact spot a real ``PIL.Image.open``/``soundfile.read`` call goes.
+  clearly-marked STUB behind a REQUIRED explicit choice: ``fake=True``
+  produces a deterministic byte-statistics fake, ``fake=False`` raises
+  NotImplementedError at the exact spot a real ``PIL.Image.open``/
+  ``soundfile.read`` call goes, and omitting the flag raises ValueError
+  (no silent stub features).
 """
 
 from __future__ import annotations

@@ -742,10 +742,15 @@ def kcenter_greedy(
         raise ValueError("k must be >= 1")
     spark = df.sparkSession
     pts = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    n = pts.count()
+    if n < k:
+        raise ValueError(
+            f"kcenter_greedy asked for k={k} centers from {n} points — "
+            "a smaller corpus cannot yield k distinct selections"
+        )
     seed = pts.orderBy(F.col(id_col).asc()).first()
-    if seed is None:
-        raise ValueError("kcenter_greedy on an empty input")
     dim = len(seed[vec_col])
+    id_type = dict(pts.dtypes)[id_col]
 
     def d2_to(center) -> F.Column:
         terms = []
@@ -760,14 +765,20 @@ def kcenter_greedy(
         return total
 
     selected = [(1, seed[id_col], None)]
-    cur = pts.withColumn("__md", d2_to(seed[vec_col]))
+    # selected ids leave the candidate pool (duplicate POINTS at
+    # distance 0 may still be chosen — correct greedy behavior — but an
+    # already-selected ID must never repeat; without the filter an
+    # all-zero tail would re-pick the seed, review r11)
+    cur = pts.filter(F.col(id_col) != F.lit(seed[id_col])).withColumn(
+        "__md", d2_to(seed[vec_col])
+    )
     for rank in range(2, k + 1):
         cur = cur.localCheckpoint(eager=True)
         nxt = cur.orderBy(F.col("__md").desc(), F.col(id_col).asc()).first()
         selected.append((rank, nxt[id_col], int(nxt["__md"])))
-        cur = cur.withColumn(
+        cur = cur.filter(F.col(id_col) != F.lit(nxt[id_col])).withColumn(
             "__md", F.least(F.col("__md"), d2_to(nxt[vec_col]))
         )
     return spark.createDataFrame(
-        selected, f"sel_rank int, {id_col} long, covered_d2 long"
+        selected, f"sel_rank int, {id_col} {id_type}, covered_d2 long"
     )

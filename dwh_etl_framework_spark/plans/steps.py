@@ -101,16 +101,16 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
         df = ctx.dataframes.get(name)
         return df if df is not None else ctx.spark.table(name)
 
-    def sketch(
-        name: str, key: str, state_dir: str | None, w: int,
-        table_path: str | None = None,
-    ) -> tuple[DataFrame, int | None]:
-        """Returns ``(counter_table, width)``; width is ``None`` only for
-        legacy state written before widths were persisted. Three sketch
-        sources, in precedence order: a landed table's ``_sketches/``
-        metadata (``left_table``/``right_table`` — zero scans, the F17
-        sink tier), a CMS fold state dir (``left_state``/``right_state``
-        — the streaming tier), else an inline one-pass scan sketch."""
+    def persisted_sketch(
+        name: str, key: str, state_dir: str | None, table_path: str | None
+    ) -> tuple[DataFrame, int | None] | None:
+        """Load a side's PERSISTED sketch — a landed table's
+        ``_sketches/`` metadata (``left_table``/``right_table``, zero
+        scans, the F17 sink tier) or a CMS fold state dir
+        (``left_state``/``right_state``, the streaming tier). Returns
+        ``None`` when the side has no persisted source (inline scan);
+        width is ``None`` only for legacy state written before widths
+        were persisted."""
         if table_path is not None:
             from dwh_etl_framework_spark.sources.sinks import read_table_sketch
 
@@ -145,21 +145,37 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
                     "the 'w' option cannot re-width persisted counters"
                 )
             return sk, sw
-        return (
-            cms_sketch(resolve(name).select(key), key, w).localCheckpoint(
-                eager=True
-            ),
-            w,
-        )
+        return None
 
     left, right = spec["left"], spec["right"]
     lkey, rkey = spec["left_key"], spec["right_key"]
-    w = int(spec.get("w", CMS_W))
-    lsk, lw = sketch(
-        left, lkey, spec.get("left_state"), w, spec.get("left_table")
+    # Phase 1: load any persisted sketches and learn their widths, so an
+    # inline-scanned side can ADOPT a persisted width instead of
+    # hard-failing on a perfectly satisfiable config (review r11: a
+    # landed w=64 table + a plain view used to raise 're-fold one side'
+    # although the inline sketch is computed fresh and could simply be
+    # built at 64).
+    lp = persisted_sketch(left, lkey, spec.get("left_state"), spec.get("left_table"))
+    rp = persisted_sketch(right, rkey, spec.get("right_state"), spec.get("right_table"))
+    known = [p[1] for p in (lp, rp) if p is not None and p[1] is not None]
+    if "w" in spec:
+        w = int(spec["w"])
+    elif known:
+        w = known[0]  # two conflicting knowns are caught by the guard below
+    else:
+        w = CMS_W
+    # Phase 2: inline sides sketch at the resolved width.
+    lsk, lw = lp if lp is not None else (
+        cms_sketch(resolve(left).select(lkey), lkey, w).localCheckpoint(
+            eager=True
+        ),
+        w,
     )
-    rsk, rw = sketch(
-        right, rkey, spec.get("right_state"), w, spec.get("right_table")
+    rsk, rw = rp if rp is not None else (
+        cms_sketch(resolve(right).select(rkey), rkey, w).localCheckpoint(
+            eager=True
+        ),
+        w,
     )
     # width guard (ADVICE r10): cms_join_size inner-joins the two counter
     # tables on (r, col) — sketches at DIFFERENT widths silently drop

@@ -432,17 +432,21 @@ scored AS (
 SELECT id,
        CAST(CASE WHEN candidate <> '' THEN 1 ELSE 0 END AS BIGINT)
            AS n_candidates,
-       CAST(CASE WHEN candidate <> ''
-                  AND {luhn_sum_sql("candidate", 16)} % 10 = 0
-                 THEN 1 ELSE 0 END AS BIGINT) AS luhn_valid,
+       CAST(CASE WHEN candidate = '' THEN 0
+                 WHEN {luhn_sum_sql("candidate", 16)} % 10 = 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS luhn_valid,
        allowlisted,
-       CASE WHEN candidate <> ''
-             AND {luhn_sum_sql("candidate", 16)} % 10 = 0
-             AND NOT allowlisted
+       CASE WHEN candidate = '' THEN text
+            WHEN {luhn_sum_sql("candidate", 16)} % 10 = 0
+                 AND NOT allowlisted
             THEN replace(text, candidate, '<CARD>')
             ELSE text END AS redacted
 FROM scored
 """
+# NOTE (review r11): the Luhn fold is guarded by a CASE *branch*, never a
+# bare AND conjunct — SQL engines may evaluate conjuncts vectorized
+# (non-lazily), and DuckDB's CAST(substring('', i, 1) AS INT) errors on
+# the rows with no 16-digit candidate; CASE is the portable lazy guard.
 
 
 @query("x107_pii_luhn_redaction", oracle=_X107_SQL)

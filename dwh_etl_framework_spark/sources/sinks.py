@@ -83,23 +83,37 @@ def write_table_with_sketches(
 
     from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
 
+    from pyspark.storagelevel import StorageLevel
+
     from dwh_etl_framework_spark.operators.sketch import hll_registers
 
     eff_w = int(w or CMS_W)
-    write_table(df, path, fmt=fmt, mode=mode, **kwargs)
-    for col in sketch_keys:
-        sk = cms_sketch(df.select(col), col, eff_w).withColumn(
-            "__cms_w", F.lit(eff_w)
-        )
-        sk.coalesce(1).write.mode(mode).parquet(f"{path}/{SKETCH_DIR}/{col}")
-        # NDV tier: per-key HLL registers (MAX-mergeable, so appended
-        # fragments merge-on-read like the CMS counters SUM). NDV feeds
-        # the System-R join-output estimate (:func:`ndv_join_estimate`)
-        # — the TIGHT companion to the CMS inner product's SAFE bound.
-        regs = hll_registers(df.select(col), [], col)
-        regs.coalesce(1).write.mode(mode).parquet(
-            f"{path}/{SKETCH_DIR}/{col}__hll"
-        )
+    # One materialization serves the table write AND every sketch pass:
+    # without it, each cms/hll build re-executes the DataFrame's full
+    # lineage (2 extra passes per key — a landed master's whole merge
+    # plan, multiplied), and a non-deterministic upstream could make the
+    # sketches describe different data than was landed (review r11).
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write_table(df, path, fmt=fmt, mode=mode, **kwargs)
+        for col in sketch_keys:
+            sk = cms_sketch(df.select(col), col, eff_w).withColumn(
+                "__cms_w", F.lit(eff_w)
+            )
+            sk.coalesce(1).write.mode(mode).parquet(
+                f"{path}/{SKETCH_DIR}/{col}"
+            )
+            # NDV tier: per-key HLL registers (MAX-mergeable, so appended
+            # fragments merge-on-read like the CMS counters SUM). NDV
+            # feeds the System-R join-output estimate
+            # (:func:`ndv_join_estimate`) — the TIGHT companion to the
+            # CMS inner product's SAFE bound.
+            regs = hll_registers(df.select(col), [], col)
+            regs.coalesce(1).write.mode(mode).parquet(
+                f"{path}/{SKETCH_DIR}/{col}__hll"
+            )
+    finally:
+        df.unpersist()
 
 
 def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:

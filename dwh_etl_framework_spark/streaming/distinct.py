@@ -258,7 +258,15 @@ def update_cms(
             .groupBy("r", "col")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    return merged.withColumn("__cms_w", F.lit(eff))
+    # Only certify a width we actually KNOW covers the whole state: a
+    # legacy width-less state merged with a new contribution could have
+    # been built at any width, and stamping the contribution's width
+    # onto it would falsely certify the merged counters (review r11) —
+    # leave such state width-less so the plans/steps guard keeps using
+    # its conservative max-col probe.
+    if stored_w is not None or state_counters is None:
+        return merged.withColumn("__cms_w", F.lit(eff))
+    return merged
 
 
 def fold_cms_batch(

@@ -179,8 +179,12 @@ def erase_keys(
         )
 
 
+#: fallback stamp base when there is no prior state to anchor above.
+_STAMP_EPOCH = __import__("datetime").datetime(2000, 1, 1)
+
+
 def stamp_batch_deterministic(
-    batch_df: DataFrame, transform_dt, batch_id: int
+    batch_df: DataFrame, transform_dt, batch_id: int, base=None
 ) -> DataFrame:
     """Re-delivery-safe journal stamps for streams that do NOT carry the
     ordering columns (ADVICE r10, medium): ``stamp_journal_columns`` uses
@@ -189,21 +193,33 @@ def stamp_batch_deterministic(
     DIFFERENT dedup keys and the fold's ``dropDuplicates`` on (PK,
     ORDER_COLS) would miss the replay, accumulating duplicate versions.
 
-    Here every stamp is a pure function of ``batch_id`` and row content:
+    Here every stamp is a pure function of (``base``, ``batch_id``, row
+    content):
 
-    - ``__load_dt``  = ``timestamp_seconds(batch_id)`` — monotone across
-      batches (preserving the arrival-order tiebreak the wall clock
-      gave), identical on replay;
+    - ``__load_dt``  = ``base + batch_id seconds`` — monotone across
+      batches within a generation, identical on replay. ``base`` is the
+      GENERATION anchor (:func:`resolve_stamp_base`): batch ids restart
+      at 0 on a fresh checkpoint, and an absolute epoch would also sort
+      below any wall-clock-stamped legacy state, so the anchor must sit
+      above everything already folded (review r11);
     - ``__transform_dt`` = caller-fixed ``transform_dt``, a per-row
       event-time column if the stream carries one, else the batch stamp;
     - ``__seqno`` = ``xxhash64(batch_id, <row content>)`` — identical on
       replay; rows with identical content in one batch collapse to one
-      version (the only honest semantic for an unordered stream: with no
-      ordering info, an identical payload IS the same version).
+      version. CAVEAT (documented, review r11): when ONE micro-batch
+      carries several DISTINCT versions of the same key, their relative
+      order is content-deterministic, NOT arrival order — an unordered
+      stream carries no replay-stable arrival signal (partition order
+      may differ across executions). Callers that need true in-batch
+      ordering must ship ordering columns on the stream.
 
     The structural-idempotence claim in the module docstring therefore
     holds on the stamped path too, with no batch-id guard state."""
-    bdt = F.timestamp_seconds(F.lit(int(batch_id)))
+    from datetime import timedelta
+
+    bdt = F.lit(
+        (base or _STAMP_EPOCH) + timedelta(seconds=int(batch_id))
+    ).cast("timestamp")
     if transform_dt is not None:
         tdt = F.lit(transform_dt).cast("timestamp")
     elif "__transform_dt" in batch_df.columns:
@@ -220,6 +236,46 @@ def stamp_batch_deterministic(
     return df
 
 
+def resolve_stamp_base(spark, state: StreamMasterState, meta: StreamMasterState,
+                       run_id: str):
+    """The stamp anchor for one checkpoint GENERATION of a stamped
+    stream (review r11): chosen once per (state, run_id) as one hour
+    past everything already in the state AND past the previous
+    generation's anchor, then persisted in the ``meta`` sidecar — so
+
+    - re-delivery within a generation reads the SAME anchor (stamps are
+      pure functions again → the fold stays idempotent);
+    - a fresh checkpoint (new run_id, batch ids restart at 0) stamps
+      strictly ABOVE every previously folded version — no inversion;
+    - legacy state stamped by wall clock sorts BELOW the new anchor for
+      the same reason (the anchor clears its max).
+
+    Crash windows: the meta write precedes the fold, so a crash between
+    them re-reads the same anchor on re-delivery; a crash after the
+    fold re-delivers with the same anchor and the dedup absorbs it."""
+    from datetime import timedelta
+
+    stored_meta = meta.read()
+    prev_base = None
+    if stored_meta is not None:
+        row = stored_meta.first()
+        if row["run_id"] == run_id:
+            return row["base"]
+        prev_base = row["base"]
+    base = _STAMP_EPOCH
+    stored = state.read()
+    if stored is not None and "__load_dt" in stored.columns:
+        mx = stored.agg(F.max("__load_dt").alias("m")).first()["m"]
+        if mx is not None:
+            base = max(base, mx + timedelta(hours=1))
+    if prev_base is not None:
+        base = max(base, prev_base + timedelta(hours=1))
+    meta.write(
+        spark.createDataFrame([(run_id, base)], "run_id string, base timestamp")
+    )
+    return base
+
+
 def stream_scd2(
     journal_stream: DataFrame,
     spec: JournalSpec,
@@ -231,15 +287,23 @@ def stream_scd2(
     """Start the availableNow foreachBatch query maintaining the SCD2
     state. Streams that already carry the journal ordering columns are
     folded as-is (event-time versioning); otherwise rows are stamped
-    deterministically from (batch_id, row content) — see
-    :func:`stamp_batch_deterministic` — so at-least-once re-delivery
-    produces byte-identical dedup keys even on the stamped path."""
+    deterministically from (generation anchor, batch_id, row content) —
+    see :func:`stamp_batch_deterministic` / :func:`resolve_stamp_base` —
+    so at-least-once re-delivery produces byte-identical dedup keys even
+    on the stamped path, and a fresh checkpoint or legacy wall-clock
+    state never inverts version order."""
+    meta = StreamMasterState(state.spark, f"{state.path}__stampmeta")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if all(c in batch_df.columns for c in ORDER_COLS):
             stamped = batch_df
         else:
-            stamped = stamp_batch_deterministic(batch_df, transform_dt, batch_id)
+            base = resolve_stamp_base(
+                state.spark, state, meta, run_id=checkpoint_dir
+            )
+            stamped = stamp_batch_deterministic(
+                batch_df, transform_dt, batch_id, base=base
+            )
         fold_scd2_batch(state, stamped, spec, tombstones=tombstones)
 
     return (

@@ -253,6 +253,36 @@ def test_sketch_served_from_landed_table_metadata_matches_inline(spark, tmp_path
         )
 
 
+def test_inline_side_adopts_persisted_width(spark, tmp_path):
+    """Review r11: a landed non-default-width table plus a plain inline
+    view is a satisfiable config — the inline sketch adopts the
+    persisted width instead of hard-failing on a width mismatch."""
+    from dwh_etl_framework_spark.sources.sinks import write_table_with_sketches
+
+    ctx = _ctx(spark)
+    lp = str(tmp_path / "li64")
+    write_table_with_sketches(
+        ctx.dataframes["li_hint"], lp, ["l_partkey"], mode="overwrite", w=64
+    )
+    step = TransformStep(
+        sql=JOIN_SQL,
+        alias="adopt",
+        join_strategy={
+            "left": "li_hint",
+            "right": "part_hint",
+            "left_key": "l_partkey",
+            "right_key": "p_partkey",
+            "left_table": lp,  # persisted at w=64; right side scans inline
+            "broadcast_threshold_rows": 10**9,
+        },
+    )
+    run_select_step(ctx, step)
+    d = ctx.join_decisions["adopt"]
+    # exact cardinalities are width-independent — both recovered
+    assert d.n_left == ctx.dataframes["li_hint"].count()
+    assert d.n_right == ctx.dataframes["part_hint"].count()
+
+
 def test_state_width_mismatch_raises_not_underestimates(spark, tmp_path):
     """ADVICE r10: cms_join_size inner-joins counter tables on (r, col);
     sketches at different widths silently drop cells and UNDER-estimate

@@ -205,10 +205,16 @@ def test_change_feed_from_state_none_before_first_batch(spark, tmp_path):
 
 def test_stamped_path_redelivery_is_idempotent(spark, tmp_path):
     """ADVICE r10 (medium): a stream WITHOUT journal ordering columns is
-    stamped per batch; re-delivering a micro-batch (fresh checkpoint,
-    at-least-once foreachBatch) must be a no-op — which requires the
-    stamps to be pure functions of (batch_id, row content), not
-    current_timestamp()/monotonically_increasing_id()."""
+    stamped per batch; re-delivering a micro-batch within ONE checkpoint
+    generation (at-least-once foreachBatch after a crash) must be a
+    no-op — stamps are pure functions of (generation anchor, batch_id,
+    row content), not current_timestamp()/monotonically_increasing_id()."""
+    from dwh_etl_framework_spark.streaming.scd2 import (
+        fold_scd2_batch,
+        resolve_stamp_base,
+        stamp_batch_deterministic,
+    )
+
     raw_schema = "account_id long, balance double"
     rows = [(k, float(v)) for k in range(8) for v in (10 * k, 10 * k + 1)]
     slices = _slices(rows, 2)
@@ -223,32 +229,123 @@ def test_stamped_path_redelivery_is_idempotent(spark, tmp_path):
                 os.utime(os.path.join(root, f_), (1_000_000 + i,) * 2)
         os.utime(path, (1_000_000 + i,) * 2)
     state = StreamMasterState(spark, str(tmp_path / "scd2"))
-
-    def run(ckpt):
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", True)
-            .parquet(src)
-        )
-        q = stream_scd2(stream, SPEC, state, str(tmp_path / ckpt))
-        q.awaitTermination(120)
-
-    run("ckpt1")
+    ckpt = str(tmp_path / "ckpt1")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    stream_scd2(stream, SPEC, state, ckpt).awaitTermination(120)
     before = _interval_set(current_scd2(state))
-    # every key got exactly one open interval, and both versions landed
     got = current_scd2(state)
     assert got.count() == len(rows)
     opens = got.filter(F.col("is_current")).groupBy("account_id").count()
     assert opens.filter(F.col("count") != 1).count() == 0
-    # fresh checkpoint: every file re-delivers with the SAME batch ids
-    run("ckpt2")
+    # crash re-execution: SAME generation (run_id = the checkpoint dir),
+    # same batch ids, same content — the anchor comes back identical
+    # from the meta sidecar, so the fold absorbs every replayed batch
+    meta = StreamMasterState(spark, f"{state.path}__stampmeta")
+    for bid, s in enumerate(slices):
+        base = resolve_stamp_base(spark, state, meta, run_id=ckpt)
+        replay = stamp_batch_deterministic(
+            spark.createDataFrame(s, raw_schema), None, bid, base=base
+        )
+        fold_scd2_batch(state, replay, SPEC)
     assert _interval_set(current_scd2(state)) == before
 
 
+def test_stamped_fresh_generation_sorts_above_prior_state(spark, tmp_path):
+    """Review r11: batch ids restart at 0 on a fresh checkpoint, and a
+    naive epoch stamp would sort the NEW data below the stored versions
+    (silent inversion — the stale row stays current). The generation
+    anchor must put every new-generation stamp strictly above the
+    state's max."""
+    from dwh_etl_framework_spark.streaming.scd2 import (
+        fold_scd2_batch,
+        resolve_stamp_base,
+        stamp_batch_deterministic,
+    )
+
+    raw_schema = "account_id long, balance double"
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    meta = StreamMasterState(spark, f"{state.path}__stampmeta")
+    # generation 1 (ckptA): initial balances, batches 0..1
+    for bid, vals in enumerate([[(k, 1.0) for k in range(4)],
+                                [(k, 2.0) for k in range(4)]]):
+        base = resolve_stamp_base(spark, state, meta, run_id="ckptA")
+        fold_scd2_batch(
+            state,
+            stamp_batch_deterministic(
+                spark.createDataFrame(vals, raw_schema), None, bid, base=base
+            ),
+            SPEC,
+        )
+    # generation 2 (fresh checkpoint ckptB, batch ids restart at 0):
+    # updated balances must become CURRENT, not history
+    base2 = resolve_stamp_base(spark, state, meta, run_id="ckptB")
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame([(k, 9.0) for k in range(4)], raw_schema),
+            None, 0, base=base2,
+        ),
+        SPEC,
+    )
+    cur = current_scd2(state).filter(F.col("is_current"))
+    assert {(r["account_id"], r["balance"]) for r in cur.collect()} == {
+        (k, 9.0) for k in range(4)
+    }
+    # history depth: 3 versions per key survive
+    assert current_scd2(state).count() == 12
+    # re-delivering gen-2's batch (same run_id) is still a no-op
+    before = _interval_set(current_scd2(state))
+    base2b = resolve_stamp_base(spark, state, meta, run_id="ckptB")
+    assert base2b == base2
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame([(k, 9.0) for k in range(4)], raw_schema),
+            None, 0, base=base2b,
+        ),
+        SPEC,
+    )
+    assert _interval_set(current_scd2(state)) == before
+
+
+def test_stamped_path_sorts_above_wallclock_legacy_state(spark, tmp_path):
+    """Review r11: state folded by the OLD wall-clock stamps (~today)
+    must not shadow new deterministic stamps — the anchor clears the
+    legacy max, so a new version becomes current."""
+    from dwh_etl_framework_spark.operators.merge import stamp_journal_columns
+    from dwh_etl_framework_spark.streaming.scd2 import (
+        fold_scd2_batch,
+        resolve_stamp_base,
+        stamp_batch_deterministic,
+    )
+
+    raw_schema = "account_id long, balance double"
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    meta = StreamMasterState(spark, f"{state.path}__stampmeta")
+    legacy = stamp_journal_columns(
+        spark.createDataFrame([(1, 100.0)], raw_schema), None
+    )  # current_timestamp ≈ today
+    fold_scd2_batch(state, legacy, SPEC)
+    base = resolve_stamp_base(spark, state, meta, run_id="ckptNew")
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame([(1, 200.0)], raw_schema), None, 0, base=base
+        ),
+        SPEC,
+    )
+    cur = current_scd2(state).filter(F.col("is_current")).collect()
+    assert [(r["account_id"], r["balance"]) for r in cur] == [(1, 200.0)]
+
+
 def test_stamp_batch_deterministic_is_pure(spark):
-    """Same (batch_id, rows) → byte-identical stamps; different batch_id
-    → different __load_dt (cross-batch ordering preserved)."""
+    """Same (base, batch_id, rows) → byte-identical stamps; a later
+    batch_id → a later __load_dt (cross-batch ordering preserved)."""
     from dwh_etl_framework_spark.streaming.scd2 import stamp_batch_deterministic
 
     df = spark.createDataFrame(

@@ -165,6 +165,33 @@ def test_x107_plan_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_x107_luhn_guard_survives_rows_without_candidates(spark, ddb):
+    """Review r11: the Luhn fold must sit inside a CASE branch, not a
+    bare AND conjunct — DuckDB evaluates conjuncts vectorized, so
+    CAST(substring('', i, 1) AS INT) on candidate-less rows would error.
+    Probe both engines over a corpus where half the rows carry no
+    16-digit candidate."""
+    from dwh_etl_framework_spark.queries.wave19 import luhn_sum_sql
+
+    sql = f"""
+    WITH rows_t AS (
+        SELECT 'card 4111111111111111 x' AS text
+        UNION ALL SELECT 'no digits here'
+    ),
+    scored AS (
+        SELECT text, regexp_extract(text, '[0-9]{{16}}', 0) AS candidate
+        FROM rows_t
+    )
+    SELECT CAST(CASE WHEN candidate = '' THEN 0
+                WHEN {luhn_sum_sql("candidate", 16)} % 10 = 0 THEN 1
+                ELSE 0 END AS BIGINT) AS luhn_valid
+    FROM scored ORDER BY luhn_valid
+    """
+    got_spark = [r["luhn_valid"] for r in spark.sql(sql).collect()]
+    got_duck = [r[0] for r in ddb.sql(sql).fetchall()]
+    assert got_spark == got_duck == [0, 1]  # 4111... is the classic valid test PAN
+
+
 def test_x107_three_outcomes(spark):
     """Checksum-valid + not allowlisted → redacted; checksum-invalid →
     verbatim; valid-but-allowlisted → verbatim. Validated against an

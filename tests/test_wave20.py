@@ -118,6 +118,25 @@ def test_r51_analyze_is_polymorphic_across_arguments(spark):
     assert all(row["w3"] is None for row in r if row["n_words"] == 2)
 
 
+def test_x108_guards_small_corpus_and_never_repeats_ids(spark):
+    """Review r11: k > n raises instead of silently padding; an
+    all-duplicates corpus (every distance 0) still yields k DISTINCT
+    ids with covered_d2 = 0 — never a re-selected center."""
+    import pytest as _pytest
+
+    from dwh_etl_framework_spark.operators.similarity import kcenter_greedy
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="k=10"):
+        kcenter_greedy(dup, 10)
+    sel = kcenter_greedy(dup, 4).collect()
+    assert [r["vec_id"] for r in sel] == [0, 1, 2, 3]
+    assert all(r["covered_d2"] == 0 for r in sel[1:])
+
+
 def test_x108_greedy_property_and_radius_monotone(spark):
     """Direct recomputation of the farthest-point invariants: each
     selected point is the true argmax of min-distance to the prior set

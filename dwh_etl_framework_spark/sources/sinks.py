@@ -136,6 +136,33 @@ def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
     return merged, int(widths[0])
 
 
+def subtract_table_sketch(spark, path: str, erased: DataFrame, col: str) -> None:
+    """Keep the CMS metadata EXACT through a right-to-erasure rewrite
+    (the f36 path): CMS counters are LINEAR, so deleting rows folds in
+    as a NEGATIVE fragment — appended like any other write, summed on
+    read — and ``cms_cardinality``/``cms_join_size`` keep describing
+    exactly the surviving rows with no rescan.
+
+    The HLL NDV tier is NOT subtractable (MAX registers only grow), so
+    its fragments are REMOVED here — a reader then fails loudly on the
+    missing dir instead of serving a stale overcount; re-land the table
+    (or next full overwrite) rebuilds it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import cms_sketch
+
+    _, w = read_table_sketch(spark, path, col)
+    neg = (
+        cms_sketch(erased.select(col), col, w)
+        .withColumn("cnt", -F.col("cnt"))
+        .withColumn("__cms_w", F.lit(w))
+    )
+    neg.coalesce(1).write.mode("append").parquet(f"{path}/{SKETCH_DIR}/{col}")
+    shutil.rmtree(f"{path}/{SKETCH_DIR}/{col}__hll", ignore_errors=True)
+
+
 def read_table_ndv(spark, path: str, col: str) -> int:
     """Approximate distinct count of a persisted key, merge-on-read:
     MAX the HLL register fragments appended by successive writes, then

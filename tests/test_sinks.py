@@ -173,3 +173,51 @@ def test_ndv_tier_and_system_r_estimate(spark, tmp_path):
     rsk, _ = read_table_sketch(spark, pp, "p_partkey")
     cms_est = cms_join_size(lsk, rsk).first()["est_join_size"]
     assert cms_est >= exact_join
+
+
+def test_erasure_subtracts_cms_exactly_and_invalidates_ndv(spark, tmp_path):
+    """Right-to-erasure against the metadata tier: a negative CMS
+    fragment keeps cardinality and the join-size bound describing
+    EXACTLY the surviving rows (counters are linear); the HLL tier
+    cannot subtract, so its fragments are removed and a reader fails
+    loudly instead of overcounting."""
+    import pytest
+
+    from dwh_etl_framework_spark.operators.sketch import (
+        cms_cardinality,
+        cms_sketch,
+    )
+    from dwh_etl_framework_spark.sources.sinks import (
+        read_table_ndv,
+        read_table_sketch,
+        subtract_table_sketch,
+        write_table_with_sketches,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lp = str(tmp_path / "li")
+    write_table_with_sketches(lineitem, lp, ["l_partkey"], mode="overwrite")
+    erased = lineitem.filter(F.col("l_partkey") % 7 == 0)
+    survivors = lineitem.filter(F.col("l_partkey") % 7 != 0)
+    subtract_table_sketch(spark, lp, erased, "l_partkey")
+
+    merged, w = read_table_sketch(spark, lp, "l_partkey")
+    assert (
+        cms_cardinality(merged).first()["n_rows"] == survivors.count()
+    )
+    # the subtracted sketch equals the survivors' sketch bit-for-bit
+    # on every populated cell (zero-count cells may linger as rows)
+    want = {
+        (r["r"], r["col"]): r["cnt"]
+        for r in cms_sketch(
+            survivors.select("l_partkey"), "l_partkey", w
+        ).collect()
+    }
+    got = {
+        (r["r"], r["col"]): r["cnt"]
+        for r in merged.collect()
+        if r["cnt"] != 0
+    }
+    assert got == want
+    with pytest.raises(Exception):
+        read_table_ndv(spark, lp, "l_partkey")

@@ -192,6 +192,32 @@ def test_x107_luhn_guard_survives_rows_without_candidates(spark, ddb):
     assert got_spark == got_duck == [0, 1]  # 4111... is the classic valid test PAN
 
 
+def test_x107_luhn_sql_matches_reference_python_on_random_pans(spark):
+    """Property check: the generated arithmetic Luhn SQL agrees with an
+    independent Python implementation on 200 seeded random 16-digit
+    strings (one vectorized Spark job, both verdict classes present)."""
+    import random
+
+    from dwh_etl_framework_spark.queries.wave19 import luhn_sum_sql
+
+    rng = random.Random(421)
+    pans = [
+        "".join(str(rng.randint(0, 9)) for _ in range(16)) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(p,) for p in pans], "candidate string")
+    df.createOrReplaceTempView("pans_t")
+    got = {
+        r["candidate"]: r["ok"]
+        for r in spark.sql(
+            f"SELECT candidate, {luhn_sum_sql('candidate', 16)} % 10 = 0 AS ok "
+            "FROM pans_t"
+        ).collect()
+    }
+    want = {p: _luhn_ok(p) for p in pans}
+    assert got == want
+    assert any(want.values()) and not all(want.values())
+
+
 def test_x107_three_outcomes(spark):
     """Checksum-valid + not allowlisted → redacted; checksum-invalid →
     verbatim; valid-but-allowlisted → verbatim. Validated against an

@@ -213,6 +213,56 @@ def x108_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_greedy(t.embeddings, _X108_K)
 
 
+def _f38_oracle() -> str:
+    from dwh_etl_framework_spark.queries.wave17 import _JOINS, _decision_sql_one
+
+    return _decision_sql_one(*_JOINS[0])
+
+
+@query("f38_metadata_join_decision", oracle=_f38_oracle())
+def f38_metadata_join_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17+planner composition: the x105 broadcast-vs-shuffle decision
+    served ENTIRELY from landed table metadata — both sides' sketches
+    are written at sink time (``sources/sinks.write_table_with_sketches``,
+    the ``landing: sketch_keys`` config surface), read back merge-on-
+    read, and fed to the same ``decision_table`` plan. The oracle is
+    x105's SQL for the identical join computed from the RAW tables, so
+    one driver hash certifies the whole persistence loop: fragment
+    write, underscore-dir invisibility, SUM merge-on-read, width
+    round-trip, and the decision arithmetic.
+
+    Scale shape: after the one-time landing, the decision costs two
+    ≤ d·w counter-table reads — at 100 TB neither input is scanned; a
+    per-day landed warehouse answers broadcast-vs-shuffle for any join
+    from metadata alone."""
+    import tempfile
+
+    from dwh_etl_framework_spark.queries.wave16 import JOINSIZE_W
+    from dwh_etl_framework_spark.queries.wave17 import decision_table
+    from dwh_etl_framework_spark.sources.sinks import (
+        read_table_sketch,
+        write_table_with_sketches,
+    )
+
+    t = fixtures(spark, sf_dir)
+    base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f38"
+    write_table_with_sketches(
+        t.lineitem, f"{base}/lineitem", ["l_partkey"],
+        mode="overwrite", w=JOINSIZE_W,
+    )
+    write_table_with_sketches(
+        t.part, f"{base}/part", ["p_partkey"],
+        mode="overwrite", w=JOINSIZE_W,
+    )
+    lsk, _ = read_table_sketch(spark, f"{base}/lineitem", "l_partkey")
+    rsk, _ = read_table_sketch(spark, f"{base}/part", "p_partkey")
+    return decision_table(
+        lsk.localCheckpoint(eager=True),
+        rsk.localCheckpoint(eager=True),
+        "lineitem_part",
+    )
+
+
 #: r52 — collated JOIN keys: the equi-join plans as a hash-family join
 #: (SortMergeJoin — probed, NOT a nested loop) even though key
 #: equality is case-insensitive. r50 covers collated filter/DISTINCT;

@@ -741,12 +741,20 @@ def kcenter_greedy(
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = df.sparkSession
-    pts = df.select(id_col, vec_col).localCheckpoint(eager=True)
-    n = pts.count()
+    # NULL ids can neither be selected nor excluded (NULL != x is NULL),
+    # so they leave the pool up front; the feasibility guard counts
+    # DISTINCT ids — duplicate-id rows vanish together when their id is
+    # selected, so rows alone overstate the selectable pool (review r11)
+    pts = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = pts.select(id_col).distinct().count()
     if n < k:
         raise ValueError(
-            f"kcenter_greedy asked for k={k} centers from {n} points — "
-            "a smaller corpus cannot yield k distinct selections"
+            f"kcenter_greedy asked for k={k} centers from {n} distinct "
+            "non-null ids — a smaller pool cannot yield k selections"
         )
     seed = pts.orderBy(F.col(id_col).asc()).first()
     dim = len(seed[vec_col])

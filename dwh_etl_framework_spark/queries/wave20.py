@@ -235,6 +235,7 @@ def f38_metadata_join_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ d·w counter-table reads — at 100 TB neither input is scanned; a
     per-day landed warehouse answers broadcast-vs-shuffle for any join
     from metadata alone."""
+    import hashlib
     import tempfile
 
     from dwh_etl_framework_spark.queries.wave16 import JOINSIZE_W
@@ -245,7 +246,13 @@ def f38_metadata_join_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = fixtures(spark, sf_dir)
-    base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f38"
+    # path isolated per (sf_dir, session): a concurrent run at another
+    # scale factor (parity sweep + driver) must not overwrite these
+    # fragments mid-read (review r11)
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f38_{tag}"
     write_table_with_sketches(
         t.lineitem, f"{base}/lineitem", ["l_partkey"],
         mode="overwrite", w=JOINSIZE_W,

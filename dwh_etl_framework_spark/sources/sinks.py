@@ -123,7 +123,12 @@ def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
     different ``w`` do not merge — the plans/steps width guard)."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(f"{path}/{SKETCH_DIR}/{col}")
+    # recursive: erasure corrections live in erasure_<id> subdirectories
+    # (idempotent overwrite targets) next to the top-level fragments
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{path}/{SKETCH_DIR}/{col}")
+    )
     widths = [r["__cms_w"] for r in raw.select("__cms_w").distinct().collect()]
     if len(widths) != 1:
         raise ValueError(
@@ -136,31 +141,73 @@ def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
     return merged, int(widths[0])
 
 
-def subtract_table_sketch(spark, path: str, erased: DataFrame, col: str) -> None:
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def sketched_keys(spark, path: str) -> list[str]:
+    """The key columns a landed table carries sketches for (the
+    ``_sketches/`` child dirs, HLL siblings excluded)."""
+    fs, hpath = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}")
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and not st.getPath().getName().endswith("__hll")
+    )
+
+
+def subtract_table_sketch(
+    spark,
+    path: str,
+    erased: DataFrame,
+    erasure_id: str,
+    cols: list[str] | None = None,
+) -> None:
     """Keep the CMS metadata EXACT through a right-to-erasure rewrite
     (the f36 path): CMS counters are LINEAR, so deleting rows folds in
-    as a NEGATIVE fragment — appended like any other write, summed on
-    read — and ``cms_cardinality``/``cms_join_size`` keep describing
-    exactly the surviving rows with no rescan.
+    as a NEGATIVE fragment, summed on read — ``cms_cardinality`` /
+    ``cms_join_size`` keep describing exactly the surviving rows with
+    no rescan. By default EVERY sketched key is subtracted (a single
+    repaired column would leave the others overcounting erased rows).
 
-    The HLL NDV tier is NOT subtractable (MAX registers only grow), so
-    its fragments are REMOVED here — a reader then fails loudly on the
-    missing dir instead of serving a stale overcount; re-land the table
-    (or next full overwrite) rebuilds it."""
-    import shutil
+    Fail-closed + idempotent by construction (review r11):
 
+    - the non-subtractable HLL tier (MAX registers) is removed FIRST via
+      the Hadoop FS API (works on any filesystem; a failed delete
+      raises) — a crash mid-way leaves NDV readers failing loudly, never
+      serving erased keys;
+    - each negative fragment lands with ``mode("overwrite")`` in its own
+      ``erasure_<erasure_id>`` subdirectory, so re-running the same
+      erasure (crash recovery, at-least-once orchestration) REPLACES its
+      fragment instead of double-subtracting. ``erasure_id`` must
+      uniquely name the erasure batch (e.g. the request id)."""
     from pyspark.sql import functions as F
 
     from dwh_etl_framework_spark.operators.sketch import cms_sketch
 
-    _, w = read_table_sketch(spark, path, col)
-    neg = (
-        cms_sketch(erased.select(col), col, w)
-        .withColumn("cnt", -F.col("cnt"))
-        .withColumn("__cms_w", F.lit(w))
-    )
-    neg.coalesce(1).write.mode("append").parquet(f"{path}/{SKETCH_DIR}/{col}")
-    shutil.rmtree(f"{path}/{SKETCH_DIR}/{col}__hll", ignore_errors=True)
+    keys = cols if cols is not None else sketched_keys(spark, path)
+    if not keys:
+        raise ValueError(f"no sketched keys found under {path!r}")
+    for col in keys:
+        fs, hll = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}/{col}__hll")
+        if fs.exists(hll) and not fs.delete(hll, True):
+            raise IOError(
+                f"failed to remove the stale NDV tier at {hll} — aborting "
+                "before the CMS subtraction so metadata stays consistent"
+            )
+        _, w = read_table_sketch(spark, path, col)
+        neg = (
+            cms_sketch(erased.select(col), col, w)
+            .withColumn("cnt", -F.col("cnt"))
+            .withColumn("__cms_w", F.lit(w))
+        )
+        neg.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{SKETCH_DIR}/{col}/erasure_{erasure_id}"
+        )
 
 
 def read_table_ndv(spark, path: str, col: str) -> int:

@@ -250,28 +250,39 @@ def resolve_stamp_base(spark, state: StreamMasterState, meta: StreamMasterState,
     - legacy state stamped by wall clock sorts BELOW the new anchor for
       the same reason (the anchor clears its max).
 
+    The meta keeps EVERY generation's (run_id, base) row, not just the
+    latest (review r11): a replayed batch from an OLDER checkpoint
+    generation (failover script still pointing at a retired dir, or an
+    uncommitted last batch re-delivering) must find its ORIGINAL anchor
+    so its stamps reproduce byte-identically and the fold absorbs them —
+    a freshly minted anchor would stamp the stale payload ABOVE newer
+    generations' data.
+
     Crash windows: the meta write precedes the fold, so a crash between
     them re-reads the same anchor on re-delivery; a crash after the
     fold re-delivers with the same anchor and the dedup absorbs it."""
     from datetime import timedelta
 
     stored_meta = meta.read()
-    prev_base = None
+    prev_max = None
     if stored_meta is not None:
-        row = stored_meta.first()
-        if row["run_id"] == run_id:
-            return row["base"]
-        prev_base = row["base"]
+        mine = stored_meta.filter(F.col("run_id") == run_id).first()
+        if mine is not None:
+            return mine["base"]
+        prev_max = stored_meta.agg(F.max("base").alias("m")).first()["m"]
     base = _STAMP_EPOCH
     stored = state.read()
     if stored is not None and "__load_dt" in stored.columns:
         mx = stored.agg(F.max("__load_dt").alias("m")).first()["m"]
         if mx is not None:
             base = max(base, mx + timedelta(hours=1))
-    if prev_base is not None:
-        base = max(base, prev_base + timedelta(hours=1))
+    if prev_max is not None:
+        base = max(base, prev_max + timedelta(hours=1))
+    row = spark.createDataFrame(
+        [(run_id, base)], "run_id string, base timestamp"
+    )
     meta.write(
-        spark.createDataFrame([(run_id, base)], "run_id string, base timestamp")
+        row if stored_meta is None else stored_meta.unionByName(row)
     )
     return base
 
@@ -293,16 +304,21 @@ def stream_scd2(
     on the stamped path, and a fresh checkpoint or legacy wall-clock
     state never inverts version order."""
     meta = StreamMasterState(state.spark, f"{state.path}__stampmeta")
+    anchor: list = []  # memoized: constant for the whole run (one meta
+    # read instead of one per micro-batch, review r11)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if all(c in batch_df.columns for c in ORDER_COLS):
             stamped = batch_df
         else:
-            base = resolve_stamp_base(
-                state.spark, state, meta, run_id=checkpoint_dir
-            )
+            if not anchor:
+                anchor.append(
+                    resolve_stamp_base(
+                        state.spark, state, meta, run_id=checkpoint_dir
+                    )
+                )
             stamped = stamp_batch_deterministic(
-                batch_df, transform_dt, batch_id, base=base
+                batch_df, transform_dt, batch_id, base=anchor[0]
             )
         fold_scd2_batch(state, stamped, spec, tombstones=tombstones)
 

@@ -199,7 +199,10 @@ def test_erasure_subtracts_cms_exactly_and_invalidates_ndv(spark, tmp_path):
     write_table_with_sketches(lineitem, lp, ["l_partkey"], mode="overwrite")
     erased = lineitem.filter(F.col("l_partkey") % 7 == 0)
     survivors = lineitem.filter(F.col("l_partkey") % 7 != 0)
-    subtract_table_sketch(spark, lp, erased, "l_partkey")
+    subtract_table_sketch(spark, lp, erased, erasure_id="req1")
+    # idempotent: re-running the SAME erasure (crash recovery) replaces
+    # its fragment instead of double-subtracting
+    subtract_table_sketch(spark, lp, erased, erasure_id="req1")
 
     merged, w = read_table_sketch(spark, lp, "l_partkey")
     assert (
@@ -221,3 +224,29 @@ def test_erasure_subtracts_cms_exactly_and_invalidates_ndv(spark, tmp_path):
     assert got == want
     with pytest.raises(Exception):
         read_table_ndv(spark, lp, "l_partkey")
+
+
+def test_erasure_covers_every_sketched_key_by_default(spark, tmp_path):
+    """Review r11: repairing one column while others keep counting
+    erased rows is silent corruption — the default enumerates every
+    sketched key from the metadata dir."""
+    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
+    from dwh_etl_framework_spark.sources.sinks import (
+        read_table_sketch,
+        sketched_keys,
+        subtract_table_sketch,
+        write_table_with_sketches,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "o")
+    write_table_with_sketches(
+        orders, path, ["o_custkey", "o_orderkey"], mode="overwrite"
+    )
+    assert sketched_keys(spark, path) == ["o_custkey", "o_orderkey"]
+    erased = orders.filter(F.col("o_custkey") % 5 == 0)
+    survivors_n = orders.count() - erased.count()
+    subtract_table_sketch(spark, path, erased, erasure_id="gdpr-42")
+    for col in ("o_custkey", "o_orderkey"):
+        merged, _ = read_table_sketch(spark, path, col)
+        assert cms_cardinality(merged).first()["n_rows"] == survivors_n, col

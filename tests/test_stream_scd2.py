@@ -313,6 +313,57 @@ def test_stamped_fresh_generation_sorts_above_prior_state(spark, tmp_path):
     assert _interval_set(current_scd2(state)) == before
 
 
+def test_stamped_old_generation_replay_is_absorbed(spark, tmp_path):
+    """Review r11: a replayed batch from an OLDER checkpoint generation
+    (failover script pointing at a retired dir) must find its ORIGINAL
+    anchor in the multi-generation meta — a freshly minted anchor would
+    stamp the STALE payload above generation-2 data and resurrect it as
+    current."""
+    from dwh_etl_framework_spark.streaming.scd2 import (
+        fold_scd2_batch,
+        resolve_stamp_base,
+        stamp_batch_deterministic,
+    )
+
+    raw_schema = "account_id long, balance double"
+    state = StreamMasterState(spark, str(tmp_path / "scd2"))
+    meta = StreamMasterState(spark, f"{state.path}__stampmeta")
+    old_batch = [(k, 1.0) for k in range(3)]
+    baseA = resolve_stamp_base(spark, state, meta, run_id="ckptA")
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame(old_batch, raw_schema), None, 0, base=baseA
+        ),
+        SPEC,
+    )
+    baseB = resolve_stamp_base(spark, state, meta, run_id="ckptB")
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame([(k, 2.0) for k in range(3)], raw_schema),
+            None, 0, base=baseB,
+        ),
+        SPEC,
+    )
+    before = _interval_set(current_scd2(state))
+    # ckptA's batch 0 re-delivers AFTER generation B exists: the meta
+    # still holds ckptA's row, so the stamps reproduce and the fold
+    # absorbs the replay — balance 2.0 stays current
+    baseA2 = resolve_stamp_base(spark, state, meta, run_id="ckptA")
+    assert baseA2 == baseA
+    fold_scd2_batch(
+        state,
+        stamp_batch_deterministic(
+            spark.createDataFrame(old_batch, raw_schema), None, 0, base=baseA2
+        ),
+        SPEC,
+    )
+    assert _interval_set(current_scd2(state)) == before
+    cur = current_scd2(state).filter(F.col("is_current"))
+    assert {r["balance"] for r in cur.collect()} == {2.0}
+
+
 def test_stamped_path_sorts_above_wallclock_legacy_state(spark, tmp_path):
     """Review r11: state folded by the OLD wall-clock stamps (~today)
     must not shadow new deterministic stamps — the anchor clears the

@@ -135,6 +135,18 @@ def test_x108_guards_small_corpus_and_never_repeats_ids(spark):
     sel = kcenter_greedy(dup, 4).collect()
     assert [r["vec_id"] for r in sel] == [0, 1, 2, 3]
     assert all(r["covered_d2"] == 0 for r in sel[1:])
+    # duplicate-id rows vanish together when selected, and NULL ids
+    # leave the pool — the guard counts distinct non-null ids, so k=3
+    # over {1,1,2,2,NULL} raises instead of crashing mid-scan
+    messy = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (2, [2.0, 0.0]), (None, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="2 distinct"):
+        kcenter_greedy(messy, 3)
+    ok = kcenter_greedy(messy, 2).collect()
+    assert [r["vec_id"] for r in ok] == [1, 2]
 
 
 def test_x108_greedy_property_and_radius_monotone(spark):

@@ -58,6 +58,50 @@ def overwrite_table(df: DataFrame, path: str, fmt: str = "parquet", **kwargs) ->
 #: convention as ``_SUCCESS``/``_metadata``).
 SKETCH_DIR = "_sketches"
 
+#: commit-intent marker (``_sketches/_pending_<id>``): present from just
+#: before a sketched write's first side effect until every fragment has
+#: landed. Readers REFUSE while one exists — a crashed write can therefore
+#: never serve an undercounting sketch silently (ADVICE r11 #1).
+PENDING_PREFIX = "_pending_"
+
+#: erasure tombstone (``_sketches/<col>__hll_invalidated``): the HLL NDV
+#: tier is MAX-merge-only, so erasure removes it; the tombstone keeps a
+#: later append from quietly recreating a registers-cover-only-new-rows
+#: tier (ADVICE r11 #2). Cleared only by a full-scan rebuild or an
+#: overwrite (which wipes the whole table dir, tombstone included, and
+#: lands a complete fresh HLL).
+HLL_TOMBSTONE_SUFFIX = "__hll_invalidated"
+
+
+def _touch(spark, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.create(p, True).close()
+
+
+def _sketch_markers(spark, path: str) -> tuple[list[str], list[str]]:
+    """(pending write markers, HLL erasure tombstones) under _sketches/."""
+    fs, p = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}")
+    if not fs.exists(p):
+        return [], []
+    names = [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isFile()
+    ]
+    return (
+        sorted(n for n in names if n.startswith(PENDING_PREFIX)),
+        sorted(n for n in names if n.endswith(HLL_TOMBSTONE_SUFFIX)),
+    )
+
+
+def _refuse_if_pending(spark, path: str) -> None:
+    pending, _ = _sketch_markers(spark, path)
+    if pending:
+        raise IOError(
+            f"sketch metadata at {path!r} is inconsistent: a sketched write "
+            f"crashed before publishing ({pending}) — the data directory "
+            "may contain rows the sketches don't cover. Re-run "
+            "rebuild_table_sketches() to rescan and republish."
+        )
+
 
 def write_table_with_sketches(
     df: DataFrame,
@@ -75,19 +119,43 @@ def write_table_with_sketches(
     new table's sketch — the sketch directory always describes exactly
     the data directory's content.
 
+    Crash consistency (ADVICE r11 #1): the data write and the sketch
+    writes are not one atomic commit, so a ``_pending_<id>`` marker
+    brackets the non-atomic span and every reader refuses while it
+    exists. Append mode sets the marker BEFORE the data append (the only
+    silent window is data-landed-sketch-missing); overwrite mode sets it
+    right AFTER (the data overwrite wipes the whole dir, so a crash
+    before the marker leaves ``_sketches/`` absent — already fail-loud).
+    A crashed write therefore always reads as loud-broken until
+    :func:`rebuild_table_sketches` republishes from a full scan.
+
+    Erasure interplay (ADVICE r11 #2): an append over an erasure
+    tombstone (:func:`subtract_table_sketch` removed the MAX-merge-only
+    HLL tier) appends the CMS fragment but SKIPS the HLL fragment — a
+    recreated tier would cover only the new rows and silently undercount
+    every surviving pre-erasure key. The NDV tier stays loud-absent
+    until a rebuild or a full overwrite.
+
     This is the 100 TB serving shape the x105 decision table claims: the
     broadcast-vs-shuffle choice (:func:`decision_from_metadata`) then
     reads two ≤ d·w counter tables instead of scanning either input —
     per-day/per-partition sketches merge by the same SUM."""
-    from pyspark.sql import functions as F
+    import uuid
 
-    from dwh_etl_framework_spark.operators.sketch import CMS_W, cms_sketch
+    from pyspark.sql import functions as F
 
     from pyspark.storagelevel import StorageLevel
 
-    from dwh_etl_framework_spark.operators.sketch import hll_registers
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_W,
+        cms_sketch,
+        hll_registers,
+    )
 
     eff_w = int(w or CMS_W)
+    spark = df.sparkSession
+    overwrite = mode == "overwrite"
+    pending = f"{path}/{SKETCH_DIR}/{PENDING_PREFIX}{uuid.uuid4().hex}"
     # One materialization serves the table write AND every sketch pass:
     # without it, each cms/hll build re-executes the DataFrame's full
     # lineage (2 extra passes per key — a landed master's whole merge
@@ -95,7 +163,13 @@ def write_table_with_sketches(
     # sketches describe different data than was landed (review r11).
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if not overwrite:
+            _refuse_if_pending(spark, path)  # don't compound a crash
+            _touch(spark, pending)
         write_table(df, path, fmt=fmt, mode=mode, **kwargs)
+        if overwrite:
+            _touch(spark, pending)
+        _, tombstones = _sketch_markers(spark, path)
         for col in sketch_keys:
             sk = cms_sketch(df.select(col), col, eff_w).withColumn(
                 "__cms_w", F.lit(eff_w)
@@ -103,6 +177,8 @@ def write_table_with_sketches(
             sk.coalesce(1).write.mode(mode).parquet(
                 f"{path}/{SKETCH_DIR}/{col}"
             )
+            if f"{col}{HLL_TOMBSTONE_SUFFIX}" in tombstones:
+                continue  # see "Erasure interplay" above
             # NDV tier: per-key HLL registers (MAX-mergeable, so appended
             # fragments merge-on-read like the CMS counters SUM). NDV
             # feeds the System-R join-output estimate
@@ -112,17 +188,110 @@ def write_table_with_sketches(
             regs.coalesce(1).write.mode(mode).parquet(
                 f"{path}/{SKETCH_DIR}/{col}__hll"
             )
+        fs, p = _hadoop_fs(spark, pending)
+        if fs.exists(p) and not fs.delete(p, False):
+            raise IOError(f"failed to clear the pending marker {pending}")
     finally:
         df.unpersist()
+
+
+def rebuild_table_sketches(
+    spark,
+    path: str,
+    sketch_keys: list[str] | None = None,
+    w: int | None = None,
+    fmt: str = "parquet",
+) -> list[str]:
+    """Full-scan repair of a table's sketch metadata: recompute one CMS
+    fragment + one HLL fragment per key from the CURRENT data directory,
+    overwrite the per-key sketch dirs, then clear every pending marker
+    and erasure tombstone. This is the recovery path the loud failures
+    point at — a crashed :func:`write_table_with_sketches` append or an
+    erasure-invalidated NDV tier.
+
+    Markers are cleared LAST, so a crash mid-rebuild leaves the
+    metadata loud-broken (re-run to finish), never silently partial.
+    Returns the rebuilt key list. ``sketch_keys`` defaults to the keys
+    with existing sketch dirs; ``w`` defaults to each key's persisted
+    width when unambiguous (mixed-width fragments from a crash require
+    an explicit ``w``)."""
+    from pyspark.sql import functions as F
+
+    from pyspark.storagelevel import StorageLevel
+
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_W,
+        cms_sketch,
+        hll_registers,
+    )
+
+    fs, sk_root = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}")
+    if sketch_keys is None:
+        if not fs.exists(sk_root):
+            raise ValueError(
+                f"no sketch dir at {path!r} — pass sketch_keys explicitly"
+            )
+        sketch_keys = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(sk_root)
+            if st.isDirectory() and not st.getPath().getName().endswith("__hll")
+        )
+    if not sketch_keys:
+        raise ValueError(f"nothing to rebuild under {path!r}")
+
+    def _width_for(col: str) -> int:
+        if w is not None:
+            return int(w)
+        try:
+            raw = spark.read.option("recursiveFileLookup", "true").parquet(
+                f"{path}/{SKETCH_DIR}/{col}"
+            )
+            widths = [
+                r["__cms_w"] for r in raw.select("__cms_w").distinct().collect()
+            ]
+        except Exception:
+            return CMS_W
+        if len(widths) > 1:
+            raise ValueError(
+                f"mixed persisted widths {sorted(widths)} for {col!r} — "
+                "pass w= explicitly to rebuild_table_sketches"
+            )
+        return int(widths[0]) if widths else CMS_W
+
+    df = spark.read.format(fmt).load(path).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for col in sketch_keys:
+            eff_w = _width_for(col)
+            sk = cms_sketch(df.select(col), col, eff_w).withColumn(
+                "__cms_w", F.lit(eff_w)
+            )
+            sk.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{SKETCH_DIR}/{col}"
+            )
+            regs = hll_registers(df.select(col), [], col)
+            regs.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{SKETCH_DIR}/{col}__hll"
+            )
+    finally:
+        df.unpersist()
+    pending, tombstones = _sketch_markers(spark, path)
+    for name in pending + tombstones:
+        mfs, mp = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}/{name}")
+        if mfs.exists(mp) and not mfs.delete(mp, False):
+            raise IOError(f"failed to clear marker {name} after rebuild")
+    return list(sketch_keys)
 
 
 def read_table_sketch(spark, path: str, col: str) -> tuple[DataFrame, int]:
     """Merge-on-read of a persisted key sketch: SUM the counter fragments
     appended by successive writes into one (r, col, cnt) table. Returns
     ``(sketch, w)`` and refuses mixed widths (fragments written at
-    different ``w`` do not merge — the plans/steps width guard)."""
+    different ``w`` do not merge — the plans/steps width guard) as well
+    as a crashed unpublished write (pending marker — the data dir may
+    hold rows no fragment covers)."""
     from pyspark.sql import functions as F
 
+    _refuse_if_pending(spark, path)
     # recursive: erasure corrections live in erasure_<id> subdirectories
     # (idempotent overwrite targets) next to the top-level fragments
     raw = (
@@ -150,6 +319,7 @@ def _hadoop_fs(spark, path: str):
 def sketched_keys(spark, path: str) -> list[str]:
     """The key columns a landed table carries sketches for (the
     ``_sketches/`` child dirs, HLL siblings excluded)."""
+    _refuse_if_pending(spark, path)
     fs, hpath = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}")
     if not fs.exists(hpath):
         return []
@@ -199,6 +369,12 @@ def subtract_table_sketch(
                 f"failed to remove the stale NDV tier at {hll} — aborting "
                 "before the CMS subtraction so metadata stays consistent"
             )
+        # tombstone BEFORE the CMS subtraction: a later append must not
+        # recreate the HLL tier covering only its own rows (ADVICE r11
+        # #2) — read_table_ndv refuses and write_table_with_sketches
+        # skips the HLL fragment until rebuild_table_sketches (or a full
+        # overwrite, which wipes the tombstone with the table dir).
+        _touch(spark, f"{path}/{SKETCH_DIR}/{col}{HLL_TOMBSTONE_SUFFIX}")
         _, w = read_table_sketch(spark, path, col)
         neg = (
             cms_sketch(erased.select(col), col, w)
@@ -214,13 +390,26 @@ def read_table_ndv(spark, path: str, col: str) -> int:
     """Approximate distinct count of a persisted key, merge-on-read:
     MAX the HLL register fragments appended by successive writes, then
     the all-integer estimate (``operators/sketch.hll_estimate`` — ~2%
-    at the configured register count). Never touches the data files."""
+    at the configured register count). Never touches the data files.
+
+    Refuses loudly while the key carries an erasure tombstone or the
+    table a pending-write marker: MAX registers can't subtract, so a
+    post-erasure NDV needs a full rebuild first."""
     import math
 
     from pyspark.sql import functions as F
 
     from dwh_etl_framework_spark.operators.sketch import HLL_M, hll_estimate
 
+    _refuse_if_pending(spark, path)
+    _, tombstones = _sketch_markers(spark, path)
+    if f"{col}{HLL_TOMBSTONE_SUFFIX}" in tombstones:
+        raise IOError(
+            f"the NDV tier for {col!r} at {path!r} was invalidated by a "
+            "right-to-erasure rewrite (MAX registers cannot subtract) — "
+            "run rebuild_table_sketches() to rescan, or overwrite the "
+            "table with a fresh sketched write"
+        )
     raw = spark.read.parquet(f"{path}/{SKETCH_DIR}/{col}__hll")
     merged = raw.groupBy("bucket").agg(F.max("reg").alias("reg"))
     row = hll_estimate(merged, []).first()

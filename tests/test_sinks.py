@@ -250,3 +250,129 @@ def test_erasure_covers_every_sketched_key_by_default(spark, tmp_path):
     for col in ("o_custkey", "o_orderkey"):
         merged, _ = read_table_sketch(spark, path, col)
         assert cms_cardinality(merged).first()["n_rows"] == survivors_n, col
+
+
+# ---- crash consistency + erasure/append interplay (ADVICE r11) ----------
+
+
+def test_pending_marker_makes_crashed_append_loud_and_rebuild_repairs(
+    spark, tmp_path
+):
+    """ADVICE r11 #1: the data-landed-sketch-missing window of an append
+    must never serve an undercounting sketch. A crash inside
+    write_table_with_sketches leaves a _pending_ marker; every reader
+    refuses until rebuild_table_sketches republishes from a full scan."""
+    import pytest
+
+    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
+    from dwh_etl_framework_spark.sources.sinks import (
+        SKETCH_DIR,
+        read_table_ndv,
+        read_table_sketch,
+        rebuild_table_sketches,
+        sketched_keys,
+        write_table,
+        write_table_with_sketches,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "o")
+    write_table_with_sketches(orders, path, ["o_custkey"], mode="overwrite")
+    n0 = orders.count()
+    assert cms_cardinality(
+        read_table_sketch(spark, path, "o_custkey")[0]
+    ).first()["n_rows"] == n0
+
+    # simulate the crash window: data appended, sketches never published
+    (tmp_path / "o" / SKETCH_DIR / "_pending_deadbeef").write_text("")
+    write_table(orders.limit(100), path, mode="append")
+
+    for reader in (
+        lambda: read_table_sketch(spark, path, "o_custkey"),
+        lambda: read_table_ndv(spark, path, "o_custkey"),
+        lambda: sketched_keys(spark, path),
+        lambda: write_table_with_sketches(  # a new append must not compound
+            orders.limit(1), path, ["o_custkey"], mode="append"
+        ),
+    ):
+        with pytest.raises(IOError, match="pending|crashed"):
+            reader()
+
+    rebuilt = rebuild_table_sketches(spark, path)
+    assert rebuilt == ["o_custkey"]
+    merged, _ = read_table_sketch(spark, path, "o_custkey")
+    assert cms_cardinality(merged).first()["n_rows"] == n0 + 100
+    assert read_table_ndv(spark, path, "o_custkey") > 0
+    assert not (tmp_path / "o" / SKETCH_DIR / "_pending_deadbeef").exists()
+
+
+def test_append_after_erasure_keeps_ndv_loud_until_rebuild(spark, tmp_path):
+    """ADVICE r11 #2: after an erasure removed the HLL tier, a later
+    append must NOT quietly recreate it covering only the new rows —
+    the tombstone keeps read_table_ndv failing until a full rebuild,
+    while the linear CMS tier keeps serving exact counts throughout."""
+    import pytest
+
+    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
+    from dwh_etl_framework_spark.sources.sinks import (
+        HLL_TOMBSTONE_SUFFIX,
+        SKETCH_DIR,
+        read_table_ndv,
+        read_table_sketch,
+        rebuild_table_sketches,
+        subtract_table_sketch,
+        write_table_with_sketches,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new = orders.filter(F.col("o_orderkey") % 2 != 0)
+    path = str(tmp_path / "o")
+    write_table_with_sketches(old, path, ["o_custkey"], mode="overwrite")
+    erased = old.filter(F.col("o_custkey") % 5 == 0)
+    subtract_table_sketch(spark, path, erased, erasure_id="req9")
+    assert (
+        tmp_path / "o" / SKETCH_DIR / f"o_custkey{HLL_TOMBSTONE_SUFFIX}"
+    ).exists()
+
+    # the append lands data + CMS fragment but SKIPS the HLL tier
+    write_table_with_sketches(new, path, ["o_custkey"], mode="append")
+    assert not (tmp_path / "o" / SKETCH_DIR / "o_custkey__hll").exists()
+    with pytest.raises(IOError, match="invalidated"):
+        read_table_ndv(spark, path, "o_custkey")
+    merged, _ = read_table_sketch(spark, path, "o_custkey")
+    want = old.count() - erased.count() + new.count()
+    assert cms_cardinality(merged).first()["n_rows"] == want
+
+    # rebuild rescans: NDV serves again, covering EVERY on-disk row,
+    # and the tombstone is gone
+    rebuild_table_sketches(spark, path)
+    on_disk = spark.read.parquet(path)
+    exact_ndv = on_disk.select("o_custkey").distinct().count()
+    est = read_table_ndv(spark, path, "o_custkey")
+    assert abs(est - exact_ndv) <= 0.35 * exact_ndv  # m=64 portable HLL
+    assert not (
+        tmp_path / "o" / SKETCH_DIR / f"o_custkey{HLL_TOMBSTONE_SUFFIX}"
+    ).exists()
+
+
+def test_overwrite_after_erasure_clears_tombstone_with_fresh_full_hll(
+    spark, tmp_path
+):
+    """A full overwrite wipes the table dir (tombstone included) and
+    lands a complete fresh HLL — the one append-side path that may
+    recreate the NDV tier, because it covers every row again."""
+    from dwh_etl_framework_spark.sources.sinks import (
+        read_table_ndv,
+        subtract_table_sketch,
+        write_table_with_sketches,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "o")
+    write_table_with_sketches(orders, path, ["o_custkey"], mode="overwrite")
+    erased = orders.filter(F.col("o_custkey") % 3 == 0)
+    subtract_table_sketch(spark, path, erased, erasure_id="req1")
+    survivors = orders.join(erased, ["o_custkey"], "left_anti")
+    write_table_with_sketches(survivors, path, ["o_custkey"], mode="overwrite")
+    assert read_table_ndv(spark, path, "o_custkey") > 0

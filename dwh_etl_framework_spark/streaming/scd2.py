@@ -287,6 +287,47 @@ def resolve_stamp_base(spark, state: StreamMasterState, meta: StreamMasterState,
     return base
 
 
+def _generation_id(spark, checkpoint_dir: str) -> str:
+    """The stamp-generation identity of one checkpoint LIFETIME, persisted
+    INSIDE the checkpoint dir (``<dir>/_stamp_generation``), minted on
+    first use (ADVICE r11, medium).
+
+    Keying generations on the checkpoint *path* was wrong: wiping and
+    reusing the same path (a common ops reset) restarts batch ids at 0
+    but would re-resolve the OLD generation's anchor, stamping new
+    versions below/colliding with the prior generation's later batches —
+    inverting SCD2 version order for replayed keys. A UUID file inside
+    the dir shares the dir's fate: wiped with it (→ fresh generation,
+    fresh anchor above everything folded), retained with it (→ replays
+    reproduce their original stamps byte-identically).
+
+    Upgrade note: meta rows persisted by older builds are keyed by the
+    path string; the first post-upgrade run mints a new generation whose
+    anchor clears the old rows' max, so ordering is preserved — only a
+    batch re-delivered ACROSS the upgrade boundary stamps differently
+    (start the upgrade from a drained stream)."""
+    import uuid
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/_stamp_generation")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            ).strip()
+        finally:
+            stream.close()
+    gen = uuid.uuid4().hex
+    out = fs.create(p, False)  # no-overwrite: a concurrent creator wins
+    try:
+        out.write(bytearray(gen, "ascii"))
+    finally:
+        out.close()
+    return gen
+
+
 def stream_scd2(
     journal_stream: DataFrame,
     spec: JournalSpec,
@@ -312,9 +353,14 @@ def stream_scd2(
             stamped = batch_df
         else:
             if not anchor:
+                # generation id read lazily at first-batch time: the
+                # checkpoint dir exists once the query is running, and a
+                # wiped-then-reused path mints a FRESH id here instead of
+                # resurrecting the old anchor (ADVICE r11)
                 anchor.append(
                     resolve_stamp_base(
-                        state.spark, state, meta, run_id=checkpoint_dir
+                        state.spark, state, meta,
+                        run_id=_generation_id(state.spark, checkpoint_dir),
                     )
                 )
             stamped = stamp_batch_deterministic(

@@ -242,12 +242,16 @@ def test_stamped_path_redelivery_is_idempotent(spark, tmp_path):
     assert got.count() == len(rows)
     opens = got.filter(F.col("is_current")).groupBy("account_id").count()
     assert opens.filter(F.col("count") != 1).count() == 0
-    # crash re-execution: SAME generation (run_id = the checkpoint dir),
-    # same batch ids, same content — the anchor comes back identical
-    # from the meta sidecar, so the fold absorbs every replayed batch
+    # crash re-execution: SAME generation (run_id = the UUID persisted
+    # inside the checkpoint dir), same batch ids, same content — the
+    # anchor comes back identical from the meta sidecar, so the fold
+    # absorbs every replayed batch
+    from dwh_etl_framework_spark.streaming.scd2 import _generation_id
+
+    gen = _generation_id(spark, ckpt)
     meta = StreamMasterState(spark, f"{state.path}__stampmeta")
     for bid, s in enumerate(slices):
-        base = resolve_stamp_base(spark, state, meta, run_id=ckpt)
+        base = resolve_stamp_base(spark, state, meta, run_id=gen)
         replay = stamp_batch_deterministic(
             spark.createDataFrame(s, raw_schema), None, bid, base=base
         )
@@ -493,3 +497,87 @@ def test_erasure_crash_window_fails_closed_and_rerun_completes(spark, tmp_path):
     # re-run the (idempotent) erasure: interval rows now gone too
     erase_keys(state, tomb, keys, SPEC)
     assert current_scd2(state).filter(F.col("account_id") == 2).count() == 0
+
+
+def test_wiped_and_reused_checkpoint_mints_fresh_generation(spark, tmp_path):
+    """ADVICE r11 (medium): wiping and REUSING the same checkpoint path
+    (a common ops reset) restarts batch ids at 0; keying the generation
+    on the path string would re-serve the OLD anchor and stamp the new
+    run's versions below the prior generation's later batches — the
+    newest value would no longer be current. The generation UUID lives
+    INSIDE the checkpoint dir, so it shares the wipe."""
+    import shutil
+
+    from dwh_etl_framework_spark.streaming.scd2 import _generation_id
+
+    raw_schema = "account_id long, balance double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(slices):
+        shutil.rmtree(src, ignore_errors=True)
+        for i, s in enumerate(slices):
+            path = f"{src}/slice_{i}.parquet"
+            spark.createDataFrame(s, raw_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+            for root, _, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i,) * 2)
+            os.utime(path, (1_000_000 + i,) * 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+        )
+        state = StreamMasterState(spark, str(tmp_path / "scd2"))
+        stream_scd2(stream, SPEC, state, ckpt).awaitTermination(120)
+        return state
+
+    # generation A: key 1 sees four versions across four batches
+    land([[(1, float(v))] for v in (10.0, 20.0, 30.0, 40.0)])
+    state = run()
+    gen_a = _generation_id(spark, ckpt)
+    cur = current_scd2(state).filter(
+        (F.col("account_id") == 1) & F.col("is_current")
+    )
+    assert cur.first()["balance"] == 40.0
+
+    # ops reset: wipe the checkpoint, archive the old files, deliver only
+    # the NEW delta — it arrives as batch 0 of the reused path
+    shutil.rmtree(ckpt)
+    land([[(1, 50.0)]])
+    state = run()
+    gen_b = _generation_id(spark, ckpt)
+    assert gen_b != gen_a  # fresh generation, not the path-keyed old one
+    cur = current_scd2(state).filter(
+        (F.col("account_id") == 1) & F.col("is_current")
+    )
+    # the path-keyed bug stamps 50.0 at oldbase+0 — BELOW 40.0's
+    # oldbase+3 — demoting the newest value to history
+    assert cur.first()["balance"] == 50.0
+    hist = (
+        state.read()
+        .filter(F.col("account_id") == 1)
+        .orderBy("valid_from")
+        .collect()
+    )
+    assert [r["balance"] for r in hist] == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_generation_id_stable_within_a_checkpoint_lifetime(spark, tmp_path):
+    import shutil
+
+    from dwh_etl_framework_spark.streaming.scd2 import _generation_id
+
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(ckpt)
+    g1 = _generation_id(spark, ckpt)
+    g2 = _generation_id(spark, ckpt)
+    assert g1 == g2
+    shutil.rmtree(ckpt)
+    os.makedirs(ckpt)
+    assert _generation_id(spark, ckpt) != g1

@@ -258,7 +258,28 @@ def _parse_landing(raw: Mapping | None) -> Mapping | None:
                           "sketch_keys", "w"}
     if unknown:
         raise ValueError(f"unknown landing config keys: {sorted(unknown)}")
-    return dict(raw)
+    spec = dict(raw)
+    # shape validation (ADVICE r11, low): a scalar string would survive
+    # parsing and then explode into single characters at land time
+    # (list('day') == ['d','a','y']) — normalize YAML's natural scalar
+    # form to a one-element list and refuse anything but strings
+    for key in ("partition_by", "sketch_keys"):
+        val = spec.get(key)
+        if val is None:
+            continue
+        if isinstance(val, str):
+            val = [val]
+        if not isinstance(val, (list, tuple)) or not all(
+            isinstance(c, str) and c for c in val
+        ):
+            raise ValueError(
+                f"landing {key!r} must be a column name or a list of "
+                f"column names, got {spec[key]!r}"
+            )
+        spec[key] = list(val)
+    if "w" in spec and not isinstance(spec["w"], int):
+        raise ValueError(f"landing 'w' must be an int, got {spec['w']!r}")
+    return spec
 
 
 def parse_pipeline_config(raw: Mapping) -> PipelineConfig:

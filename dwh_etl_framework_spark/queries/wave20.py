@@ -162,9 +162,14 @@ def _x108_oracle(k: int = _X108_K) -> str:
         "WITH pts AS (SELECT vec_id, embedding FROM embeddings)",
         "c1 AS (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT 1)",
         (
+            # already-selected points leave the candidate pool (WHERE
+            # vec_id <> center), mirroring kcenter_greedy's no-repeat
+            # invariant: on a degenerate corpus whose remaining max
+            # distance is 0 the argmax must pick a FRESH id, never
+            # re-pick the seed riding along at md=0 (ADVICE r11, low)
             "m1 AS (SELECT p.vec_id, p.embedding, "
             + _d2_lambda("p", "c")
-            + " AS md FROM pts p, c1 c)"
+            + " AS md FROM pts p, c1 c WHERE p.vec_id <> c.vec_id)"
         ),
     ]
     for j in range(2, k + 1):
@@ -176,7 +181,7 @@ def _x108_oracle(k: int = _X108_K) -> str:
             parts.append(
                 f"m{j} AS (SELECT p.vec_id, p.embedding, "
                 f"LEAST(p.md, {_d2_lambda('p', 'c')}) AS md "
-                f"FROM m{j - 1} p, c{j} c)"
+                f"FROM m{j - 1} p, c{j} c WHERE p.vec_id <> c.vec_id)"
             )
     selects = [
         "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS covered_d2 FROM c1"

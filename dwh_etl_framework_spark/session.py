@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # ns-since-epoch longs instead (sources.registry converts to µs
     # timestamps, matching DuckDB's ns→µs cast semantics).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python UDTFs move batches over Arrow like every other Python surface
+    # here (VERDICT r11 #2: plans as ArrowEvalPythonUDTF, not row-pickled
+    # BatchEvalPythonUDTF — pinned in tests/test_wave20.py; r27b/r51
+    # parity re-verified with the conf on).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 

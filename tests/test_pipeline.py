@@ -197,3 +197,30 @@ tables:
     transform: {full: [{sql: "SELECT 1 AS x"}]}
     landing: {path: /tmp/x, sketchkeys: [x]}
 """))
+
+
+def test_landing_config_normalizes_scalar_columns_and_rejects_bad_shapes():
+    """ADVICE r11 (low): 'partition_by: day' is YAML's natural scalar
+    form — it must become ['day'], never explode to ['d','a','y'] at
+    land time; non-string shapes are refused at parse time."""
+    import yaml
+
+    cfg = parse_pipeline_config(yaml.safe_load("""
+tables:
+  - target: t
+    transform: {full: [{sql: "SELECT 1 AS x"}]}
+    landing: {path: /tmp/x, partition_by: day, sketch_keys: x}
+"""))
+    landing = cfg.tables[0].landing
+    assert landing["partition_by"] == ["day"]
+    assert landing["sketch_keys"] == ["x"]
+
+    for bad in ("partition_by: {a: 1}", "sketch_keys: [x, 3]",
+                "partition_by: ['']", "w: five"):
+        with pytest.raises(ValueError, match="landing"):
+            parse_pipeline_config(yaml.safe_load(f"""
+tables:
+  - target: t
+    transform: {{full: [{{sql: "SELECT 1 AS x"}}]}}
+    landing: {{path: /tmp/x, {bad}}}
+"""))

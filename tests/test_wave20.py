@@ -203,3 +203,58 @@ def test_r51_word_columns_match_split(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_x108_oracle_matches_operator_on_degenerate_corpus(spark):
+    """ADVICE r11 (low): the unrolled-CTE oracle must mirror the
+    operator's no-repeat invariant. On a corpus whose remaining max
+    distance hits 0 mid-trajectory (duplicates outnumber distinct
+    locations), an oracle that leaves selected points in the candidate
+    pool re-picks the seed at md=0 where Spark picks a fresh id."""
+    import duckdb
+    import pandas as pd
+
+    from dwh_etl_framework_spark.operators.similarity import kcenter_greedy
+    from dwh_etl_framework_spark.queries.wave20 import _x108_oracle
+
+    locs = {
+        "A": [0.0] * 64,
+        "B": [1.0] + [0.0] * 63,
+        "C": [0.0, 2.0] + [0.0] * 62,
+    }
+    # ids 0,1 at A; 2,3 at B; 4 at C — after 3 selections every
+    # remaining candidate sits at md=0
+    corpus = [(0, locs["A"]), (1, locs["A"]), (2, locs["B"]),
+              (3, locs["B"]), (4, locs["C"])]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    got = [
+        (r["sel_rank"], r["vec_id"], r["covered_d2"])
+        for r in kcenter_greedy(df, 5).collect()
+    ]
+    assert len({v for _, v, _ in got}) == 5  # no repeats, by construction
+
+    con = duckdb.connect()
+    emb = pd.DataFrame(
+        {"vec_id": [c[0] for c in corpus], "embedding": [c[1] for c in corpus]}
+    )
+    con.register("embeddings", emb)
+    want = [
+        (int(r[0]), int(r[1]), None if r[2] is None else int(r[2]))
+        for r in con.sql(_x108_oracle(5)).fetchall()
+    ]
+    assert got == want
+    assert len({v for _, v, _ in want}) == 5  # the oracle-side invariant
+
+
+def test_udtf_plans_arrow_batched(spark):
+    """VERDICT r11 #2: the docstring's Arrow claim is load-bearing — the
+    session conf must plan UDTFs as ArrowEvalPythonUDTF (Arrow batch
+    transfer), not row-pickled BatchEvalPythonUDTF."""
+    fixtures(spark, SF_DIR)
+    spark.udtf.register("split_words_a", _make_split_udtf())
+    df = spark.sql(
+        "SELECT s.* FROM part p, LATERAL split_words_a(p.p_name, 2) s"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan

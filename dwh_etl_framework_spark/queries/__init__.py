@@ -286,6 +286,45 @@ DRIVER_WINDOW: list[str] = [
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
     "x20_dedup_clusters",
+    # round-12 rotation (VERDICT r11 "What's missing" #1): the sixteen
+    # round-11 oracled entrants earn driver rows — the nine completing
+    # TPC-H shapes (r40 Q3, r41 Q7, r42 Q9, r43 Q10, r44 Q12, r45 Q14,
+    # r46 Q18, r47 Q19, r48 Q22), the round-11 engine-surface probes
+    # (r49 VARIANT, r50/r52 collations on filter+DISTINCT and JOIN key,
+    # r51 polymorphic-analyze UDTF — now Arrow-batched), the x107 Luhn
+    # checksum PII tier, the x108 k-center coreset, and f38, the
+    # metadata-served join decision closing the sketch-at-sink loop.
+    # Exits, each with 2-5 driver-green CORRECTNESS rows per the
+    # WINDOW_EVER protocol: x93 (5 rows; drift evidence stays via its
+    # local oracle + the x65/x89/x91 family oracles every pytest run),
+    # x94/x97 (4+3; lossless-dedup evidence stays via the in-window
+    # critical x01/x03b + the x94s/x97s sf1 twins + local oracles),
+    # x95/x98 (4+3; sampler evidence stays via local oracles + property
+    # tests), x96/x102 (4+3; text-mining evidence stays via the
+    # in-window x69 BM25 + local oracles), x99/x99b (3+3; edit-join
+    # evidence stays via local oracles + the x99s sf1 twin), x100 (3;
+    # RRF stays via local oracle), x101 (3; entity-resolution evidence
+    # stays via local oracle + streaming-twin chaos sweeps), and five
+    # TPC-H-shape veterans displaced by the nine fresh shapes — r16b,
+    # r35, r36, r37, r38 (2 rows each; every shape keeps its local
+    # oracle + PARITY rows, and r39 — the deepest decorrelation — stays
+    # in-window).
+    "r40_shipping_priority",
+    "r41_volume_shipping",
+    "r42_product_profit",
+    "r43_returned_items",
+    "r44_priority_by_class",
+    "r45_promo_share",
+    "r46_large_volume_orders",
+    "r47_disjunctive_bands",
+    "r48_inactive_big_balance",
+    "r49_variant_json",
+    "r50_collated_segments",
+    "r51_udtf_polymorphic_split",
+    "r52_collated_join",
+    "x107_pii_luhn_redaction",
+    "x108_kcenter_coreset",
+    "f38_metadata_join_decision",
     # round-11 rotation (VERDICT r10 item 1): the ten distinct operators
     # that had local parity (hash-green in PARITY_r10) but zero driver
     # rows across ten rounds enter — f22 journal compaction, f23 SCD2
@@ -333,7 +372,6 @@ DRIVER_WINDOW: list[str] = [
     # x85 (packing evidence stays via in-window x95 quota + x83 DSIR +
     # local oracle), x87 (span/boilerplate evidence stays via in-window
     # x96 boilerplate n-grams + x102 phrase search + local oracle).
-    "r16b_small_quantity_revenue",
     "r34_recursive_rollup",
     "f35_interval_change_feed",
     "f36_right_to_erasure",
@@ -351,15 +389,11 @@ DRIVER_WINDOW: list[str] = [
     # per-iteration checkpoint tests), x74 (multimodal evidence stays
     # via in-window x11 binary columns + x74's local decode-roundtrip
     # oracle and tests).
-    "r35_min_cost_supplier",
-    "r36_top_revenue_supplier",
-    "r37_customer_order_distribution",
     "x106_pii_redaction",
     # round-10e: r38 (Q8-shaped conditional-aggregate market share —
     # the exact-cents ratio discipline) replaces x88 (4 driver-green
     # rows r06-r09; quantile/sketch evidence stays via the in-window
     # x103 join-size sketch + x88's local oracle and refinement tests).
-    "r38_nation_market_share",
     # round-10f: r39 (Q20-shaped THREE-level nested correlated subquery
     # — grouped scalar inside a correlated HAVING inside an IN; the
     # deepest decorrelation path in the registry) replaces x89 (3
@@ -402,36 +436,25 @@ DRIVER_WINDOW: list[str] = [
     # x06c vector tier + x68's local oracle and x68s sf1 twin).
     "r15c_sole_blame_supplier",
     "x105_join_strategy_decision",
-    "x93_drift_changepoint",
     # round-9c entrants: lossless edit-distance join (x51 exits with
     # CORRECTNESS_r07/r08 rows; collocation evidence stays via x96 +
     # local oracle), BM25 ranked retrieval (x52 exits with r07/r08 rows;
     # canonical-selection evidence stays via x81/x20 + local oracle)
-    "x99_edit_distance_join",
-    "x100_hybrid_rrf",
     # round-9d entrant: distinct-first fuzzy value matching (r31 exits
     # with CORRECTNESS_r04-r08 rows; sliding-window evidence stays via
     # the in-window r30/r32/r33b streaming tier + local oracle)
-    "x99b_edit_join_values",
     # round-9e entrant: entity resolution + golden record (x04b exits
     # with CORRECTNESS_r02-r08 rows; near-dup discovery evidence stays
     # via the in-window x03b/x94/x97 + x04b's local oracle)
-    "x101_entity_golden_record",
     # round-9b entrant: deterministic weighted sampling (f06 exits with
     # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
-    "x98_weighted_sample",
     # round-8 entrants: lossless prefix-filter join, exact-quota
     # tournament sample, boilerplate mining
-    "x94_prefix_filter_jaccard",
-    "x95_quota_sample",
-    "x96_boilerplate_ngrams",
     # round-9 entrant: composed cascade recall audit (discovery certified
     # by the lossless prefix-filter tier)
-    "x97_cascade_recall_audit",
     # round-9f entrant: positional phrase search (x82 exits with
     # CORRECTNESS_r06-r08 rows; layout evidence stays via f28/f29 +
     # x82's local oracle and zone-map tests)
-    "x102_phrase_search",
 ]
 
 
@@ -618,6 +641,22 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x75_audio_decode",
     "x76_video_framesample",
     "x80_heavy_hitters",
+    "r40_shipping_priority",
+    "r41_volume_shipping",
+    "r42_product_profit",
+    "r43_returned_items",
+    "r44_priority_by_class",
+    "r45_promo_share",
+    "r46_large_volume_orders",
+    "r47_disjunctive_bands",
+    "r48_inactive_big_balance",
+    "r49_variant_json",
+    "r50_collated_segments",
+    "r51_udtf_polymorphic_split",
+    "r52_collated_join",
+    "x107_pii_luhn_redaction",
+    "x108_kcenter_coreset",
+    "f38_metadata_join_decision",
 ])
 
 

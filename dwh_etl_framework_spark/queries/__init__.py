@@ -52,6 +52,7 @@ from dwh_etl_framework_spark.queries import wave17  # noqa: F401
 from dwh_etl_framework_spark.queries import wave18  # noqa: F401
 from dwh_etl_framework_spark.queries import wave19  # noqa: F401
 from dwh_etl_framework_spark.queries import wave20  # noqa: F401
+from dwh_etl_framework_spark.queries import wave21  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50

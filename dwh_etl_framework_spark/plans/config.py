@@ -178,6 +178,16 @@ class TableConfig:
     #: ``<path>/_sketches/`` (``sources/sinks.write_table_with_sketches``)
     #: so downstream join planning is metadata-only.
     landing: Mapping | None = None
+    #: Optional SQL UDF declarations (round-12 engine surface, r53):
+    #: ``CREATE OR REPLACE TEMPORARY FUNCTION …`` DDL strings registered
+    #: before every transform() run. This is where the reference's
+    #: config-driven SQL steps stop copy-pasting shared business
+    #: expressions (``airflow_etl.py:251`` templates them through Python
+    #: string substitution) — the engine inlines the body at plan time,
+    #: so the abstraction costs nothing at scale. OR REPLACE + TEMPORARY
+    #: are REQUIRED: re-runs/retries must be idempotent, and functions
+    #: must stay session-scoped (no catalog pollution across pipelines).
+    functions: Sequence[str] = ()
 
     def steps_for(self, read_mode: str) -> Sequence[TransformStep]:
         if read_mode not in VALID_READ_MODES:
@@ -246,7 +256,37 @@ def _parse_table(raw: Mapping) -> TableConfig:
         transform=transform,
         depends_on=tuple(raw.get("depends_on", raw.get("depends-on", ()))),
         landing=_parse_landing(raw.get("landing")),
+        functions=_parse_functions(raw.get("functions", ())),
     )
+
+
+_FUNCTION_DDL_RE = None  # compiled lazily
+
+
+def _parse_functions(raw) -> tuple[str, ...]:
+    """Validate SQL UDF declarations at parse time: each must be a
+    ``CREATE OR REPLACE TEMPORARY FUNCTION`` statement (OR REPLACE for
+    retry idempotence, TEMPORARY for session scoping) — anything else
+    fails the config load, not the Nth pipeline run."""
+    global _FUNCTION_DDL_RE
+    import re
+
+    if isinstance(raw, str):
+        raw = [raw]
+    if _FUNCTION_DDL_RE is None:
+        _FUNCTION_DDL_RE = re.compile(
+            r"^\s*CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+FUNCTION\b",
+            re.IGNORECASE,
+        )
+    out = []
+    for ddl in raw:
+        if not isinstance(ddl, str) or not _FUNCTION_DDL_RE.match(ddl):
+            raise ValueError(
+                "each 'functions' entry must be a CREATE OR REPLACE "
+                f"TEMPORARY FUNCTION statement, got {str(ddl)[:80]!r}"
+            )
+        out.append(ddl)
+    return tuple(out)
 
 
 def _parse_landing(raw: Mapping | None) -> Mapping | None:

@@ -71,8 +71,17 @@ class Pipeline:
         for ddl in self.table.migration:
             self.spark.sql(ddl)
 
+    def register_functions(self) -> None:
+        """Register the table's SQL UDF declarations (``functions:``
+        config block, round-12 surface): validated at parse time to be
+        ``CREATE OR REPLACE TEMPORARY FUNCTION``, so re-running is a
+        no-op replace and the definitions die with the session."""
+        for ddl in self.table.functions:
+            self.spark.sql(ddl)
+
     def transform(self, read_mode: str = "full") -> DataFrame:
         """F14/F24: run the configured steps; last select result wins."""
+        self.register_functions()
         ctx = StepContext(
             spark=self.spark,
             parameters=resolve_parameters(

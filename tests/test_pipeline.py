@@ -224,3 +224,76 @@ tables:
     transform: {{full: [{{sql: "SELECT 1 AS x"}}]}}
     landing: {{path: /tmp/x, {bad}}}
 """))
+
+
+FUNCTIONS_YAML = """
+tables:
+  - target: dwh.revenue_by_year
+    primary_key: [ship_year]
+    dependencies:
+      - alias: li
+        format: parquet
+        path: "{sf}/lineitem.parquet"
+    functions:
+      - >
+        CREATE OR REPLACE TEMPORARY FUNCTION cfg_revenue_cents(
+            price DOUBLE, discount DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(floor(price * (1 - discount) * 100) AS BIGINT)
+    transform:
+      full:
+        - type: select
+          sql: >
+            SELECT year(l_shipdate) AS ship_year,
+                   SUM(cfg_revenue_cents(l_extendedprice, l_discount))
+                       AS revenue_cents
+            FROM li GROUP BY year(l_shipdate)
+"""
+
+
+def test_config_declared_sql_functions_register_and_rerun(spark):
+    """The `functions:` block (round-12 surface): a SQL UDF declared in
+    config is usable by the table's steps, re-running transform() is
+    idempotent (OR REPLACE), and the result equals the inlined SQL."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    cfg = parse_pipeline_config(
+        __import__("yaml").safe_load(FUNCTIONS_YAML.format(sf=sf))
+    )
+    pipe = Pipeline(spark=spark, table=cfg.tables[0])
+    pipe.register_dependencies()
+    got = {r["ship_year"]: r["revenue_cents"] for r in pipe.transform().collect()}
+    got2 = {r["ship_year"]: r["revenue_cents"] for r in pipe.transform().collect()}
+    assert got == got2  # OR REPLACE makes retries idempotent
+    want = {
+        r["ship_year"]: r["revenue_cents"]
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .selectExpr(
+            "year(l_shipdate) AS ship_year",
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            " AS cents",
+        )
+        .groupBy("ship_year")
+        .agg(F.sum("cents").alias("revenue_cents"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_config_functions_validated_at_parse_time():
+    import yaml
+
+    for bad in (
+        "CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x",  # no OR REPLACE
+        "CREATE OR REPLACE FUNCTION f(x INT) RETURNS INT RETURN x",  # not TEMPORARY
+        "DROP FUNCTION f",
+        42,
+    ):
+        with pytest.raises(ValueError, match="functions"):
+            parse_pipeline_config(yaml.safe_load(f"""
+tables:
+  - target: t
+    transform: {{full: [{{sql: "SELECT 1 AS x"}}]}}
+    functions: [{bad!r}]
+"""))

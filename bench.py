@@ -142,6 +142,18 @@ HEADLINE = [
     "x107_pii_luhn_redaction",   # checksum-validated PII scrub, map-only
                                  # (r11)
     "r49_variant_json",          # VARIANT parse + typed extraction (r11)
+    "x108_kcenter_coreset",      # k-center greedy coreset: k-1 literal-
+                                 # center map passes + k scalar
+                                 # TakeOrdereds (r12; the by-design
+                                 # k-scan price gets a recorded trail)
+    "f38_metadata_join_decision",  # land both sides with sketches +
+                                 # metadata-only decision (r12; the cost
+                                 # is the two sketched landings — the
+                                 # serving-path decision itself reads
+                                 # only counter tables)
+    "r53_sql_udf",               # SQL scalar+table UDF inlining (r12;
+                                 # must cost the same as the inlined
+                                 # query — the zero-overhead claim)
 ]
 
 

@@ -326,6 +326,36 @@ DRIVER_WINDOW: list[str] = [
     "x107_pii_luhn_redaction",
     "x108_kcenter_coreset",
     "f38_metadata_join_decision",
+    # round-12b rotation (VERDICT r11 item 3): first batch of the
+    # never-windowed backlog — the schedule for the remainder is the
+    # machine-checked ROTATION_QUEUE below. Entrants, all hash-green in
+    # PARITY_r12: x07 lang-ID, x10 document fingerprint, the
+    # funnel/cohort event-analytics family (x21 funnel, x22 cohort
+    # retention, x25 Markov transitions), x79 blocked fuzzy name match,
+    # and the round-12 engine-surface probes r53 (SQL UDF, scalar +
+    # table-valued) and r54 (SQL-scripting session variable). Exits,
+    # each with 2 driver-green rows (r10+r11) per the WINDOW_EVER
+    # protocol, each with an in-window sibling carrying the operator
+    # family: f35 (change-feed-from-intervals ≡ the staying f34), x103
+    # (CMS join-size estimate feeds the staying x105 decision + f38
+    # metadata decision), x106 (PII scrub evidence stays via the
+    # strictly-harder x107 Luhn tier), r39 (decorrelation stress stays
+    # via r15c Q21 + r46 Q18 + r48 Q22), x104 (blocking-audit evidence
+    # TRANSFERS to the entering x79 blocked-match + the in-window x03b
+    # banding), f31 (privacy-gate evidence stays via the in-window f36
+    # erasure + local oracle), f33 (PIT-join evidence stays via the
+    # in-window f23 SCD2 intervals + f32 time travel), f37 (Python
+    # DataSource evidence stays via its local oracle + the dedicated
+    # test_pysource suite + cursor-stream chaos tests). All exits keep
+    # local oracles and remain in PARITY_r{NN} every round.
+    "x07_lang_id",
+    "x10_fingerprint",
+    "x21_funnel",
+    "x22_cohort_retention",
+    "x25_event_transitions",
+    "x79_blocked_name_match",
+    "r53_sql_udf",
+    "r54_scripted_threshold",
     # round-11 rotation (VERDICT r10 item 1): the ten distinct operators
     # that had local parity (hash-green in PARITY_r10) but zero driver
     # rows across ten rounds enter — f22 journal compaction, f23 SCD2
@@ -374,9 +404,7 @@ DRIVER_WINDOW: list[str] = [
     # local oracle), x87 (span/boilerplate evidence stays via in-window
     # x96 boilerplate n-grams + x102 phrase search + local oracle).
     "r34_recursive_rollup",
-    "f35_interval_change_feed",
     "f36_right_to_erasure",
-    "f37_python_datasource_scan",
     # round-10d rotation: the four late-session entrants, all hash-green
     # at sf0.001/0.01/0.1 AND sf1 (PARITY_r10 + PARITY_sf1) — r35
     # (Q2-shaped correlated MIN over a join tree), r36 (Q15-shaped
@@ -390,7 +418,6 @@ DRIVER_WINDOW: list[str] = [
     # per-iteration checkpoint tests), x74 (multimodal evidence stays
     # via in-window x11 binary columns + x74's local decode-roundtrip
     # oracle and tests).
-    "x106_pii_redaction",
     # round-10e: r38 (Q8-shaped conditional-aggregate market share —
     # the exact-cents ratio discipline) replaces x88 (4 driver-green
     # rows r06-r09; quantile/sketch evidence stays via the in-window
@@ -400,7 +427,6 @@ DRIVER_WINDOW: list[str] = [
     # deepest decorrelation path in the registry) replaces x89 (3
     # driver-green rows r07-r09; drift evidence stays via the in-window
     # x93 changepoint + x89's local oracle).
-    "r39_dominant_promo_supplier",
     # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
     # closing entrants enter — the completed journal/temporal family
     # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
@@ -419,12 +445,8 @@ DRIVER_WINDOW: list[str] = [
     # decision — + x84/x88 sketch family), x06d (embedding-near-dup
     # evidence stays via the in-window x81 SemDeDup + x06c IVF + x05).
     # All exits keep local oracles + PARITY_r{NN} rows.
-    "f31_k_anonymity_audit",
     "f32_time_travel_read",
-    "f33_pit_join",
     "f34_change_feed",
-    "x103_join_size_estimate",
-    "x104_sorted_neighborhood_audit",
     # round-10b rotation: r15c (Q21-shaped double-correlated-subquery
     # stress — Catalyst decorrelation certified against DuckDB by ONE
     # driver hash; VERDICT r9 #5) replaces f24 (4 driver-green rows
@@ -658,6 +680,63 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x107_pii_luhn_redaction",
     "x108_kcenter_coreset",
     "f38_metadata_join_decision",
+    # round-12b entrants (backlog retirement, VERDICT r11 item 3)
+    "x07_lang_id",
+    "x10_fingerprint",
+    "x21_funnel",
+    "x22_cohort_retention",
+    "x25_event_transitions",
+    "x79_blocked_name_match",
+    "r53_sql_udf",
+    "r54_scripted_threshold",
+])
+
+#: Rotation schedule for the never-windowed backlog (VERDICT r11 item 3).
+#: Every oracled query that has never occupied a DRIVER_WINDOW slot and
+#: has no CORRECTNESS row yet must either sit in this queue (with a
+#: target round) or in ROTATION_EXEMPT (with a reason) —
+#: ``tools/coverage_check.py::check_rotation_queue`` fails CI otherwise,
+#: so a new oracled query cannot be registered without scheduling its
+#: driver evidence. Drain order: earlier-round batches first; within a
+#: batch, distinct user-facing operators before b/c/d variants.
+ROTATION_QUEUE: dict[str, int] = {
+    # round-13 batch: remaining distinct user-facing operators
+    "x08_quality_score": 13,
+    "x09_token_count": 13,
+    "x23_quality_report": 13,
+    "x26_date_dimension": 13,
+    "x27_vocabulary": 13,
+    "x70_robust_scale": 13,
+    "x71_key_skew_profile": 13,
+    "x78_event_anomaly": 13,
+    # round-14 batch: relational variants whose operator families are
+    # in-window via canonical siblings (kept oracled + PARITY every round)
+    "x73_epoch_shuffle": 14,
+    "r22c_like_patterns": 14,
+    "r24d_null_fns": 14,
+    "r25b_array_transform": 14,
+    "r25d_array_set_ops": 14,
+    "r27_pandas_udf": 14,
+    "r31b_session_window": 14,
+}
+
+#: Oracled never-windowed queries that deliberately stay OUT of the
+#: rotation: the ``*s``-suffixed entries are reduced-strength sf1 TWINS
+#: of windowed operators — their whole purpose is PARITY_sf1 scale
+#: evidence for oracles DuckDB cannot hold at full strength (see
+#: SF1_EXCLUDED); the driver already hashes their full-strength siblings.
+ROTATION_EXEMPT: frozenset[str] = frozenset([
+    "x02s_ngram_jaccard_sampled",
+    "x03s_minhash_lsh_portable16",
+    "x04s_simhash_docsampled",
+    "x06s_embedding_near_dup_sampled",
+    "x32s_knn_join_sampled",
+    "x50s_incremental_dedup16",
+    "x66s_split_leakage_sampled",
+    "x68s_text_vector_consistency_sampled",
+    "x94s_prefix_filter_sampled",
+    "x97s_cascade_audit_sampled",
+    "x99s_edit_join_sampled",
 ])
 
 
@@ -684,6 +763,7 @@ SF1_SWEEP: frozenset[str] = frozenset(
 )
 
 __all__ = [
-    "DRIVER_WINDOW", "QUERIES", "QueryDef", "SF1_EXCLUDED", "SF1_SWEEP",
-    "WINDOW_EVER", "fixtures", "query",
+    "DRIVER_WINDOW", "QUERIES", "QueryDef", "ROTATION_EXEMPT",
+    "ROTATION_QUEUE", "SF1_EXCLUDED", "SF1_SWEEP", "WINDOW_EVER",
+    "fixtures", "query",
 ]

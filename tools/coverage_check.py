@@ -217,6 +217,49 @@ def check_sf1_sweep_evidence() -> list[str]:
     return problems
 
 
+def check_rotation_queue() -> list[str]:
+    """Never-windowed oracled queries must carry a written rotation
+    schedule (VERDICT r11 item 3): each one either sits in
+    ``ROTATION_QUEUE`` with a target round, or in ``ROTATION_EXEMPT``
+    with a documented reason (the sf1 sampled twins), or already has
+    driver evidence (WINDOW_EVER membership / a CORRECTNESS row). A new
+    oracled query therefore cannot be registered without scheduling its
+    driver evidence — prose queues drift, a checked set cannot."""
+    import json
+
+    from dwh_etl_framework_spark.queries import ROTATION_EXEMPT, ROTATION_QUEUE
+
+    problems = []
+    repo = Path(__file__).resolve().parent.parent
+    driver_ran: set[str] = set()
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        driver_ran |= set(json.loads(artifact.read_text()))
+    scheduled = set(ROTATION_QUEUE) | ROTATION_EXEMPT
+    unscheduled = sorted(
+        n for n, q in QUERIES.items()
+        if q.oracle is not None
+        and n not in WINDOW_EVER
+        and n not in driver_ran
+        and n not in scheduled
+    )
+    if unscheduled:
+        problems.append(
+            "oracled queries with no driver evidence and no rotation "
+            f"schedule: {unscheduled} — add them to ROTATION_QUEUE (with a "
+            "target round) or ROTATION_EXEMPT (with a reason)"
+        )
+    stale = sorted(set(ROTATION_QUEUE) & (WINDOW_EVER | driver_ran))
+    if stale:
+        problems.append(
+            f"ROTATION_QUEUE members that already have driver evidence: "
+            f"{stale} — drop them from the queue"
+        )
+    ghosts = sorted((set(ROTATION_QUEUE) | ROTATION_EXEMPT) - set(QUERIES))
+    if ghosts:
+        problems.append(f"rotation schedule names not in the registry: {ghosts}")
+    return problems
+
+
 def main() -> int:
     text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     mentioned = set(re.findall(r"`([frx]\d{2}[a-z0-9_]*)`", text))
@@ -244,6 +287,7 @@ def main() -> int:
         check_driver_window()
         + check_post_window_evidence()
         + check_window_exit_evidence()
+        + check_rotation_queue()
         + check_parity_artifact_fresh()
         + check_sf1_sweep_evidence()
         + check_plans_quoted_times_fresh()

@@ -195,6 +195,135 @@ def write_table_with_sketches(
         df.unpersist()
 
 
+def _persisted_sketch_width(spark, path: str, col: str) -> int | None:
+    """The ``__cms_w`` the landed fragments for ``col`` carry, or None if
+    no fragment exists yet. Raises on mixed widths (a crashed mixed
+    write needs an explicit rebuild)."""
+    fs, p = _hadoop_fs(spark, f"{path}/{SKETCH_DIR}/{col}")
+    if not fs.exists(p):
+        return None
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{path}/{SKETCH_DIR}/{col}"
+    )
+    widths = [r["__cms_w"] for r in raw.select("__cms_w").distinct().collect()]
+    if len(widths) > 1:
+        raise ValueError(
+            f"mixed persisted widths {sorted(widths)} for {col!r} at "
+            f"{path!r} — rebuild_table_sketches(w=...) to repair"
+        )
+    return int(widths[0]) if widths else None
+
+
+def write_partition_with_sketches(
+    df: DataFrame,
+    path: str,
+    sketch_keys: list[str],
+    partition_by: list[str],
+    w: int | None = None,
+    fmt: str = "parquet",
+) -> str:
+    """Idempotently land ONE partition of a hive-partitioned table plus
+    its per-partition sketch fragments — the 100 TB serving shape the
+    f38 metadata loop claims (per-day fragments merged on read,
+    ``write_table_with_sketches`` docstring): a daily ingest job calls
+    this once per day, and a RE-RUN of the same day REPLACES both the
+    data partition and its fragments instead of double-counting.
+
+    Mechanics:
+
+    - ``df`` must contain exactly one distinct combination of
+      ``partition_by`` values (validated — the combination names the
+      fragment subdirectory, e.g. ``_sketches/<col>/part_day=2024-01-05``).
+    - the data lands under Spark's DYNAMIC partition-overwrite mode, so
+      ``mode("overwrite")`` replaces only the touched hive partition
+      (the conf is set for the write and restored after);
+    - each key's CMS/HLL fragments land with ``mode("overwrite")`` in
+      the partition-named subdirectory — same idempotence contract as
+      ``subtract_table_sketch``'s ``erasure_<id>`` fragments; readers
+      merge-on-read recursively, so per-partition fragments SUM (CMS) /
+      MAX (HLL) to exactly the whole table's sketch;
+    - a ``_pending`` marker brackets the non-atomic span exactly like
+      :func:`write_table_with_sketches` append mode, and the erasure
+      tombstone interplay is identical (no HLL fragment over a
+      tombstone).
+
+    Width adopts the landed fragments' ``__cms_w`` when ``w`` is not
+    given; an explicit conflicting ``w`` raises rather than stranding
+    unmergeable fragments. Returns the partition tag."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyspark.storagelevel import StorageLevel
+
+    from dwh_etl_framework_spark.operators.sketch import (
+        CMS_W,
+        cms_sketch,
+        hll_registers,
+    )
+
+    if not partition_by:
+        raise ValueError("write_partition_with_sketches requires partition_by")
+    spark = df.sparkSession
+    _refuse_if_pending(spark, path)  # don't compound a crash
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        combos = df.select(*partition_by).distinct().collect()
+        if len(combos) != 1:
+            raise ValueError(
+                f"df holds {len(combos)} distinct {partition_by} combinations"
+                " — write_partition_with_sketches lands exactly one partition"
+                " per call (split the input by partition first)"
+            )
+        tag = "part_" + "_".join(
+            f"{c}={combos[0][c]}" for c in partition_by
+        )
+        eff_w = int(w or CMS_W)
+        for col in sketch_keys:
+            landed = _persisted_sketch_width(spark, path, col)
+            if landed is not None:
+                if w is not None and int(w) != landed:
+                    raise ValueError(
+                        f"explicit w={w} conflicts with the landed width "
+                        f"{landed} for {col!r} at {path!r}"
+                    )
+                eff_w = landed
+        pending = f"{path}/{SKETCH_DIR}/{PENDING_PREFIX}{uuid.uuid4().hex}"
+        _touch(spark, pending)
+        previous = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            write_table(
+                df, path, fmt=fmt, mode="overwrite", partition_by=partition_by
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", previous
+            )
+        _, tombstones = _sketch_markers(spark, path)
+        for col in sketch_keys:
+            sk = cms_sketch(df.select(col), col, eff_w).withColumn(
+                "__cms_w", F.lit(eff_w)
+            )
+            sk.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{SKETCH_DIR}/{col}/{tag}"
+            )
+            if f"{col}{HLL_TOMBSTONE_SUFFIX}" in tombstones:
+                continue  # see write_table_with_sketches "Erasure interplay"
+            regs = hll_registers(df.select(col), [], col)
+            regs.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{SKETCH_DIR}/{col}__hll/{tag}"
+            )
+        fs, p = _hadoop_fs(spark, pending)
+        if fs.exists(p) and not fs.delete(p, False):
+            raise IOError(f"failed to clear the pending marker {pending}")
+    finally:
+        df.unpersist()
+    return tag
+
+
 def rebuild_table_sketches(
     spark,
     path: str,
@@ -410,7 +539,11 @@ def read_table_ndv(spark, path: str, col: str) -> int:
             "run rebuild_table_sketches() to rescan, or overwrite the "
             "table with a fresh sketched write"
         )
-    raw = spark.read.parquet(f"{path}/{SKETCH_DIR}/{col}__hll")
+    # recursive: per-partition fragments (write_partition_with_sketches)
+    # live in part_* subdirectories; MAX-merge is the HLL union
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{path}/{SKETCH_DIR}/{col}__hll"
+    )
     merged = raw.groupBy("bucket").agg(F.max("reg").alias("reg"))
     row = hll_estimate(merged, []).first()
     est = int(row["hll_estimate"])

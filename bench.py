@@ -142,6 +142,10 @@ HEADLINE = [
     "x107_pii_luhn_redaction",   # checksum-validated PII scrub, map-only
                                  # (r11)
     "r49_variant_json",          # VARIANT parse + typed extraction (r11)
+    "r49b_variant_stored",       # STORED variant: parse once at ingest,
+                                 # typed access thereafter (r12; warm
+                                 # runs measure pure stored access — the
+                                 # cold-parse A/B vs r49 in PLANS.md)
     "x108_kcenter_coreset",      # k-center greedy coreset: k-1 literal-
                                  # center map passes + k scalar
                                  # TakeOrdereds (r12; the by-design
@@ -342,6 +346,12 @@ def summary_line(
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:
         summary["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > budget:
+        # deciseconds before dropping the map entirely: the driver line
+        # keeps per-query medians even at the 64-entry headline (full
+        # precision always lives in BENCH_local.json)
+        summary["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:
         summary.pop("queries")

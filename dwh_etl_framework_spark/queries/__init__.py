@@ -712,6 +712,7 @@ ROTATION_QUEUE: dict[str, int] = {
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,
+    "r49b_variant_stored": 14,
     "r22c_like_patterns": 14,
     "r24d_null_fns": 14,
     "r25b_array_transform": 14,

@@ -142,3 +142,78 @@ def r54_scripted_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries as one unit, instead of in driver-side Python."""
     fixtures(spark, sf_dir)
     return spark.sql(_R54_SPARK)
+
+
+#: r49b — the STORED-variant shape r49's docstring claims (VERDICT r11
+#: #7): pay parse_json ONCE at ingest (a parquet landing of the binary
+#: variant column), then every query does typed ``variant_get`` access
+#: against the stored encoding — no per-query JSON re-parse. The store
+#: materializes once per (session, sf_dir); repeat queries (the bench's
+#: warm runs) measure pure stored access, which is the A/B against
+#: r49's cold parse recorded in PLANS.md.
+_R49B_STORE: dict[tuple[str, str], str] = {}
+
+_R49B_INGEST = """
+SELECT o_orderkey AS id,
+       parse_json(
+           '{"status":"' || o_orderstatus || '","cents":'
+           || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)
+           || ',"pri":"' || o_orderpriority || '"}'
+       ) AS var
+FROM orders
+"""
+
+_R49B_SPARK = """
+SELECT variant_get(var, '$.status', 'string') AS status,
+       variant_get(var, '$.pri', 'string') AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(variant_get(var, '$.cents', 'long')) AS BIGINT) AS cents
+FROM orders_variant_store
+GROUP BY 1, 2
+ORDER BY status, pri
+"""
+
+
+# identical result to the cold-parse r49 — certify the store against
+# the same classic-JSON semantics
+from dwh_etl_framework_spark.queries.wave20 import _R49_ORACLE as _R49B_ORACLE
+
+
+def _variant_store(spark: SparkSession, sf_dir: str) -> str:
+    """Land the variant-encoded orders once per (session, sf_dir) —
+    path isolated like f38's landing so a concurrent parity sweep at
+    another scale factor can't clobber the store mid-read."""
+    import hashlib
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _R49B_STORE:
+        tag = hashlib.md5(
+            f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_r49b_{tag}"
+        fixtures(spark, sf_dir)
+        spark.sql(_R49B_INGEST).write.mode("overwrite").parquet(base)
+        _R49B_STORE[key] = base
+    return _R49B_STORE[key]
+
+
+@query("r49b_variant_stored", oracle=_R49B_ORACLE)
+def r49b_variant_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26/VARIANT, the stored shape: same report as r49 but over a
+    PERSISTED variant column — parse_json ran once at ingest, the query
+    does only typed ``variant_get`` access against the parquet-stored
+    binary encoding. The oracle is r49's classic-JSON SQL (identical
+    result), so the driver hash certifies the store+read path loses
+    nothing vs parsing fresh.
+
+    Scale shape: this is the open-schema ingestion answer at 100 TB —
+    the parse cost is paid once per ingested row, not once per query
+    per row; the report is a map-side typed access + one ≤15-group
+    exchange. The measured cold-parse vs stored-access A/B lives in
+    PLANS.md (round 12)."""
+    store = _variant_store(spark, sf_dir)
+    spark.read.parquet(store).createOrReplaceTempView(
+        "orders_variant_store"
+    )
+    return spark.sql(_R49B_SPARK)

@@ -86,3 +86,21 @@ def test_r54_script_runs_repeatedly_in_one_session(spark):
     a = r54_scripted_threshold(spark, SF_DIR).collect()
     b = r54_scripted_threshold(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_r49b_stored_variant_equals_cold_parse_and_skips_the_parse(spark):
+    """The stored-variant path must produce exactly the cold-parse r49
+    result, and its executed plan must carry NO parse_json — the parse
+    was paid once at the ingest landing, not per query."""
+    from dwh_etl_framework_spark.queries.wave20 import r49_variant_json
+    from dwh_etl_framework_spark.queries.wave21 import r49b_variant_stored
+
+    cold = sorted(map(tuple, r49_variant_json(spark, SF_DIR).collect()))
+    stored_df = r49b_variant_stored(spark, SF_DIR)
+    assert sorted(map(tuple, stored_df.collect())) == cold
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "parse_json" not in plan
+    assert "variant_get" in plan  # typed access against the stored column
+    # idempotent store: a second call reuses the landing (same rows)
+    again = sorted(map(tuple, r49b_variant_stored(spark, SF_DIR).collect()))
+    assert again == cold

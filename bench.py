@@ -150,6 +150,9 @@ HEADLINE = [
                                  # center map passes + k scalar
                                  # TakeOrdereds (r12; the by-design
                                  # k-scan price gets a recorded trail)
+    "x109_join_order_dp",        # System-R join-order DP over portable
+                                 # counts+NDVs (r12; the statistics-tier
+                                 # cost gets a recorded trail)
     "f38_metadata_join_decision",  # land both sides with sketches +
                                  # metadata-only decision (r12; the cost
                                  # is the two sketched landings — the

@@ -53,6 +53,7 @@ from dwh_etl_framework_spark.queries import wave18  # noqa: F401
 from dwh_etl_framework_spark.queries import wave19  # noqa: F401
 from dwh_etl_framework_spark.queries import wave20  # noqa: F401
 from dwh_etl_framework_spark.queries import wave21  # noqa: F401
+from dwh_etl_framework_spark.queries import wave22  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -709,6 +710,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "x70_robust_scale": 13,
     "x71_key_skew_profile": 13,
     "x78_event_anomaly": 13,
+    "x109_join_order_dp": 13,
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,

@@ -1,0 +1,208 @@
+"""Round-12 planner deepening: multi-way join ORDER selection from the
+same statistics tier that already serves broadcast-vs-shuffle (x103 →
+x105 → f38). x109 runs the System-R dynamic program over a three-table
+chain — cost every valid left-deep order by its estimated intermediate
+size (n₁·n₂ / max(ndv₁, ndv₂), Selinger et al. 1979), pick the cheapest
+— with EVERY statistic engine-portable: exact row counts and the
+integer-arithmetic HyperLogLog NDVs the x84 entry certifies, so the
+DuckDB oracle reproduces the full decision table bit-for-bit.
+
+The reference delegates planning to Greenplum/Spark wholesale
+(``airflow_etl.py:251-260``); this closes the remaining planner gap —
+after x105 chose the join STRATEGY from sketches, x109 chooses the
+join ORDER from the same metadata, and
+``sources.sinks.choose_join_order_from_metadata`` serves it from landed
+``_sketches/`` tiers with zero input scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.operators.sketch import (
+    DUCK_HEX,
+    HLL_M,
+    HLL_RMAX,
+    hll_estimate,
+    hll_final_frag,
+    hll_frags,
+    hll_registers,
+)
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+#: The audited chain: customer ⋈(custkey) orders ⋈(orderkey) lineitem.
+#: Two connected left-deep orders exist (the third pairing is a cross
+#: join — excluded by connectivity, as in Selinger's enumeration):
+#:   co_first: (customer ⋈ orders) ⋈ lineitem
+#:   ol_first: (orders ⋈ lineitem) ⋈ customer
+#: System-R costs each by its intermediate size; the final size is the
+#: same product of selectivities either way (computed here with the
+#: SAME two-step ceiling rounding in both engines, so it is part of the
+#: certified spec). All arithmetic is BIGINT — safe while every
+#: pairwise product stays under 2^63 (true to ~1.7e9-row inputs; the
+#: production entry point ``choose_join_order_from_metadata`` does the
+#: same arithmetic in Python's unbounded ints instead).
+
+
+def _ndv_cte(tag: str, table: str, key: str) -> str:
+    """Portable ungrouped HLL NDV of ``table.key`` as DuckDB CTEs —
+    x84's certified construction, reused verbatim (same md5 bits, same
+    integer harmonic sum, same linear-counting CASE table)."""
+    f = hll_frags(DUCK_HEX, key)
+    return f"""
+    {tag}_sl AS (
+        SELECT {f['bucket'].format(div='//')} AS bucket, {f['w']} AS __w
+        FROM (SELECT {f['h']} AS __h FROM {table})
+    ),
+    {tag}_regs AS (
+        SELECT bucket, MAX({f['rank']}) AS reg FROM {tag}_sl GROUP BY 1
+    ),
+    {tag}_sum AS (
+        SELECT CAST(SUM(CAST({1 << HLL_RMAX} AS BIGINT)
+                        // CAST((1 << reg) AS BIGINT)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * {1 << HLL_RMAX} AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used
+        FROM {tag}_regs
+    ),
+    {tag} AS (
+        SELECT {hll_final_frag('s', 'n_buckets_used', '//')} AS ndv
+        FROM {tag}_sum
+    )"""
+
+
+def _x109_oracle() -> str:
+    ctes = ",".join([
+        _ndv_cte("ndv_c_ck", "customer", "c_custkey"),
+        _ndv_cte("ndv_o_ck", "orders", "o_custkey"),
+        _ndv_cte("ndv_o_ok", "orders", "o_orderkey"),
+        _ndv_cte("ndv_l_ok", "lineitem", "l_orderkey"),
+    ])
+    return f"""
+    WITH {ctes},
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+               greatest((SELECT ndv FROM ndv_c_ck),
+                        (SELECT ndv FROM ndv_o_ck)) AS d_ck,
+               greatest((SELECT ndv FROM ndv_o_ok),
+                        (SELECT ndv FROM ndv_l_ok)) AS d_ok
+    ),
+    ests AS (
+        SELECT CAST((n_c * n_o + d_ck - 1) // d_ck AS BIGINT) AS est_co,
+               CAST((n_o * n_l + d_ok - 1) // d_ok AS BIGINT) AS est_ol,
+               CAST((((n_c * n_o + d_ck - 1) // d_ck) * n_l + d_ok - 1)
+                    // d_ok AS BIGINT) AS est_final
+        FROM stats
+    )
+    SELECT 'co_first' AS plan,
+           est_co AS est_intermediate_rows,
+           est_final AS est_final_rows,
+           est_co <= est_ol AS chosen
+    FROM ests
+    UNION ALL
+    SELECT 'ol_first' AS plan,
+           est_ol AS est_intermediate_rows,
+           est_final AS est_final_rows,
+           est_ol < est_co AS chosen
+    FROM ests
+    ORDER BY plan
+    """
+
+
+def _ndv_df(df: DataFrame, key: str) -> DataFrame:
+    """One-row (ndv) DataFrame: the portable HLL estimate of ``key``."""
+    return hll_estimate(hll_registers(df.select(key), [], key), []).select(
+        F.col("hll_estimate").alias("ndv")
+    )
+
+
+@query("x109_join_order_dp", oracle=_x109_oracle())
+def x109_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier planner: System-R join-ORDER selection over the
+    customer⋈orders⋈lineitem chain, every statistic engine-portable —
+    exact counts plus the x84 integer-HLL NDVs feed the Selinger
+    intermediate-size costs, and the DuckDB oracle re-derives the whole
+    decision table (both candidates' estimates AND the chosen flag)
+    from the same construction, so one driver hash certifies the DP
+    arithmetic end to end. Ties break to the lexicographically first
+    plan (``est_co <= est_ol`` vs ``<`` — exactly one row is chosen).
+
+    Scale shape: the inputs to the DP are five scalars recovered from
+    ≤ m-row register tables and 1-row count aggregates — the raw keys
+    never shuffle (HLL registers partial-MAX map-side), and the plan is
+    a union of two selects over one broadcast 1-row stats table. In a
+    landed warehouse the scalars come from ``_sketches/`` metadata with
+    zero input scans (``choose_join_order_from_metadata``, pinned equal
+    to this arithmetic in ``tests/test_join_order.py``). BIGINT-safe
+    while pairwise products stay under 2^63; the metadata entry point
+    uses Python unbounded ints."""
+    t = fixtures(spark, sf_dir)
+    one = F.lit(1).cast("long")
+    stats = (
+        t.customer.agg(F.count(one).cast("long").alias("n_c"))
+        .crossJoin(
+            F.broadcast(
+                t.orders.agg(F.count(one).cast("long").alias("n_o"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                t.lineitem.agg(F.count(one).cast("long").alias("n_l"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _ndv_df(t.customer, "c_custkey").select(
+                    F.col("ndv").alias("ndv_c_ck")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _ndv_df(t.orders, "o_custkey").select(
+                    F.col("ndv").alias("ndv_o_ck")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _ndv_df(t.orders, "o_orderkey").select(
+                    F.col("ndv").alias("ndv_o_ok")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _ndv_df(t.lineitem, "l_orderkey").select(
+                    F.col("ndv").alias("ndv_l_ok")
+                )
+            )
+        )
+        .selectExpr(
+            "n_c", "n_o", "n_l",
+            "greatest(ndv_c_ck, ndv_o_ck) AS d_ck",
+            "greatest(ndv_o_ok, ndv_l_ok) AS d_ok",
+        )
+        .selectExpr(
+            "CAST((n_c * n_o + d_ck - 1) DIV d_ck AS BIGINT) AS est_co",
+            "CAST((n_o * n_l + d_ok - 1) DIV d_ok AS BIGINT) AS est_ol",
+            "CAST((((n_c * n_o + d_ck - 1) DIV d_ck) * n_l + d_ok - 1)"
+            " DIV d_ok AS BIGINT) AS est_final",
+        )
+        .localCheckpoint(eager=True)  # 1 row; both candidates share it
+    )
+    co = stats.selectExpr(
+        "'co_first' AS plan",
+        "est_co AS est_intermediate_rows",
+        "est_final AS est_final_rows",
+        "est_co <= est_ol AS chosen",
+    )
+    ol = stats.selectExpr(
+        "'ol_first' AS plan",
+        "est_ol AS est_intermediate_rows",
+        "est_final AS est_final_rows",
+        "est_ol < est_co AS chosen",
+    )
+    return co.unionByName(ol).orderBy("plan")

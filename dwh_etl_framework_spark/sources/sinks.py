@@ -595,6 +595,58 @@ def ndv_join_estimate(
     }
 
 
+def choose_join_order_from_metadata(
+    spark,
+    left: tuple[str, str],
+    mid: tuple[str, str, str],
+    right: tuple[str, str],
+) -> dict:
+    """System-R join-ORDER selection for a three-table chain served
+    ENTIRELY from landed ``_sketches/`` metadata — none of the three
+    tables is scanned. ``left=(path, key_lm)``, ``mid=(path, key_lm,
+    key_mr)``, ``right=(path, key_mr)``; the chain is
+    left ⋈(key_lm) mid ⋈(key_mr) right.
+
+    Row counts are EXACT from the CMS tier (Σcnt = d·N), NDVs from the
+    HLL tier, and the Selinger intermediate-size arithmetic is the
+    x109 spec verbatim — ``tests/test_join_order.py`` pins this result
+    equal to the oracled inline computation. Python's unbounded ints do
+    the products, so (unlike the BIGINT-certified query) this entry
+    point has no 2^63 ceiling. Costing-tier caveat inherited from
+    :func:`ndv_join_estimate`: the NDV estimate assumes per-key
+    uniformity — use the CMS bound, not this, to SIZE exchanges."""
+    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
+
+    lp, k_lm = left
+    mp, mk_lm, mk_mr = mid
+    rp, k_mr = right
+
+    def _n(path: str, col: str) -> int:
+        sk, _ = read_table_sketch(spark, path, col)
+        return int(cms_cardinality(sk).first()["n_rows"])
+
+    n_l, n_m, n_r = _n(lp, k_lm), _n(mp, mk_lm), _n(rp, k_mr)
+    d_lm = max(
+        read_table_ndv(spark, lp, k_lm), read_table_ndv(spark, mp, mk_lm), 1
+    )
+    d_mr = max(
+        read_table_ndv(spark, mp, mk_mr), read_table_ndv(spark, rp, k_mr), 1
+    )
+    est_lm = (n_l * n_m + d_lm - 1) // d_lm
+    est_mr = (n_m * n_r + d_mr - 1) // d_mr
+    est_final = (est_lm * n_r + d_mr - 1) // d_mr
+    chosen = "lm_first" if est_lm <= est_mr else "mr_first"
+    return {
+        "n_left": n_l,
+        "n_mid": n_m,
+        "n_right": n_r,
+        "est_lm_first": est_lm,
+        "est_mr_first": est_mr,
+        "est_final_rows": est_final,
+        "chosen": chosen,
+    }
+
+
 def decision_from_metadata(
     spark,
     left_path: str,

@@ -161,6 +161,9 @@ HEADLINE = [
     "r53_sql_udf",               # SQL scalar+table UDF inlining (r12;
                                  # must cost the same as the inlined
                                  # query — the zero-overhead claim)
+    "f39_ordered_chain_report",  # join_order step: three sketched
+                                 # landings + metadata-served System-R
+                                 # order driving the executed chain (r12)
 ]
 
 

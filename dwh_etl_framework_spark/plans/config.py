@@ -119,6 +119,17 @@ class TransformStep:
     #: and only for THIS step (originals are restored after analysis).
     #: Spark-only: a pushdown engine plans its own joins.
     join_strategy: Mapping | None = None
+    #: Optional statistics-tier join-ORDER planning for this step (the
+    #: x109 System-R decision surfaced at the pipeline-config level).
+    #: Mapping with ``left``/``mid``/``right`` (temp-view names),
+    #: ``left_table``/``mid_table``/``right_table`` (landed table paths
+    #: whose ``_sketches/`` CMS + HLL tiers supply exact counts and NDVs
+    #: — ZERO input scans), the four key columns ``left_key``/
+    #: ``mid_left_key``/``mid_right_key``/``right_key``, and ``as`` (the
+    #: temp-view name under which the chain — joined in the chosen
+    #: order — is registered for THIS step's SQL; dropped/restored after
+    #: analysis like join_strategy's shaping). Spark-only.
+    join_order: Mapping | None = None
 
     def __post_init__(self) -> None:
         if self.type not in VALID_STEP_TYPES:
@@ -144,6 +155,21 @@ class TransformStep:
             if missing:
                 raise ValueError(
                     f"join_strategy missing required keys: {sorted(missing)}"
+                )
+        if self.join_order is not None:
+            if self.type != "select" or self.engine != "spark":
+                raise ValueError(
+                    "join_order applies only to engine='spark' select steps"
+                )
+            missing = {
+                "left", "mid", "right",
+                "left_table", "mid_table", "right_table",
+                "left_key", "mid_left_key", "mid_right_key", "right_key",
+                "as",
+            } - set(self.join_order)
+            if missing:
+                raise ValueError(
+                    f"join_order missing required keys: {sorted(missing)}"
                 )
 
     def resolve_sql(self, base_dir: str | Path | None = None) -> str:
@@ -223,6 +249,11 @@ def _parse_step(raw: Mapping) -> TransformStep:
             raw["join_strategy"]
             if raw.get("join_strategy") is not None
             else raw.get("join-strategy")
+        ),
+        join_order=(
+            raw["join_order"]
+            if raw.get("join_order") is not None
+            else raw.get("join-order")
         ),
     )
 

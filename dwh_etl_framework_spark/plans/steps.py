@@ -235,6 +235,75 @@ def plan_step_join(ctx: StepContext, spec: Mapping) -> tuple:
     return decision, restore
 
 
+def plan_step_join_order(ctx: StepContext, spec: Mapping) -> tuple:
+    """Statistics-tier join-ORDER planning for a select step (the x109
+    System-R decision at the pipeline-config surface; see
+    ``TransformStep.join_order``).
+
+    Reads exact row counts (CMS tier) and NDVs (HLL tier) from the three
+    tables' landed ``_sketches/`` metadata — NONE of the inputs is
+    scanned — runs the Selinger intermediate-size dynamic program
+    (``sources.sinks.choose_join_order_from_metadata``, pinned equal to
+    the oracled x109 arithmetic), and registers temp view ``spec['as']``
+    holding the chain joined in the chosen left-deep order:
+
+    - ``lm_first`` → ``(left ⋈ mid) ⋈ right``
+    - ``mr_first`` → ``(mid ⋈ right) ⋈ left``
+
+    Inner-join semantics are order-independent, so the step's SQL sees
+    the same rows either way; only the physical join tree changes —
+    Catalyst preserves the authored order for connected equi-join chains
+    (CBO join reordering is off by default), so the DP's choice IS the
+    executed order (pinned by ``tests/test_join_order_step.py``). The
+    view is SCOPED to this step like join_strategy's shaping: the caller
+    restores/drops it after the step's SQL is analyzed. Returns
+    ``(order_decision, restore)``.
+
+    Scale shape: at 100 TB the decision costs three ≤ d·w counter reads
+    plus four ≤ m-row register reads; choosing the wrong first join on a
+    skewed chain is the difference between an |orders|-row and an
+    |lineitem|-row intermediate exchange."""
+    from dwh_etl_framework_spark.sources.sinks import (
+        choose_join_order_from_metadata,
+    )
+
+    def resolve(name: str) -> DataFrame:
+        df = ctx.dataframes.get(name)
+        return df if df is not None else ctx.spark.table(name)
+
+    order = choose_join_order_from_metadata(
+        ctx.spark,
+        (spec["left_table"], spec["left_key"]),
+        (spec["mid_table"], spec["mid_left_key"], spec["mid_right_key"]),
+        (spec["right_table"], spec["right_key"]),
+    )
+    left = resolve(spec["left"])
+    mid = resolve(spec["mid"])
+    right = resolve(spec["right"])
+    cond_lm = left[spec["left_key"]] == mid[spec["mid_left_key"]]
+    cond_mr = mid[spec["mid_right_key"]] == right[spec["right_key"]]
+    if order["chosen"] == "lm_first":
+        chain = left.join(mid, cond_lm).join(right, cond_mr)
+    else:
+        chain = mid.join(right, cond_mr).join(left, cond_lm)
+
+    name = spec["as"]
+    had_prior = name in ctx.dataframes
+    prior = ctx.dataframes.get(name)
+    chain.createOrReplaceTempView(name)
+    ctx.dataframes[name] = chain
+
+    def restore() -> None:
+        if had_prior:
+            prior.createOrReplaceTempView(name)
+            ctx.dataframes[name] = prior
+        else:
+            ctx.spark.catalog.dropTempView(name)
+            ctx.dataframes.pop(name, None)
+
+    return order, restore
+
+
 def checkpoint(df: DataFrame, ctx: StepContext, step_alias: str | None) -> DataFrame:
     """Materialize a step result (F9)."""
     mode = ctx.checkpoint_mode
@@ -257,16 +326,28 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
     SQL to the named JDBC connection and pulls the result (F8, the
     reference's engine='greenplum' branch, airflow_etl.py:252-260)."""
     sql = fill_sql_parameters(step.resolve_sql(ctx.sql_base_dir), ctx.parameters)
-    restore_views = None
-    if step.join_strategy is not None:
-        decision, restore_views = plan_step_join(ctx, step.join_strategy)
-        base = step.alias or (
-            f"{step.join_strategy['left']}⋈{step.join_strategy['right']}"
-        )
+    restores: list = []
+
+    def record_decision(base: str, decision: object) -> None:
         key, i = base, 2
         while key in ctx.join_decisions:  # two steps sharing an alias/pair:
             key, i = f"{base}#{i}", i + 1  # keep every audit entry
         ctx.join_decisions[key] = decision
+
+    if step.join_order is not None:
+        order, restore_order = plan_step_join_order(ctx, step.join_order)
+        restores.append(restore_order)
+        record_decision(
+            f"order:{step.alias or step.join_order['as']}", order
+        )
+    if step.join_strategy is not None:
+        decision, restore_views = plan_step_join(ctx, step.join_strategy)
+        restores.append(restore_views)
+        record_decision(
+            step.alias
+            or f"{step.join_strategy['left']}⋈{step.join_strategy['right']}",
+            decision,
+        )
     try:
         if step.engine == "pushdown":
             try:
@@ -294,14 +375,14 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
         else:
             df = ctx.spark.sql(sql)
     finally:
-        if restore_views is not None:
-            # spark.sql analyzed the statement above (or raised), so the
-            # shaped views are already bound into df's plan where one
-            # exists; restoring in finally scopes the shaping to THIS
-            # step even when the SQL raises — otherwise a caller that
-            # catches the error and continues would run every later step
-            # against broadcast-hinted/repartitioned views (ADVICE r10)
-            restore_views()
+        # spark.sql analyzed the statement above (or raised), so the
+        # shaped/chain views are already bound into df's plan where one
+        # exists; restoring in finally scopes the shaping to THIS
+        # step even when the SQL raises — otherwise a caller that
+        # catches the error and continues would run every later step
+        # against broadcast-hinted/repartitioned views (ADVICE r10)
+        for restore in reversed(restores):
+            restore()
     if step.cache or step.cache_dir:
         if step.cache_dir:
             # explicit cache_dir forces a durable parquet checkpoint, like the

@@ -711,6 +711,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "x71_key_skew_profile": 13,
     "x78_event_anomaly": 13,
     "x109_join_order_dp": 13,
+    "f39_ordered_chain_report": 13,
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,

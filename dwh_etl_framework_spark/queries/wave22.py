@@ -206,3 +206,114 @@ def x109_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_ol < est_co AS chosen",
     )
     return co.unionByName(ol).orderBy("plan")
+
+
+#: f39 — the x109 decision EXECUTED: a select step declares
+#: ``join_order`` at the config surface, the planner reads counts + NDVs
+#: from the three landed ``_sketches/`` tiers (zero input scans), joins
+#: the chain in the chosen order, and the step's SQL reports over it.
+#: The oracle is the same report over the canonically-ordered ANSI
+#: 3-way join — so one driver hash certifies that the metadata-served
+#: reorder is SEMANTICS-PRESERVING end to end (landing, merge-on-read,
+#: DP arithmetic, chain construction, view scoping). The executed plan's
+#: join tree matching the DP choice is pinned separately in
+#: ``tests/test_join_order_step.py``.
+_F39_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM f39_chain
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+_F39_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+#: (applicationId, sf_dir) → landed base path; the three sketched
+#: landings are one-time warehouse setup (the ``landing:`` config tier),
+#: not per-query work — memoized like r49b's variant store so warm bench
+#: runs measure what production pays per query: metadata reads + the
+#: ordered chain itself.
+_F39_LANDED: dict[tuple[str, str], str] = {}
+
+
+def _f39_landing(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from dwh_etl_framework_spark.sources.sinks import write_table_with_sketches
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _F39_LANDED:
+        t = fixtures(spark, sf_dir)
+        # path isolated per (sf_dir, session) like f38: a concurrent run
+        # at another scale factor must not overwrite these mid-read
+        tag = hashlib.md5(
+            f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        base = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f39_{tag}"
+        for name, df, keys in [
+            ("customer", t.customer, ["c_custkey"]),
+            ("orders", t.orders, ["o_custkey", "o_orderkey"]),
+            ("lineitem", t.lineitem, ["l_orderkey"]),
+        ]:
+            write_table_with_sketches(
+                df, f"{base}/{name}", keys, mode="overwrite"
+            )
+        _F39_LANDED[key] = base
+    return _F39_LANDED[key]
+
+
+@query("f39_ordered_chain_report", oracle=_F39_ORACLE)
+def f39_ordered_chain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier planner composition: x109's join-order decision DRIVING a
+    real pipeline step. The three chain tables land once with sketch
+    metadata (the ``landing: sketch_keys`` tier), a config-declared
+    select step carries ``join_order``, and
+    ``plans.steps.plan_step_join_order`` serves the System-R order from
+    the landed CMS counts + HLL NDVs — neither customer, orders nor
+    lineitem is scanned to plan — then registers the chain view joined
+    in the chosen order for the step's SQL. The DuckDB oracle computes
+    the identical report over the canonical join order, so the driver
+    hash certifies the reorder changes the PLAN, never the rows.
+
+    Scale shape: planning is O(d·w + m) metadata reads per table; the
+    execution joins in the order that minimizes the intermediate
+    exchange (here customer⋈orders ≈ |orders| rows beats
+    orders⋈lineitem ≈ |lineitem| rows — a 4× smaller first shuffle at
+    every scale factor, and the gap widens with fact-table skew). The
+    landing itself is one-time setup memoized per (session, sf) — warm
+    calls pay only the metadata reads and the chain."""
+    from dwh_etl_framework_spark.plans.config import TransformStep
+    from dwh_etl_framework_spark.plans.steps import StepContext, run_select_step
+
+    fixtures(spark, sf_dir)
+    base = _f39_landing(spark, sf_dir)
+    step = TransformStep(
+        type="select",
+        sql=_F39_SQL,
+        join_order={
+            "left": "customer", "mid": "orders", "right": "lineitem",
+            "left_table": f"{base}/customer",
+            "mid_table": f"{base}/orders",
+            "right_table": f"{base}/lineitem",
+            "left_key": "c_custkey",
+            "mid_left_key": "o_custkey",
+            "mid_right_key": "o_orderkey",
+            "right_key": "l_orderkey",
+            "as": "f39_chain",
+        },
+    )
+    return run_select_step(StepContext(spark=spark), step)

@@ -164,6 +164,8 @@ HEADLINE = [
     "f39_ordered_chain_report",  # join_order step: three sketched
                                  # landings + metadata-served System-R
                                  # order driving the executed chain (r12)
+    "x110_chain_order_dp",       # 4-table interval DP decision table
+                                 # over portable counts+NDVs (r12)
 ]
 
 

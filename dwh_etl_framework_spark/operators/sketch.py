@@ -418,3 +418,92 @@ def apply_join_strategy(
     return left.repartition(n, *[F.col(c) for c in lkeys]).join(
         right.repartition(n, *[F.col(c) for c in rkeys]), cond, how
     )
+
+
+def chain_interval_estimates(
+    ns: list[int], ds: list[int]
+) -> dict[tuple[int, int], int]:
+    """Canonical Selinger size estimate for every contiguous interval of
+    a join CHAIN t0 ⋈(d0) t1 ⋈(d1) … t{k-1}: ``est[i,j]`` is the
+    left-to-right fold ``ceil(prev · n_next / d_edge)`` over the
+    interval. The fold order is part of the certified spec (with real
+    arithmetic the product is order-independent; the stepwise integer
+    ceiling makes the canonical fold the tie-free definition both
+    engines reproduce — x109/x110's construction). Unbounded Python
+    ints, so no 2^63 ceiling."""
+    k = len(ns)
+    if len(ds) != k - 1:
+        raise ValueError(f"chain of {k} tables needs {k - 1} edge NDVs")
+    if any(n < 0 for n in ns) or any(d < 1 for d in ds):
+        raise ValueError("row counts must be >= 0 and edge NDVs >= 1")
+    est: dict[tuple[int, int], int] = {}
+    for i in range(k):
+        e = int(ns[i])
+        est[(i, i)] = e
+        for j in range(i + 1, k):
+            e = (e * int(ns[j]) + int(ds[j - 1]) - 1) // int(ds[j - 1])
+            est[(i, j)] = e
+    return est
+
+
+def chain_join_order(ns: list[int], ds: list[int]) -> dict:
+    """System-R join-ORDER selection for a k-table chain, generalized
+    from the 3-table x109 decision: enumerate left-deep plans (every
+    connected prefix of a chain is a contiguous interval, so the DP
+    state is the interval — Selinger et al. 1979's enumeration
+    restricted to the chain's connectivity, O(k²) states) and minimize
+    the SUM of intermediate sizes (every prefix of size 2..k-1 is an
+    exchange the cluster pays for; the final size is plan-invariant and
+    excluded).
+
+    Ties break toward extending on the RIGHT (the deterministic rule
+    both the oracled x110 table and the pure-python brute force in
+    ``tests/test_chain_order.py`` reproduce).
+
+    Returns ``{"cost", "order", "est", "est_final"}`` where ``order`` is
+    the table-index join sequence (first element = starting table) and
+    ``est`` maps each charged prefix interval to its estimate."""
+    k = len(ns)
+    est = chain_interval_estimates(ns, ds)
+    if k == 1:
+        return {"cost": 0, "order": [0], "est": {}, "est_final": est[(0, 0)]}
+    #: f(i,j) = min over build orders of sum(est of every prefix of size
+    #: >= 2 up to AND INCLUDING [i..j]); answer subtracts the invariant
+    #: full-chain term.
+    f: dict[tuple[int, int], int] = {(i, i): 0 for i in range(k)}
+    choice: dict[tuple[int, int], str] = {}
+    for length in range(2, k + 1):
+        for i in range(0, k - length + 1):
+            j = i + length - 1
+            via_right = f[(i, j - 1)]  # [i..j-1] extended by t_j
+            via_left = f[(i + 1, j)]  # [i+1..j] extended by t_i
+            if via_right <= via_left:
+                f[(i, j)] = est[(i, j)] + via_right
+                choice[(i, j)] = "R"
+            else:
+                f[(i, j)] = est[(i, j)] + via_left
+                choice[(i, j)] = "L"
+    # reconstruct: walk choices down from the full interval
+    seq: list[int] = []
+    i, j = 0, k - 1
+    while i < j:
+        if choice[(i, j)] == "R":
+            seq.append(j)
+            j -= 1
+        else:
+            seq.append(i)
+            i += 1
+    seq.append(i)
+    seq.reverse()
+    charged = {}
+    a, b = seq[0], seq[0]
+    for t in seq[1:]:
+        a, b = min(a, t), max(b, t)
+        if (b - a + 1) < k:
+            charged[(a, b)] = est[(a, b)]
+    return {
+        "cost": f[(0, k - 1)] - est[(0, k - 1)],
+        "order": seq,
+        "est": charged,
+        "est_final": est[(0, k - 1)],
+    }

@@ -712,6 +712,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "x78_event_anomaly": 13,
     "x109_join_order_dp": 13,
     "f39_ordered_chain_report": 13,
+    "x110_chain_order_dp": 13,
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,

@@ -208,6 +208,153 @@ def x109_join_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.unionByName(ol).orderBy("plan")
 
 
+#: x110 — the DP generalized past three tables: the four-table chain
+#: nation ⋈(nationkey) customer ⋈(custkey) orders ⋈(orderkey) lineitem.
+#: Left-deep plans over a CHAIN have contiguous-interval prefixes, so
+#: the distinct cost signatures are the four (size-2, size-3) interval
+#: pairs; the objective is the SUM of intermediate sizes (every prefix
+#: of size 2..k-1 is an exchange — the final size is plan-invariant).
+#: Interval estimates use the canonical left-to-right ceiling fold
+#: (chain_interval_estimates), so both engines reproduce every number
+#: bit-for-bit; chosen = row 1 by (cost, plan) — a window over 4 rows.
+_X110_PLANS = [
+    # (name, est_step2 expr key, est_step3 expr key)
+    ("co_n", "e23", "e13"),  # (customer⋈orders) then +nation then +lineitem
+    ("co_l", "e23", "e24"),  # (customer⋈orders) then +lineitem then +nation
+    ("nc_o", "e12", "e13"),  # (nation⋈customer) then +orders then +lineitem
+    ("ol_c", "e34", "e24"),  # (orders⋈lineitem) then +customer then +nation
+]
+
+
+def _x110_oracle() -> str:
+    ctes = ",".join([
+        _ndv_cte("ndv_n_nk", "nation", "n_nationkey"),
+        _ndv_cte("ndv_c_nk", "customer", "c_nationkey"),
+        _ndv_cte("ndv_c_ck", "customer", "c_custkey"),
+        _ndv_cte("ndv_o_ck", "orders", "o_custkey"),
+        _ndv_cte("ndv_o_ok", "orders", "o_orderkey"),
+        _ndv_cte("ndv_l_ok", "lineitem", "l_orderkey"),
+    ])
+    plan_rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS plan, {s2} AS est_step2, {s3} AS est_step3,"
+        f" {s2} + {s3} AS cost, e14 AS est_final FROM ests"
+        for name, s2, s3 in _X110_PLANS
+    )
+    return f"""
+    WITH {ctes},
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+               greatest((SELECT ndv FROM ndv_n_nk),
+                        (SELECT ndv FROM ndv_c_nk)) AS d_nk,
+               greatest((SELECT ndv FROM ndv_c_ck),
+                        (SELECT ndv FROM ndv_o_ck)) AS d_ck,
+               greatest((SELECT ndv FROM ndv_o_ok),
+                        (SELECT ndv FROM ndv_l_ok)) AS d_ok
+    ),
+    ests AS (
+        SELECT CAST((n_n * n_c + d_nk - 1) // d_nk AS BIGINT) AS e12,
+               CAST((((n_n * n_c + d_nk - 1) // d_nk) * n_o + d_ck - 1)
+                    // d_ck AS BIGINT) AS e13,
+               CAST(((((n_n * n_c + d_nk - 1) // d_nk) * n_o + d_ck - 1)
+                     // d_ck * n_l + d_ok - 1) // d_ok AS BIGINT) AS e14,
+               CAST((n_c * n_o + d_ck - 1) // d_ck AS BIGINT) AS e23,
+               CAST((((n_c * n_o + d_ck - 1) // d_ck) * n_l + d_ok - 1)
+                    // d_ok AS BIGINT) AS e24,
+               CAST((n_o * n_l + d_ok - 1) // d_ok AS BIGINT) AS e34
+        FROM stats
+    ),
+    plans AS ({plan_rows})
+    SELECT plan, est_step2, est_step3, cost, est_final,
+           ROW_NUMBER() OVER (ORDER BY cost, plan) = 1 AS chosen
+    FROM plans
+    ORDER BY plan
+    """
+
+
+@query("x110_chain_order_dp", oracle=_x110_oracle())
+def x110_chain_order_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier planner, k>3: the Selinger interval DP over the FOUR-table
+    chain nation⋈customer⋈orders⋈lineitem. Four distinct left-deep cost
+    signatures exist (connected prefixes of a chain are intervals);
+    each is costed by the SUM of its two intermediate sizes from the
+    canonical ceiling-fold estimates, all statistics engine-portable
+    (exact counts + the x84 integer-HLL NDVs), so the DuckDB oracle
+    re-derives the full four-row decision table and one driver hash
+    certifies the generalized DP arithmetic. The pure-python
+    ``operators.sketch.chain_join_order`` (O(k²) DP, unbounded ints) is
+    pinned equal to this table's chosen cost — and to brute-force
+    enumeration — in ``tests/test_chain_order.py``; the metadata entry
+    point ``choose_chain_join_order_from_metadata`` serves the same
+    decision from landed ``_sketches/`` tiers with zero input scans.
+
+    Scale shape: identical to x109 — the DP inputs are 4 counts + 6
+    NDVs from ≤ m-row register tables; raw keys never shuffle; the
+    decision table is a 4-row union over one broadcast stats row."""
+    t = fixtures(spark, sf_dir)
+    one = F.lit(1).cast("long")
+
+    def _cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(one).cast("long").alias(alias))
+
+    def _ndv(df: DataFrame, key: str, alias: str) -> DataFrame:
+        return _ndv_df(df, key).select(F.col("ndv").alias(alias))
+
+    stats = _cnt(t.nation, "n_n")
+    for piece in [
+        _cnt(t.customer, "n_c"), _cnt(t.orders, "n_o"),
+        _cnt(t.lineitem, "n_l"),
+        _ndv(t.nation, "n_nationkey", "ndv_n_nk"),
+        _ndv(t.customer, "c_nationkey", "ndv_c_nk"),
+        _ndv(t.customer, "c_custkey", "ndv_c_ck"),
+        _ndv(t.orders, "o_custkey", "ndv_o_ck"),
+        _ndv(t.orders, "o_orderkey", "ndv_o_ok"),
+        _ndv(t.lineitem, "l_orderkey", "ndv_l_ok"),
+    ]:
+        stats = stats.crossJoin(F.broadcast(piece))
+    ests = (
+        stats.selectExpr(
+            "n_n", "n_c", "n_o", "n_l",
+            "greatest(ndv_n_nk, ndv_c_nk) AS d_nk",
+            "greatest(ndv_c_ck, ndv_o_ck) AS d_ck",
+            "greatest(ndv_o_ok, ndv_l_ok) AS d_ok",
+        )
+        .selectExpr(
+            "CAST((n_n * n_c + d_nk - 1) DIV d_nk AS BIGINT) AS e12",
+            "CAST((((n_n * n_c + d_nk - 1) DIV d_nk) * n_o + d_ck - 1)"
+            " DIV d_ck AS BIGINT) AS e13",
+            "CAST(((((n_n * n_c + d_nk - 1) DIV d_nk) * n_o + d_ck - 1)"
+            " DIV d_ck * n_l + d_ok - 1) DIV d_ok AS BIGINT) AS e14",
+            "CAST((n_c * n_o + d_ck - 1) DIV d_ck AS BIGINT) AS e23",
+            "CAST((((n_c * n_o + d_ck - 1) DIV d_ck) * n_l + d_ok - 1)"
+            " DIV d_ok AS BIGINT) AS e24",
+            "CAST((n_o * n_l + d_ok - 1) DIV d_ok AS BIGINT) AS e34",
+        )
+        .localCheckpoint(eager=True)  # 1 row; all four candidates share it
+    )
+    plans = None
+    for name, s2, s3 in _X110_PLANS:
+        row = ests.selectExpr(
+            f"'{name}' AS plan",
+            f"{s2} AS est_step2",
+            f"{s3} AS est_step3",
+            f"{s2} + {s3} AS cost",
+            "e14 AS est_final",
+        )
+        plans = row if plans is None else plans.unionByName(row)
+    from pyspark.sql import Window
+
+    # constant partition key: the window ranks a 4-row decision table,
+    # so the single partition is the point, not a degradation
+    w = Window.partitionBy(F.lit(1)).orderBy("cost", "plan")
+    return (
+        plans.withColumn("chosen", F.row_number().over(w) == 1)
+        .orderBy("plan")
+    )
+
+
 #: f39 — the x109 decision EXECUTED: a select step declares
 #: ``join_order`` at the config surface, the planner reads counts + NDVs
 #: from the three landed ``_sketches/`` tiers (zero input scans), joins

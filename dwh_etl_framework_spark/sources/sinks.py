@@ -647,6 +647,65 @@ def choose_join_order_from_metadata(
     }
 
 
+def choose_chain_join_order_from_metadata(spark, tables: list[tuple]) -> dict:
+    """:func:`choose_join_order_from_metadata` generalized to a k-table
+    chain (the x110 interval DP,
+    :func:`~dwh_etl_framework_spark.operators.sketch.chain_join_order`):
+    every statistic comes from the landed ``_sketches/`` tiers — exact
+    row counts from the CMS counters, edge NDVs from the HLL registers —
+    so planning a k-way join costs O(k) metadata reads and ZERO input
+    scans.
+
+    ``tables`` is the chain in join-graph order: first element
+    ``(path, right_key)``, middles ``(path, left_key, right_key)``,
+    last ``(path, left_key)`` — ``right_key`` of table i joins
+    ``left_key`` of table i+1.
+
+    Returns the :func:`chain_join_order` dict plus ``paths`` (the chain
+    order echoed back) so callers can map ``order`` indices to tables.
+    Costing-tier caveat inherited from :func:`ndv_join_estimate`: the
+    NDV estimate assumes per-key uniformity — use the CMS bound, not
+    this, to SIZE exchanges."""
+    from dwh_etl_framework_spark.operators.sketch import (
+        chain_join_order,
+        cms_cardinality,
+    )
+
+    k = len(tables)
+    if k < 2:
+        raise ValueError("a join chain needs at least 2 tables")
+
+    def _keys(idx: int) -> tuple[str | None, str | None]:
+        t = tables[idx]
+        if idx == 0:
+            return None, t[1]
+        if idx == k - 1:
+            return t[1], None
+        return t[1], t[2]
+
+    ns: list[int] = []
+    for idx, t in enumerate(tables):
+        lk, rk = _keys(idx)
+        sk, _ = read_table_sketch(spark, t[0], lk or rk)
+        ns.append(int(cms_cardinality(sk).first()["n_rows"]))
+    ds: list[int] = []
+    for idx in range(k - 1):
+        _, rk = _keys(idx)
+        lk, _ = _keys(idx + 1)
+        ds.append(
+            max(
+                read_table_ndv(spark, tables[idx][0], rk),
+                read_table_ndv(spark, tables[idx + 1][0], lk),
+                1,
+            )
+        )
+    out = chain_join_order(ns, ds)
+    out["paths"] = [t[0] for t in tables]
+    out["n_rows"] = ns
+    out["edge_ndvs"] = ds
+    return out
+
+
 def decision_from_metadata(
     spark,
     left_path: str,

@@ -166,6 +166,8 @@ HEADLINE = [
                                  # order driving the executed chain (r12)
     "x110_chain_order_dp",       # 4-table interval DP decision table
                                  # over portable counts+NDVs (r12)
+    "f40_chain4_report",         # join_order chain form: 4-table DP
+                                 # order executed from config (r12)
 ]
 
 

@@ -161,16 +161,37 @@ class TransformStep:
                 raise ValueError(
                     "join_order applies only to engine='spark' select steps"
                 )
-            missing = {
-                "left", "mid", "right",
-                "left_table", "mid_table", "right_table",
-                "left_key", "mid_left_key", "mid_right_key", "right_key",
-                "as",
-            } - set(self.join_order)
-            if missing:
-                raise ValueError(
-                    f"join_order missing required keys: {sorted(missing)}"
-                )
+            if "chain" in self.join_order:
+                chain = self.join_order["chain"]
+                if "as" not in self.join_order:
+                    raise ValueError("join_order chain form needs 'as'")
+                if not isinstance(chain, (list, tuple)) or len(chain) < 2:
+                    raise ValueError(
+                        "join_order 'chain' must list at least 2 tables"
+                    )
+                for i, e in enumerate(chain):
+                    need = {"view", "table"}
+                    if i > 0:
+                        need.add("left_key")
+                    if i < len(chain) - 1:
+                        need.add("right_key")
+                    missing = need - set(e)
+                    if missing:
+                        raise ValueError(
+                            f"join_order chain element {i} missing keys: "
+                            f"{sorted(missing)}"
+                        )
+            else:
+                missing = {
+                    "left", "mid", "right",
+                    "left_table", "mid_table", "right_table",
+                    "left_key", "mid_left_key", "mid_right_key", "right_key",
+                    "as",
+                } - set(self.join_order)
+                if missing:
+                    raise ValueError(
+                        f"join_order missing required keys: {sorted(missing)}"
+                    )
 
     def resolve_sql(self, base_dir: str | Path | None = None) -> str:
         if self.sql is not None:

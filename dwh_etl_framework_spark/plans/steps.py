@@ -259,11 +259,21 @@ def plan_step_join_order(ctx: StepContext, spec: Mapping) -> tuple:
     restores/drops it after the step's SQL is analyzed. Returns
     ``(order_decision, restore)``.
 
-    Scale shape: at 100 TB the decision costs three ≤ d·w counter reads
-    plus four ≤ m-row register reads; choosing the wrong first join on a
-    skewed chain is the difference between an |orders|-row and an
+    Two spec forms:
+
+    - three-table (``left``/``mid``/``right`` + tables + keys) — the
+      pairwise x109 decision;
+    - ``chain: [{view, table, right_key[, left_key]}, …]`` for ANY
+      chain length — the x110 interval DP
+      (``choose_chain_join_order_from_metadata``); each element's
+      ``right_key`` joins the next element's ``left_key``.
+
+    Scale shape: at 100 TB the decision costs k ≤ d·w counter reads
+    plus 2(k-1) ≤ m-row register reads; choosing the wrong first join on
+    a skewed chain is the difference between an |orders|-row and an
     |lineitem|-row intermediate exchange."""
     from dwh_etl_framework_spark.sources.sinks import (
+        choose_chain_join_order_from_metadata,
         choose_join_order_from_metadata,
     )
 
@@ -271,21 +281,45 @@ def plan_step_join_order(ctx: StepContext, spec: Mapping) -> tuple:
         df = ctx.dataframes.get(name)
         return df if df is not None else ctx.spark.table(name)
 
-    order = choose_join_order_from_metadata(
-        ctx.spark,
-        (spec["left_table"], spec["left_key"]),
-        (spec["mid_table"], spec["mid_left_key"], spec["mid_right_key"]),
-        (spec["right_table"], spec["right_key"]),
-    )
-    left = resolve(spec["left"])
-    mid = resolve(spec["mid"])
-    right = resolve(spec["right"])
-    cond_lm = left[spec["left_key"]] == mid[spec["mid_left_key"]]
-    cond_mr = mid[spec["mid_right_key"]] == right[spec["right_key"]]
-    if order["chosen"] == "lm_first":
-        chain = left.join(mid, cond_lm).join(right, cond_mr)
+    if "chain" in spec:
+        elems = spec["chain"]
+        tabs: list[tuple] = []
+        for i, e in enumerate(elems):
+            if i == 0:
+                tabs.append((e["table"], e["right_key"]))
+            elif i == len(elems) - 1:
+                tabs.append((e["table"], e["left_key"]))
+            else:
+                tabs.append((e["table"], e["left_key"], e["right_key"]))
+        order = choose_chain_join_order_from_metadata(ctx.spark, tabs)
+        dfs = [resolve(e["view"]) for e in elems]
+        seq = order["order"]
+        chain = dfs[seq[0]]
+        lo = hi = seq[0]
+        for t in seq[1:]:
+            edge = t if t < lo else t - 1  # the chain edge being joined
+            cond = (
+                dfs[edge][elems[edge]["right_key"]]
+                == dfs[edge + 1][elems[edge + 1]["left_key"]]
+            )
+            chain = chain.join(dfs[t], cond)
+            lo, hi = min(lo, t), max(hi, t)
     else:
-        chain = mid.join(right, cond_mr).join(left, cond_lm)
+        order = choose_join_order_from_metadata(
+            ctx.spark,
+            (spec["left_table"], spec["left_key"]),
+            (spec["mid_table"], spec["mid_left_key"], spec["mid_right_key"]),
+            (spec["right_table"], spec["right_key"]),
+        )
+        left = resolve(spec["left"])
+        mid = resolve(spec["mid"])
+        right = resolve(spec["right"])
+        cond_lm = left[spec["left_key"]] == mid[spec["mid_left_key"]]
+        cond_mr = mid[spec["mid_right_key"]] == right[spec["right_key"]]
+        if order["chosen"] == "lm_first":
+            chain = left.join(mid, cond_lm).join(right, cond_mr)
+        else:
+            chain = mid.join(right, cond_mr).join(left, cond_lm)
 
     name = spec["as"]
     had_prior = name in ctx.dataframes

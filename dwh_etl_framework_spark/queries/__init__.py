@@ -713,6 +713,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "x109_join_order_dp": 13,
     "f39_ordered_chain_report": 13,
     "x110_chain_order_dp": 13,
+    "f40_chain4_report": 13,
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,

@@ -464,3 +464,107 @@ def f39_ordered_chain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return run_select_step(StepContext(spark=spark), step)
+
+
+#: f40 — the GENERALIZED (x110 interval-DP) order executed: the
+#: four-table chain declared through the ``join_order: chain`` config
+#: form, every statistic from landed metadata, the step's SQL reporting
+#: per-nation over the chain. Oracle = the canonical ANSI 4-way join.
+_F40_SQL = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM f40_chain
+GROUP BY n_name
+ORDER BY nation
+"""
+
+_F40_ORACLE = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM nation
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY n_name
+ORDER BY nation
+"""
+
+#: (applicationId, sf_dir) → landed base for f40's nation table (the
+#: other three reuse f39's landing; nation needs only its n_nationkey
+#: sketch).
+_F40_LANDED: dict[tuple[str, str], str] = {}
+
+
+def _f40_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import tempfile
+
+    from dwh_etl_framework_spark.sources.sinks import write_table_with_sketches
+
+    base = _f39_landing(spark, sf_dir)  # customer/orders/lineitem
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _F40_LANDED:
+        t = fixtures(spark, sf_dir)
+        tag = hashlib.md5(
+            f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        nbase = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f40_{tag}"
+        write_table_with_sketches(
+            t.nation, f"{nbase}/nation", ["n_nationkey"], mode="overwrite"
+        )
+        # f39 landed customer with c_custkey only; the 4-chain also needs
+        # its c_nationkey edge sketch — land a second customer copy with
+        # both keys rather than mutating f39's (each landing's sketches
+        # must describe exactly its own data dir)
+        write_table_with_sketches(
+            t.customer, f"{nbase}/customer", ["c_nationkey", "c_custkey"],
+            mode="overwrite",
+        )
+        _F40_LANDED[key] = nbase
+    return _F40_LANDED[key], base
+
+
+@query("f40_chain4_report", oracle=_F40_ORACLE)
+def f40_chain4_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-tier planner composition, k=4: the x110 interval DP driving a
+    real step through the ``join_order: chain`` config form. All four
+    tables are landed with sketch metadata; the planner reads 4 counts
+    + 6 NDVs from ``_sketches/`` (zero input scans), runs the O(k²) DP,
+    and executes the chain in the returned build order — on this schema
+    dimension-first: (nation ⋈ customer) ⋈ orders ⋈ lineitem, whose
+    intermediates ≈ |customer| + |orders| beat any fact-first order.
+    The oracle computes the identical per-nation report over the
+    canonical ANSI 4-way join, so the driver hash certifies the
+    generalized reorder is semantics-preserving end to end. Executed
+    tree pinned to the DP order in ``tests/test_join_order_step.py``.
+
+    Scale shape: as f39, planning is metadata-only; the execution's
+    win grows with chain length — every misplaced fact join is an
+    extra fact-sized exchange the DP avoids."""
+    from dwh_etl_framework_spark.plans.config import TransformStep
+    from dwh_etl_framework_spark.plans.steps import StepContext, run_select_step
+
+    fixtures(spark, sf_dir)
+    nbase, base = _f40_landing(spark, sf_dir)
+    step = TransformStep(
+        type="select",
+        sql=_F40_SQL,
+        join_order={
+            "chain": [
+                {"view": "nation", "table": f"{nbase}/nation",
+                 "right_key": "n_nationkey"},
+                {"view": "customer", "table": f"{nbase}/customer",
+                 "left_key": "c_nationkey", "right_key": "c_custkey"},
+                {"view": "orders", "table": f"{base}/orders",
+                 "left_key": "o_custkey", "right_key": "o_orderkey"},
+                {"view": "lineitem", "table": f"{base}/lineitem",
+                 "left_key": "l_orderkey"},
+            ],
+            "as": "f40_chain",
+        },
+    )
+    return run_select_step(StepContext(spark=spark), step)

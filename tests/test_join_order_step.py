@@ -177,6 +177,65 @@ def test_step_scoping_restores_views(spark, landed):
     spark.catalog.dropTempView("scoped_chain")
 
 
+def test_chain_form_executes_dp_order(spark, landed, tmp_path):
+    """The ``chain`` spec form (k=4): the DP must put the dimension pair
+    (nation ⋈ customer) first and the executed tree must scan lineitem
+    LAST — and the chain's rows must equal the canonical 4-way join."""
+    from dwh_etl_framework_spark.queries.registry import fixtures as fx
+
+    t = fx(spark, SF_DIR)
+    npath = str(tmp_path / "nation")
+    cpath = str(tmp_path / "customer2")
+    write_table_with_sketches(
+        t.nation, npath, ["n_nationkey"], mode="overwrite"
+    )
+    write_table_with_sketches(
+        t.customer, cpath, ["c_nationkey", "c_custkey"], mode="overwrite"
+    )
+    ctx = StepContext(spark=spark)
+    spec = {
+        "chain": [
+            {"view": "nation", "table": npath, "right_key": "n_nationkey"},
+            {"view": "customer", "table": cpath,
+             "left_key": "c_nationkey", "right_key": "c_custkey"},
+            {"view": "orders", "table": landed["orders"],
+             "left_key": "o_custkey", "right_key": "o_orderkey"},
+            {"view": "lineitem", "table": landed["lineitem"],
+             "left_key": "l_orderkey"},
+        ],
+        "as": "chain4",
+    }
+    order, restore = plan_step_join_order(ctx, spec)
+    try:
+        assert order["order"] == [0, 1, 2, 3]  # dimension-first build
+        chain = ctx.dataframes["chain4"]
+        plan = chain._jdf.queryExecution().executedPlan().toString()
+        pos = {
+            name: plan.rfind(f"{name}.parquet")
+            for name in ("nation", "customer", "orders", "lineitem")
+        }
+        assert min(pos.values()) >= 0, plan
+        assert pos["lineitem"] == max(pos.values()), plan  # joined last
+        assert pos["orders"] > pos["nation"], plan
+        assert pos["orders"] > pos["customer"], plan
+        got = chain.selectExpr(
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            "CAST(SUM(CAST(n_nationkey AS BIGINT) + l_linenumber) AS BIGINT)"
+            " AS checksum",
+        ).first()
+        want = spark.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(n_nationkey AS BIGINT) + l_linenumber) AS BIGINT)"
+            " AS checksum "
+            "FROM nation JOIN customer ON n_nationkey = c_nationkey "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey"
+        ).first()
+        assert tuple(got) == tuple(want)
+    finally:
+        restore()
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="join_order missing required"):
         TransformStep(type="select", sql="SELECT 1", join_order={"left": "a"})
@@ -190,6 +249,41 @@ def test_config_validation():
                 "right_table": "/t/c",
                 "left_key": "k", "mid_left_key": "k",
                 "mid_right_key": "j", "right_key": "j", "as": "v",
+            },
+        )
+
+
+def test_chain_config_validation():
+    good = {
+        "chain": [
+            {"view": "a", "table": "/t/a", "right_key": "k"},
+            {"view": "b", "table": "/t/b", "left_key": "k",
+             "right_key": "j"},
+            {"view": "c", "table": "/t/c", "left_key": "j"},
+        ],
+        "as": "v",
+    }
+    TransformStep(type="select", sql="SELECT 1", join_order=good)
+    with pytest.raises(ValueError, match="needs 'as'"):
+        TransformStep(
+            type="select", sql="SELECT 1",
+            join_order={"chain": good["chain"]},
+        )
+    with pytest.raises(ValueError, match="at least 2 tables"):
+        TransformStep(
+            type="select", sql="SELECT 1",
+            join_order={"chain": good["chain"][:1], "as": "v"},
+        )
+    with pytest.raises(ValueError, match="element 1 missing keys"):
+        TransformStep(
+            type="select", sql="SELECT 1",
+            join_order={
+                "chain": [
+                    good["chain"][0],
+                    {"view": "b", "table": "/t/b"},  # middle needs both keys
+                    good["chain"][2],
+                ],
+                "as": "v",
             },
         )
 

@@ -54,6 +54,7 @@ from dwh_etl_framework_spark.queries import wave19  # noqa: F401
 from dwh_etl_framework_spark.queries import wave20  # noqa: F401
 from dwh_etl_framework_spark.queries import wave21  # noqa: F401
 from dwh_etl_framework_spark.queries import wave22  # noqa: F401
+from dwh_etl_framework_spark.queries import wave23  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -724,6 +725,10 @@ ROTATION_QUEUE: dict[str, int] = {
     "r25d_array_set_ops": 14,
     "r27_pandas_udf": 14,
     "r31b_session_window": 14,
+    # round-12 layout tier (zone maps + Z-order, wave23) — queued behind
+    # the older backlog per the WINDOW_EVER protocol
+    "f41_zonemap_pruned_scan": 14,
+    "x111_zorder_pruning_gain": 14,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -1,0 +1,152 @@
+"""Zone-map metadata at sink time: land a fragmented table plus per-fragment
+min/max statistics, then serve interval-predicate scans that open ONLY the
+overlapping fragments.
+
+This is the third landed-metadata tier next to ``_sketches/`` (CMS join
+cardinality) and its HLL NDV companion (``sources/sinks.py``): the sink pays
+one aggregation to record, per fragment, ``min``/``max`` of the declared
+stats columns; a pruned read then makes its file-selection decision from ONE
+tiny metadata read — at 100 TB the driver never even LISTS the skipped
+fragments, let alone opens their footers. Delta/Iceberg data skipping is the
+public design being re-expressed here on bare parquet (their docs/spec);
+Spark's own parquet row-group min/max pushdown still applies INSIDE each
+fragment that survives.
+
+Consistency contract (deliberately simpler than the sketch tier's pending
+markers): a zone map that MISSES a data fragment would silently drop that
+fragment's rows from every pruned scan — worse than the sketch tier's
+undercount — so :func:`read_table_pruned` refuses to serve unless the zone
+map's fragment set EXACTLY matches the data directory's. The landing is
+overwrite-only and writes the map LAST: a crash anywhere in the span leaves
+either no map (loud) or a map over the previous complete landing (the
+overwrite wiped it — also loud, absent). Incremental per-fragment re-lands
+belong to a follow-up protocol like ``write_partition_with_sketches``.
+
+Reference anchor: the reference's landing dirs are scanned whole every time
+(``airflow_etl.py:433-450``); pruning was left entirely to Greenplum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.sources.sinks import _hadoop_fs
+
+#: hidden metadata dir inside the table path — underscore prefix keeps a
+#: plain ``spark.read.parquet(table)`` from ever seeing the map rows (the
+#: ``_sketches`` convention, sinks.py:59).
+ZONEMAP_DIR = "_zonemaps"
+
+#: hive partition column carrying the fragment id in the data layout.
+FRAGMENT_COL = "__fragment"
+
+
+def write_table_with_zonemaps(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    fragment_col: str = FRAGMENT_COL,
+) -> None:
+    """Land ``df`` hive-partitioned by ``fragment_col`` plus a zone map.
+
+    ``df`` must already carry the fragment id (computed by whatever layout
+    the caller chose — ``operators/layout.py`` generates range and Z-order
+    assignments as portable SQL). The zone map is one row per NON-EMPTY
+    fragment: ``(fragment, n_rows, <col>__min, <col>__max ...)`` with the
+    stats columns' own types, written to ``<path>/_zonemaps/`` AFTER the
+    data so a crashed landing is always loud (module docstring).
+
+    One repartition by fragment id keeps each fragment in one task ⇒ one
+    file per fragment (the F17 sane-file-size rule, sinks.py:10-13); the
+    map aggregation reuses the same shuffle key so AQE can pipeline it.
+    """
+    df = df.persist()
+    try:
+        (
+            df.repartition(fragment_col)
+            .write.mode("overwrite")
+            .partitionBy(fragment_col)
+            .parquet(path)
+        )
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        zmap = (
+            df.groupBy(F.col(fragment_col).cast("bigint").alias("fragment"))
+            .agg(*aggs)
+        )
+        zmap.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{ZONEMAP_DIR}"
+        )
+    finally:
+        df.unpersist()
+
+
+def _fs_fragments(spark: SparkSession, path: str, fragment_col: str) -> list[int]:
+    """Fragment ids present as hive dirs in the data directory."""
+    fs, p = _hadoop_fs(spark, path)
+    prefix = f"{fragment_col}="
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(int(name[len(prefix):]))
+    return sorted(out)
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    intervals: dict[str, tuple],
+    fragment_col: str = FRAGMENT_COL,
+) -> tuple[DataFrame, dict]:
+    """Interval-pruned scan: open only fragments whose zone-map ranges
+    overlap EVERY ``col: (lo, hi)`` interval (closed bounds).
+
+    Returns ``(df, info)`` where ``df`` holds the SUPERSET of matching rows
+    (the caller still applies its exact predicate — pruning is a
+    file-selection optimization, never a filter) and ``info`` reports
+    ``fragments_total`` / ``fragments_kept`` — the numbers a pruning audit
+    (x111) certifies against arithmetic recomputed from the raw table.
+
+    Fail-loud coverage check: the zone map's fragment set must EXACTLY
+    match the ``fragment_col=`` dirs on disk; any drift (crashed landing,
+    manual writes into the dir) raises instead of silently dropping or
+    double-serving rows. Cost: one tiny metadata read + one dir listing —
+    no data file is touched for the decision.
+    """
+    zm = spark.read.parquet(f"{path}/{ZONEMAP_DIR}")
+    for c in intervals:
+        if f"{c}__min" not in zm.columns:
+            raise ValueError(
+                f"no zone-map stats for column {c!r} at {path!r} "
+                f"(have: {[x[:-5] for x in zm.columns if x.endswith('__min')]})"
+            )
+    rows = zm.collect()  # one row per fragment: metadata-sized by design
+    map_frags = sorted(int(r["fragment"]) for r in rows)
+    fs_frags = _fs_fragments(spark, path, fragment_col)
+    if map_frags != fs_frags:
+        raise IOError(
+            f"zone map at {path!r} does not cover the data directory "
+            f"(map: {map_frags}, disk: {fs_frags}) — a landing crashed or "
+            "the dir was modified outside write_table_with_zonemaps(); "
+            "re-land the table."
+        )
+    kept = []
+    for r in rows:
+        ok = True
+        for c, (lo, hi) in intervals.items():
+            if r[f"{c}__max"] < lo or r[f"{c}__min"] > hi:
+                ok = False
+                break
+        if ok:
+            kept.append(int(r["fragment"]))
+    kept.sort()
+    info = {"fragments_total": len(map_frags), "fragments_kept": len(kept)}
+    if not kept:
+        empty = spark.read.parquet(path).drop(fragment_col).limit(0)
+        return empty, info
+    paths = [f"{path}/{fragment_col}={k}" for k in kept]
+    return spark.read.parquet(*paths), info

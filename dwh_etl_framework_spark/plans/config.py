@@ -130,6 +130,17 @@ class TransformStep:
     #: order — is registered for THIS step's SQL; dropped/restored after
     #: analysis like join_strategy's shaping). Spark-only.
     join_order: Mapping | None = None
+    #: Optional zone-map pruned scans for this step (the f41 data-skipping
+    #: read surfaced at the pipeline-config level). A list of mappings,
+    #: each with ``table`` (a zone-mapped landing path — the ``landing:
+    #: layout:`` product), ``as`` (temp-view name the step's SQL reads),
+    #: and ``intervals`` ({col: [lo, hi]} closed bounds). Before the SQL
+    #: runs, each view is registered as the PRUNED read (only fragments
+    #: whose landed min/max overlap every interval are opened — the
+    #: decision costs one metadata read); views are dropped/restored after
+    #: analysis like join_strategy's shaping. SUPERSET contract: the
+    #: step's SQL must still apply its exact predicate. Spark-only.
+    pruned_scans: Sequence[Mapping] | None = None
 
     def __post_init__(self) -> None:
         if self.type not in VALID_STEP_TYPES:
@@ -191,6 +202,28 @@ class TransformStep:
                 if missing:
                     raise ValueError(
                         f"join_order missing required keys: {sorted(missing)}"
+                    )
+        if self.pruned_scans is not None:
+            if self.type != "select" or self.engine != "spark":
+                raise ValueError(
+                    "pruned_scans applies only to engine='spark' select steps"
+                )
+            if not isinstance(self.pruned_scans, (list, tuple)):
+                raise ValueError("pruned_scans must be a list of mappings")
+            for i, s in enumerate(self.pruned_scans):
+                missing = {"table", "as", "intervals"} - set(s)
+                if missing:
+                    raise ValueError(
+                        f"pruned_scans[{i}] missing keys: {sorted(missing)}"
+                    )
+                iv = s["intervals"]
+                if not isinstance(iv, Mapping) or not iv or not all(
+                    isinstance(b, (list, tuple)) and len(b) == 2
+                    for b in iv.values()
+                ):
+                    raise ValueError(
+                        f"pruned_scans[{i}] 'intervals' must map columns "
+                        f"to [lo, hi], got {iv!r}"
                     )
 
     def resolve_sql(self, base_dir: str | Path | None = None) -> str:
@@ -276,6 +309,11 @@ def _parse_step(raw: Mapping) -> TransformStep:
             if raw.get("join_order") is not None
             else raw.get("join-order")
         ),
+        pruned_scans=(
+            raw["pruned_scans"]
+            if raw.get("pruned_scans") is not None
+            else raw.get("pruned-scans")
+        ),
     )
 
 
@@ -341,16 +379,113 @@ def _parse_functions(raw) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _parse_layout(raw: Mapping) -> Mapping:
+    """Validate a ``landing: layout:`` block (zone-mapped fragmented
+    landing, ``sources/zonemaps.py``). Shape:
+
+    ``kind`` (range|zorder), ``columns`` (1 col for range, 2 for zorder),
+    ``bounds`` ({col: [lo, hi]} design-time ints — out-of-range values
+    clamp into edge fragments, so these bound pruning QUALITY only),
+    optional ``bits`` (grid resolution per dimension, default 8) and
+    ``fragments`` (power of two, default 64)."""
+    unknown = set(raw) - {"kind", "columns", "bounds", "bits", "fragments"}
+    if unknown:
+        raise ValueError(f"unknown layout keys: {sorted(unknown)}")
+    kind = raw.get("kind")
+    if kind not in ("range", "zorder"):
+        raise ValueError(f"layout 'kind' must be range|zorder, got {kind!r}")
+    cols = raw.get("columns")
+    if isinstance(cols, str):
+        cols = [cols]
+    want = 1 if kind == "range" else 2
+    if not isinstance(cols, (list, tuple)) or len(cols) != want or not all(
+        isinstance(c, str) and c for c in cols
+    ):
+        raise ValueError(
+            f"layout kind={kind!r} needs exactly {want} column name(s), "
+            f"got {raw.get('columns')!r}"
+        )
+    bounds = raw.get("bounds")
+    if not isinstance(bounds, Mapping) or set(bounds) != set(cols):
+        raise ValueError(
+            f"layout 'bounds' must map exactly the layout columns "
+            f"{sorted(cols)} to [lo, hi], got {bounds!r}"
+        )
+    for c, b in bounds.items():
+        if (
+            not isinstance(b, (list, tuple))
+            or len(b) != 2
+            or not all(isinstance(v, int) and not isinstance(v, bool) for v in b)
+            or b[0] >= b[1]
+        ):
+            raise ValueError(
+                f"layout bounds for {c!r} must be [lo, hi] ints with "
+                f"lo < hi, got {b!r}"
+            )
+    bits = raw.get("bits", 8)
+    frags = raw.get("fragments", 64)
+    for key, v in (("bits", bits), ("fragments", frags)):
+        if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+            raise ValueError(f"layout {key!r} must be a positive int")
+    if frags & (frags - 1):
+        raise ValueError(f"layout 'fragments' must be a power of two, got {frags}")
+    frag_bits = frags.bit_length() - 1
+    cap = bits if kind == "range" else 2 * bits
+    if frag_bits > cap:
+        raise ValueError(
+            f"layout fragments={frags} needs {frag_bits} key bits but "
+            f"kind={kind!r} at bits={bits} provides only {cap}"
+        )
+    return {
+        "kind": kind, "columns": list(cols),
+        "bounds": {c: (int(b[0]), int(b[1])) for c, b in bounds.items()},
+        "bits": bits, "fragments": frags,
+    }
+
+
 def _parse_landing(raw: Mapping | None) -> Mapping | None:
     if raw is None:
         return None
     if not raw.get("path"):
         raise ValueError("landing config requires 'path'")
     unknown = set(raw) - {"path", "format", "mode", "partition_by",
-                          "sketch_keys", "w"}
+                          "sketch_keys", "w", "layout", "zonemap_cols"}
     if unknown:
         raise ValueError(f"unknown landing config keys: {sorted(unknown)}")
     spec = dict(raw)
+    if spec.get("layout") is not None:
+        spec["layout"] = _parse_layout(spec["layout"])
+        # one landing protocol at a time: the zone-map landing is
+        # overwrite-only (crash-loudness argument, sources/zonemaps.py
+        # docstring) and owns the physical fragmentation
+        if spec.get("partition_by"):
+            raise ValueError(
+                "landing 'layout' and 'partition_by' are mutually "
+                "exclusive — the layout's fragment id IS the partition"
+            )
+        if spec.get("sketch_keys"):
+            raise ValueError(
+                "landing 'layout' and 'sketch_keys' are mutually exclusive "
+                "for now — land the sketch tier from a separate landing"
+            )
+        if spec.get("mode", "overwrite") != "overwrite":
+            raise ValueError(
+                "a zone-mapped landing is overwrite-only (a crashed append "
+                "could silently uncover fragments; sources/zonemaps.py)"
+            )
+        zc = spec.get("zonemap_cols", spec["layout"]["columns"])
+        if isinstance(zc, str):
+            zc = [zc]
+        if not isinstance(zc, (list, tuple)) or not all(
+            isinstance(c, str) and c for c in zc
+        ):
+            raise ValueError(
+                f"landing 'zonemap_cols' must be column names, got "
+                f"{spec.get('zonemap_cols')!r}"
+            )
+        spec["zonemap_cols"] = list(zc)
+    elif spec.get("zonemap_cols"):
+        raise ValueError("landing 'zonemap_cols' requires a 'layout'")
     # shape validation (ADVICE r11, low): a scalar string would survive
     # parsing and then explode into single characters at land time
     # (list('day') == ['d','a','y']) — normalize YAML's natural scalar

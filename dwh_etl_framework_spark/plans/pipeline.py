@@ -184,6 +184,27 @@ class Pipeline:
         )
 
         spec = dict(self.table.landing)
+        layout = spec.get("layout")
+        if layout:
+            # zone-mapped fragmented landing (config._parse_layout shape):
+            # fragment id from the declared layout, per-fragment min/max
+            # landed beside the data, pruned reads served downstream via
+            # steps' ``pruned_scans`` (sources/zonemaps.py)
+            from pyspark.sql import functions as F
+
+            from dwh_etl_framework_spark.sources.zonemaps import (
+                FRAGMENT_COL,
+                fragment_expr_for_layout,
+                write_table_with_zonemaps,
+            )
+
+            frag = fragment_expr_for_layout(layout)
+            write_table_with_zonemaps(
+                master.withColumn(FRAGMENT_COL, F.expr(frag)),
+                spec["path"],
+                list(spec["zonemap_cols"]),
+            )
+            return
         kwargs = dict(
             fmt=spec.get("format", "parquet"),
             mode=spec.get("mode", "overwrite"),

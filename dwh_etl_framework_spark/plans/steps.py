@@ -382,6 +382,23 @@ def run_select_step(ctx: StepContext, step: TransformStep) -> DataFrame:
             or f"{step.join_strategy['left']}⋈{step.join_strategy['right']}",
             decision,
         )
+    if step.pruned_scans is not None:
+        from dwh_etl_framework_spark.sources.zonemaps import (
+            register_pruned_view,
+        )
+
+        for scan in step.pruned_scans:
+            intervals = {
+                c: (b[0], b[1]) for c, b in scan["intervals"].items()
+            }
+            info, restore_scan = register_pruned_view(
+                ctx.spark, scan["as"], scan["table"], intervals
+            )
+            restores.append(restore_scan)
+            # same audit trail as the join decisions: what the zone-map
+            # metadata pruned, per step (SUPERSET contract — the step's
+            # SQL still applies its exact predicate)
+            record_decision(f"prune:{scan['as']}", info)
     try:
         if step.engine == "pushdown":
             try:

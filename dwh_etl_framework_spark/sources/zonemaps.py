@@ -28,6 +28,8 @@ Reference anchor: the reference's landing dirs are scanned whole every time
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,3 +152,81 @@ def read_table_pruned(
         return empty, info
     paths = [f"{path}/{fragment_col}={k}" for k in kept]
     return spark.read.parquet(*paths), info
+
+
+def fragment_expr_for_layout(layout: Mapping) -> str:
+    """Fragment-id SQL expression for a config-declared layout
+    (``landing: layout:`` — see ``plans/config._parse_layout`` for the
+    validated shape). Returns portable SQL text over the raw columns:
+
+    - ``kind: range`` — one column, contiguous equal-width ranges.
+    - ``kind: zorder`` — two columns, Morton-interleaved blocks.
+
+    Grid arithmetic needs integers, so each column enters the grid as
+    ``CAST(FLOOR(col) AS BIGINT)`` — fractional parts only move values
+    within a grid cell's width of their neighbors, and the zone-map stats
+    keep the column's ORIGINAL type, so pruning correctness is unaffected
+    (the superset contract never depends on the grid). Out-of-bounds
+    values clamp into edge cells (``operators.layout.norm_sql``).
+    """
+    from dwh_etl_framework_spark.operators.layout import (
+        interleave2_sql,
+        norm_sql,
+        range_fragment_sql,
+        zorder_fragment_sql,
+    )
+
+    kind = layout["kind"]
+    cols = list(layout["columns"])
+    bits = int(layout.get("bits", 8))
+    fragments = int(layout.get("fragments", 64))
+    frag_bits = fragments.bit_length() - 1
+    norms = []
+    for c in cols:
+        lo, hi = layout["bounds"][c]
+        norms.append(
+            norm_sql(f"CAST(FLOOR({c}) AS BIGINT)", lo, hi - lo, 2**bits)
+        )
+    if kind == "range":
+        return range_fragment_sql(norms[0], bits, frag_bits)
+    z = interleave2_sql(norms[0], norms[1], bits)
+    return zorder_fragment_sql(z, bits, frag_bits)
+
+
+def register_pruned_view(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    intervals: Mapping[str, tuple],
+) -> tuple[dict, "callable"]:
+    """Register a pruned read of a zone-mapped landing as temp view
+    ``name`` and return ``(prune info, restore fn)``.
+
+    The step-scoping discipline of ``plans.steps.plan_step_join``: the
+    caller restores (drops, or re-binds the shadowed original) after its
+    SQL is analyzed, so the pruned view never leaks into later steps.
+    NOTE the contract difference from a plain view: the pruned view is a
+    SUPERSET selection — the consuming SQL must still apply its exact
+    predicate; pruning only decides which fragments are opened.
+    """
+    df, info = read_table_pruned(spark, path, dict(intervals))
+    catalog = spark.catalog
+    previous = None
+    try:
+        previous = catalog.getTable(name)
+    except Exception:
+        previous = None
+    shadowed = (
+        spark.table(name)
+        if previous is not None and previous.tableType == "TEMPORARY"
+        else None
+    )
+    df.createOrReplaceTempView(name)
+
+    def restore() -> None:
+        if shadowed is not None:
+            shadowed.createOrReplaceTempView(name)
+        else:
+            catalog.dropTempView(name)
+
+    return info, restore

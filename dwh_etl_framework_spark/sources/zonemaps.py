@@ -12,15 +12,21 @@ public design being re-expressed here on bare parquet (their docs/spec);
 Spark's own parquet row-group min/max pushdown still applies INSIDE each
 fragment that survives.
 
-Consistency contract (deliberately simpler than the sketch tier's pending
-markers): a zone map that MISSES a data fragment would silently drop that
-fragment's rows from every pruned scan — worse than the sketch tier's
-undercount — so :func:`read_table_pruned` refuses to serve unless the zone
-map's fragment set EXACTLY matches the data directory's. The landing is
-overwrite-only and writes the map LAST: a crash anywhere in the span leaves
-either no map (loud) or a map over the previous complete landing (the
-overwrite wiped it — also loud, absent). Incremental per-fragment re-lands
-belong to a follow-up protocol like ``write_partition_with_sketches``.
+Consistency contract: a zone map that MISSES a data fragment — or carries a
+STALE row whose min/max no longer bound the fragment — would silently drop
+rows from pruned scans, worse than the sketch tier's undercount. Two guards
+make every failure loud:
+
+- :func:`read_table_pruned` refuses unless the map's fragment set EXACTLY
+  matches the data directory's. The bulk landing is overwrite-only and
+  writes the map LAST: a crash leaves either no map or a partial map
+  (subset ⇒ set mismatch) — both loud.
+- :func:`land_fragment_with_zonemap` (the incremental re-land, the
+  ``write_partition_with_sketches`` protocol) brackets its non-atomic span
+  — replace data fragment, then replace its map row — with a
+  ``_zonemaps/_pending_<id>`` marker that readers refuse on: between the
+  two writes the OLD map row would otherwise bound the NEW data, exactly
+  the silent under-coverage the tier must never serve.
 
 Reference anchor: the reference's landing dirs are scanned whole every time
 (``airflow_etl.py:433-450``); pruning was left entirely to Greenplum.
@@ -55,9 +61,12 @@ def write_table_with_zonemaps(
     ``df`` must already carry the fragment id (computed by whatever layout
     the caller chose — ``operators/layout.py`` generates range and Z-order
     assignments as portable SQL). The zone map is one row per NON-EMPTY
-    fragment: ``(fragment, n_rows, <col>__min, <col>__max ...)`` with the
-    stats columns' own types, written to ``<path>/_zonemaps/`` AFTER the
-    data so a crashed landing is always loud (module docstring).
+    fragment: ``(n_rows, <col>__min, <col>__max ...)`` with the stats
+    columns' own types, hive-partitioned by fragment id under
+    ``<path>/_zonemaps/fragment=<k>/`` — per-fragment subdirs so the
+    incremental :func:`land_fragment_with_zonemap` can replace ONE row
+    idempotently — and written AFTER the data so a crashed bulk landing
+    is always loud (module docstring).
 
     One repartition by fragment id keeps each fragment in one task ⇒ one
     file per fragment (the F17 sane-file-size rule, sinks.py:10-13); the
@@ -71,19 +80,123 @@ def write_table_with_zonemaps(
             .partitionBy(fragment_col)
             .parquet(path)
         )
-        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-        for c in stats_cols:
-            aggs.append(F.min(c).alias(f"{c}__min"))
-            aggs.append(F.max(c).alias(f"{c}__max"))
-        zmap = (
-            df.groupBy(F.col(fragment_col).cast("bigint").alias("fragment"))
-            .agg(*aggs)
-        )
-        zmap.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/{ZONEMAP_DIR}"
-        )
+        _zonemap_rows(df, stats_cols, fragment_col).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("fragment").parquet(f"{path}/{ZONEMAP_DIR}")
     finally:
         df.unpersist()
+
+
+def _zonemap_rows(
+    df: DataFrame, stats_cols: list[str], fragment_col: str
+) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    return df.groupBy(
+        F.col(fragment_col).cast("bigint").alias("fragment")
+    ).agg(*aggs)
+
+
+def _zonemap_pending(spark: SparkSession, path: str) -> list[str]:
+    from dwh_etl_framework_spark.sources.sinks import PENDING_PREFIX
+
+    fs, p = _hadoop_fs(spark, f"{path}/{ZONEMAP_DIR}")
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().startswith(PENDING_PREFIX)
+    )
+
+
+def land_fragment_with_zonemap(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    fragment_col: str = FRAGMENT_COL,
+) -> int:
+    """Idempotently re-land ONE fragment of a zone-mapped table — the
+    100 TB incremental shape (a daily/partition ingest re-run replaces
+    the fragment's data AND its zone-map row instead of serving stale
+    bounds), the ``write_partition_with_sketches`` protocol
+    (``sources/sinks.py:217``).
+
+    Mechanics: ``df`` must hold exactly ONE distinct fragment id
+    (validated); the data lands under dynamic partition-overwrite so only
+    that hive fragment is replaced; the fragment's map row is then
+    replaced in its own ``_zonemaps/fragment=<k>/`` subdir. The span
+    between the two writes is bracketed by a ``_pending_<id>`` marker
+    that :func:`read_table_pruned` refuses on — the old map row does NOT
+    bound the new data, so serving it would silently drop rows (module
+    docstring). Stats columns must match the landed map's (checked
+    against the map schema) — a re-land cannot narrow the tier.
+
+    Returns the fragment id that was replaced."""
+    import uuid
+
+    from dwh_etl_framework_spark.sources.sinks import PENDING_PREFIX
+
+    spark = df.sparkSession
+    pending = _zonemap_pending(spark, path)
+    if pending:
+        raise IOError(
+            f"zone map at {path!r} is inconsistent: a fragment re-land "
+            f"crashed mid-span ({pending}) — re-run the fragment landing "
+            "(or the bulk write_table_with_zonemaps) to republish."
+        )
+    zm_schema = spark.read.parquet(f"{path}/{ZONEMAP_DIR}").columns
+    want = {f"{c}__{m}" for c in stats_cols for m in ("min", "max")}
+    have = {c for c in zm_schema if c.endswith(("__min", "__max"))}
+    if want != have:
+        raise ValueError(
+            f"stats_cols {sorted(stats_cols)} do not match the landed zone "
+            f"map's stats {sorted(have)} at {path!r} — a fragment re-land "
+            "cannot change the tier's columns (rebuild via "
+            "write_table_with_zonemaps)"
+        )
+    df = df.persist()
+    try:
+        combos = df.select(fragment_col).distinct().collect()
+        if len(combos) != 1:
+            raise ValueError(
+                f"df holds {len(combos)} distinct {fragment_col} values — "
+                "land_fragment_with_zonemap lands exactly one fragment per "
+                "call (split the input by fragment first)"
+            )
+        frag_id = int(combos[0][0])
+        marker = f"{path}/{ZONEMAP_DIR}/{PENDING_PREFIX}{uuid.uuid4().hex}"
+        fs, mp = _hadoop_fs(spark, marker)
+        fs.create(mp, True).close()
+        previous = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.repartition(fragment_col)
+                .write.mode("overwrite")
+                .partitionBy(fragment_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", previous
+            )
+        (
+            _zonemap_rows(df, stats_cols, fragment_col)
+            .drop("fragment")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{ZONEMAP_DIR}/fragment={frag_id}")
+        )
+        if fs.exists(mp) and not fs.delete(mp, False):
+            raise IOError(f"failed to clear the pending marker {marker}")
+    finally:
+        df.unpersist()
+    return frag_id
 
 
 def _fs_fragments(spark: SparkSession, path: str, fragment_col: str) -> list[int]:
@@ -116,9 +229,19 @@ def read_table_pruned(
     Fail-loud coverage check: the zone map's fragment set must EXACTLY
     match the ``fragment_col=`` dirs on disk; any drift (crashed landing,
     manual writes into the dir) raises instead of silently dropping or
-    double-serving rows. Cost: one tiny metadata read + one dir listing —
+    double-serving rows, and a ``_pending_`` marker from a crashed
+    fragment re-land refuses the whole read (the stale map row would not
+    bound the new data). Cost: one tiny metadata read + one dir listing —
     no data file is touched for the decision.
     """
+    pending = _zonemap_pending(spark, path)
+    if pending:
+        raise IOError(
+            f"zone map at {path!r} is inconsistent: a fragment re-land "
+            f"crashed mid-span ({pending}) — its map row may not bound the "
+            "fragment's data. Re-run the fragment landing (or the bulk "
+            "write_table_with_zonemaps) to republish."
+        )
     zm = spark.read.parquet(f"{path}/{ZONEMAP_DIR}")
     for c in intervals:
         if f"{c}__min" not in zm.columns:

@@ -23,6 +23,7 @@ from dwh_etl_framework_spark.operators.layout import (
 )
 from dwh_etl_framework_spark.sources.zonemaps import (
     ZONEMAP_DIR,
+    land_fragment_with_zonemap,
     read_table_pruned,
     write_table_with_zonemaps,
 )
@@ -150,6 +151,71 @@ def test_zonemap_dir_invisible_to_plain_reads(spark, tmp_path):
     df, path = _land_demo(spark, tmp_path)
     assert spark.read.parquet(path).count() == df.count()
     assert (tmp_path / "demo" / ZONEMAP_DIR).exists()
+
+
+def test_fragment_reland_replaces_data_and_map_row(spark, tmp_path):
+    """Incremental re-land (the write_partition_with_sketches protocol):
+    one fragment's data AND its zone-map row are replaced idempotently;
+    other fragments are untouched; pruning stays a superset under the
+    fragment's NEW bounds."""
+    df, path = _land_demo(spark, tmp_path)
+    landed = spark.read.parquet(path)
+    n_total = landed.count()
+    n_frag3 = landed.where("__fragment = 3").count()
+    n_others = n_total - n_frag3
+    _, before = read_table_pruned(spark, path, {"b": (100_000, 100_001)})
+    assert before["fragments_kept"] == 0
+    # replace fragment 3 with rows whose b is far outside its old bounds
+    replacement = spark.createDataFrame(
+        [(90_001 + i, 2_100, 100_000) for i in range(5)],
+        "id BIGINT, a BIGINT, b BIGINT",
+    ).withColumn("__fragment", F.lit(3).cast("bigint"))
+    frag = land_fragment_with_zonemap(replacement, path, ["a", "b"])
+    assert frag == 3
+    pruned, info = read_table_pruned(spark, path, {"b": (100_000, 100_001)})
+    assert info["fragments_kept"] == 1
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        90_001 + i for i in range(5)
+    ]
+    # the replaced fragment serves the new rows; others are untouched
+    full = spark.read.parquet(path)
+    assert full.where("__fragment = 3").count() == 5
+    assert full.where("__fragment != 3").count() == n_others
+    # idempotent: re-running the same fragment landing changes nothing
+    land_fragment_with_zonemap(replacement, path, ["a", "b"])
+    assert spark.read.parquet(path).where("__fragment = 3").count() == 5
+    assert spark.read.parquet(path).count() == n_others + 5
+
+
+def test_fragment_reland_validation(spark, tmp_path):
+    _, path = _land_demo(spark, tmp_path)
+    two = spark.createDataFrame(
+        [(1, 1, 1, 0), (2, 2, 2, 1)], "id BIGINT, a BIGINT, b BIGINT, __fragment BIGINT"
+    )
+    with pytest.raises(ValueError, match="exactly one fragment"):
+        land_fragment_with_zonemap(two, path, ["a", "b"])
+    one = two.where("__fragment = 0")
+    with pytest.raises(ValueError, match="do not match the landed"):
+        land_fragment_with_zonemap(one, path, ["a"])
+
+
+def test_pending_marker_refuses_reads_and_relands(spark, tmp_path):
+    """A crashed fragment re-land leaves a _pending_ marker: pruned reads
+    and further re-lands refuse until a landing republishes — the stale
+    map row must never silently bound new data."""
+    _, path = _land_demo(spark, tmp_path)
+    (tmp_path / "demo" / ZONEMAP_DIR / "_pending_deadbeef").touch()
+    with pytest.raises(IOError, match="crashed mid-span"):
+        read_table_pruned(spark, path, {"a": (0, 100)})
+    one = spark.createDataFrame(
+        [(1, 1, 1, 0)], "id BIGINT, a BIGINT, b BIGINT, __fragment BIGINT"
+    )
+    with pytest.raises(IOError, match="crashed mid-span"):
+        land_fragment_with_zonemap(one, path, ["a", "b"])
+    (tmp_path / "demo" / ZONEMAP_DIR / "_pending_deadbeef").unlink()
+    # bulk republish clears the inconsistency
+    df, _ = _land_demo(spark, tmp_path)
+    read_table_pruned(spark, path, {"a": (0, 100)})
 
 
 def test_zorder_prunes_where_range_layout_cannot(spark, tmp_path):

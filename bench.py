@@ -168,6 +168,13 @@ HEADLINE = [
                                  # over portable counts+NDVs (r12)
     "f40_chain4_report",         # join_order chain form: 4-table DP
                                  # order executed from config (r12)
+    "f41_zonemap_pruned_scan",   # zone-mapped landing + metadata-pruned
+                                 # interval scan (r12; cost = the
+                                 # fragmented landing — the pruning
+                                 # decision reads ~16 metadata rows)
+    "x111_zorder_pruning_gain",  # range vs Z-order layouts, 3 predicate
+                                 # shapes pruned from landed metadata
+                                 # (r12; two landings + six decisions)
 ]
 
 

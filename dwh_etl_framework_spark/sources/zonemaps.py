@@ -61,16 +61,24 @@ def write_table_with_zonemaps(
     ``df`` must already carry the fragment id (computed by whatever layout
     the caller chose — ``operators/layout.py`` generates range and Z-order
     assignments as portable SQL). The zone map is one row per NON-EMPTY
-    fragment: ``(n_rows, <col>__min, <col>__max ...)`` with the stats
-    columns' own types, hive-partitioned by fragment id under
-    ``<path>/_zonemaps/fragment=<k>/`` — per-fragment subdirs so the
-    incremental :func:`land_fragment_with_zonemap` can replace ONE row
-    idempotently — and written AFTER the data so a crashed bulk landing
-    is always loud (module docstring).
+    fragment: ``(fragment, __gen, n_rows, <col>__min, <col>__max ...)``
+    with the stats columns' own types, written as ONE small parquet dir
+    at ``<path>/_zonemaps/`` AFTER the data so a crashed bulk landing is
+    always loud (module docstring).
+
+    Why one flat dir and not per-fragment subdirs: the map is read whole
+    on EVERY pruning decision — at a million fragments (100 TB of 100 MB
+    files) partition discovery over a million map subdirs would cost more
+    than the scan it saves, while a handful of flat files read in one
+    footer pass stays metadata-sized. Incremental re-lands APPEND a
+    superseding row instead of replacing a subdir: ``__gen`` totally
+    orders the appends and readers resolve latest-generation-per-fragment
+    (the StreamMasterState pointer-commit idea applied row-wise; appended
+    files become visible only at job commit, so a crashed append leaves
+    no partial row).
 
     One repartition by fragment id keeps each fragment in one task ⇒ one
-    file per fragment (the F17 sane-file-size rule, sinks.py:10-13); the
-    map aggregation reuses the same shuffle key so AQE can pipeline it.
+    file per fragment (the F17 sane-file-size rule, sinks.py:10-13).
     """
     df = df.persist()
     try:
@@ -80,23 +88,36 @@ def write_table_with_zonemaps(
             .partitionBy(fragment_col)
             .parquet(path)
         )
-        _zonemap_rows(df, stats_cols, fragment_col).coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy("fragment").parquet(f"{path}/{ZONEMAP_DIR}")
+        _zonemap_rows(df, stats_cols, fragment_col, gen=0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/{ZONEMAP_DIR}")
     finally:
         df.unpersist()
 
 
 def _zonemap_rows(
-    df: DataFrame, stats_cols: list[str], fragment_col: str
+    df: DataFrame, stats_cols: list[str], fragment_col: str, gen: int
 ) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"{c}__min"))
         aggs.append(F.max(c).alias(f"{c}__max"))
-    return df.groupBy(
-        F.col(fragment_col).cast("bigint").alias("fragment")
-    ).agg(*aggs)
+    return (
+        df.groupBy(F.col(fragment_col).cast("bigint").alias("fragment"))
+        .agg(*aggs)
+        .withColumn("__gen", F.lit(gen).cast("bigint"))
+    )
+
+
+def _current_zonemap(spark: SparkSession, path: str) -> list:
+    """Latest-generation row per fragment (collected — metadata-sized)."""
+    raw = spark.read.parquet(f"{path}/{ZONEMAP_DIR}").collect()
+    best: dict[int, object] = {}
+    for r in raw:
+        k = int(r["fragment"])
+        if k not in best or r["__gen"] > best[k]["__gen"]:
+            best[k] = r
+    return [best[k] for k in sorted(best)]
 
 
 def _zonemap_pending(spark: SparkSession, path: str) -> list[str]:
@@ -126,13 +147,17 @@ def land_fragment_with_zonemap(
 
     Mechanics: ``df`` must hold exactly ONE distinct fragment id
     (validated); the data lands under dynamic partition-overwrite so only
-    that hive fragment is replaced; the fragment's map row is then
-    replaced in its own ``_zonemaps/fragment=<k>/`` subdir. The span
-    between the two writes is bracketed by a ``_pending_<id>`` marker
-    that :func:`read_table_pruned` refuses on — the old map row does NOT
+    that hive fragment is replaced; a SUPERSEDING map row (``__gen`` =
+    landed max + 1) is then appended to the flat map dir — readers
+    resolve latest-generation-per-fragment (:func:`_current_zonemap`), so
+    the append IS the pointer flip, and a crashed append publishes
+    nothing (files appear at job commit). The span between the two
+    writes is bracketed by a ``_pending_<id>`` marker that
+    :func:`read_table_pruned` refuses on — the old map row does NOT
     bound the new data, so serving it would silently drop rows (module
     docstring). Stats columns must match the landed map's (checked
     against the map schema) — a re-land cannot narrow the tier.
+    Single-writer per table, like every landing protocol in this repo.
 
     Returns the fragment id that was replaced."""
     import uuid
@@ -147,9 +172,13 @@ def land_fragment_with_zonemap(
             f"crashed mid-span ({pending}) — re-run the fragment landing "
             "(or the bulk write_table_with_zonemaps) to republish."
         )
-    zm_schema = spark.read.parquet(f"{path}/{ZONEMAP_DIR}").columns
+    landed = _current_zonemap(spark, path)
     want = {f"{c}__{m}" for c in stats_cols for m in ("min", "max")}
-    have = {c for c in zm_schema if c.endswith(("__min", "__max"))}
+    have = {
+        c
+        for c in (landed[0].__fields__ if landed else [])
+        if c.endswith(("__min", "__max"))
+    }
     if want != have:
         raise ValueError(
             f"stats_cols {sorted(stats_cols)} do not match the landed zone "
@@ -157,6 +186,7 @@ def land_fragment_with_zonemap(
             "cannot change the tier's columns (rebuild via "
             "write_table_with_zonemaps)"
         )
+    next_gen = max((int(r["__gen"]) for r in landed), default=0) + 1
     df = df.persist()
     try:
         combos = df.select(fragment_col).distinct().collect()
@@ -186,11 +216,10 @@ def land_fragment_with_zonemap(
                 "spark.sql.sources.partitionOverwriteMode", previous
             )
         (
-            _zonemap_rows(df, stats_cols, fragment_col)
-            .drop("fragment")
+            _zonemap_rows(df, stats_cols, fragment_col, gen=next_gen)
             .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/{ZONEMAP_DIR}/fragment={frag_id}")
+            .write.mode("append")
+            .parquet(f"{path}/{ZONEMAP_DIR}")
         )
         if fs.exists(mp) and not fs.delete(mp, False):
             raise IOError(f"failed to clear the pending marker {marker}")
@@ -242,14 +271,14 @@ def read_table_pruned(
             "fragment's data. Re-run the fragment landing (or the bulk "
             "write_table_with_zonemaps) to republish."
         )
-    zm = spark.read.parquet(f"{path}/{ZONEMAP_DIR}")
+    rows = _current_zonemap(spark, path)  # metadata-sized by design
+    cols = rows[0].__fields__ if rows else []
     for c in intervals:
-        if f"{c}__min" not in zm.columns:
+        if rows and f"{c}__min" not in cols:
             raise ValueError(
                 f"no zone-map stats for column {c!r} at {path!r} "
-                f"(have: {[x[:-5] for x in zm.columns if x.endswith('__min')]})"
+                f"(have: {[x[:-5] for x in cols if x.endswith('__min')]})"
             )
-    rows = zm.collect()  # one row per fragment: metadata-sized by design
     map_frags = sorted(int(r["fragment"]) for r in rows)
     fs_frags = _fs_fragments(spark, path, fragment_col)
     if map_frags != fs_frags:

@@ -371,7 +371,19 @@ def summary_line(
         summary["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:
-        summary.pop("queries")
+        # operator-id keys before dropping the map: every registry name is
+        # "<opid>_<slug>" with a unique opid (r16, x99b, f38 — checked
+        # here, full names fall through on a collision), so the 70-entry
+        # headline keeps per-query medians at ms precision in ~half the
+        # chars; BENCH_local.json always carries the full-name map.
+        short = {n.split("_", 1)[0]: round(t, 3) for n, t in timings.items()}
+        if len(short) == len(timings):
+            summary["queries"] = short
+            summary["query_keys"] = "opid"
+            line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > budget:
+        summary.pop("queries", None)
+        summary.pop("query_keys", None)
         summary["queries_in"] = "BENCH_local.json"
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:

@@ -23,9 +23,35 @@ def test_real_headline_set_fits_budget():
     parsed = json.loads(line)
     assert parsed["value"] is not None
     assert parsed["n_timed"] == len(HEADLINE)
-    assert set(parsed["queries"]) == set(HEADLINE)
+    # The 70-entry headline no longer fits with full names even at
+    # decisecond precision — the opid-key rung must keep the per-query
+    # map (unique "<opid>" prefix per registry name) instead of dropping
+    # it to a file pointer.
+    assert parsed.get("query_keys") == "opid"
+    assert set(parsed["queries"]) == {n.split("_", 1)[0] for n in HEADLINE}
+    assert parsed["queries"][HEADLINE[0].split("_", 1)[0]] == 12.346
     # No whitespace padding — compact separators.
     assert ": " not in line and ", " not in line
+
+
+def test_small_headline_keeps_full_names():
+    # When the map fits with full names, keys stay full registry names
+    # (the opid rung only engages on overflow).
+    timings = {n: 12.3456 for n in HEADLINE[:40]}
+    parsed = json.loads(summary_line(timings, {}, 0.1, 40))
+    assert "query_keys" not in parsed
+    assert set(parsed["queries"]) == set(HEADLINE[:40])
+
+
+def test_opid_collision_falls_through_to_pointer():
+    # Two names sharing an opid prefix must NOT produce an ambiguous
+    # short map — the rung is skipped and the map drops to the pointer.
+    timings = {
+        f"q01_variant_{i}_{'pad' * 40}": 1.2345 for i in range(60)
+    }
+    parsed = json.loads(summary_line(timings, {}, 0.1, 60))
+    assert "queries" not in parsed
+    assert parsed["queries_in"] == "BENCH_local.json"
 
 
 def test_errors_null_total_and_stay_in_line():

@@ -55,6 +55,7 @@ from dwh_etl_framework_spark.queries import wave20  # noqa: F401
 from dwh_etl_framework_spark.queries import wave21  # noqa: F401
 from dwh_etl_framework_spark.queries import wave22  # noqa: F401
 from dwh_etl_framework_spark.queries import wave23  # noqa: F401
+from dwh_etl_framework_spark.queries import wave24  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -729,6 +730,14 @@ ROTATION_QUEUE: dict[str, int] = {
     # the older backlog per the WINDOW_EVER protocol
     "f41_zonemap_pruned_scan": 14,
     "x111_zorder_pruning_gain": 14,
+    # round-12 closing wave (wave24): new engine surfaces (pipe syntax,
+    # native parameterized SQL, statestore reader) and the span-rewrite
+    # pass — distinct user-facing operators, so they join the round-13
+    # batch ahead of the round-14 variants
+    "r55_pipe_priority_report": 13,
+    "r56_param_sql_report": 13,
+    "f42_statestore_read": 13,
+    "x112_span_dedup_rewrite": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -1,0 +1,318 @@
+"""Local executor for Spark Declarative Pipelines (SDP) graphs.
+
+This Spark build ships the SDP *authoring* API (``pyspark.pipelines`` —
+``@sdp.materialized_view`` / ``@sdp.table`` / ``@sdp.temporary_view`` /
+``@sdp.append_flow``), but its *runner* is Spark-Connect-only: the CLI
+lowers the graph to protobuf PipelineCommands
+(``pyspark/pipelines/spark_connect_pipeline.py``), and protobuf is not
+available in every deployment (nor is a Connect server). This module
+closes that gap with a LOCAL executor: declarations are collected
+through the same public ``GraphElementRegistry`` contract the Connect
+registry implements, then materialized on the classic session —
+so a pipeline authored once against the public SDP API runs here
+unchanged, and moves to a Connect runner later without edits.
+
+Execution model (mirrors the framework's F24 transform DAG — the
+reference's Kahn-ordered task factory, ``airflow_etl.py`` transform
+tier — but discovers edges at runtime):
+
+- Dependency order is resolved by *retry*: each pass tries every
+  unmaterialized output; a flow that fails ONLY because another graph
+  output is not yet materialized (``TABLE_OR_VIEW_NOT_FOUND`` naming a
+  registered output) is deferred to the next pass. A full pass with no
+  progress raises with every pending output's error — a cycle cannot
+  spin, and a reference to a table OUTSIDE the graph fails immediately
+  (it could never succeed later).
+- ``MaterializedView`` → compute once, land as parquet under
+  ``storage/<name>`` (``partition_cols`` honored), register the
+  READ-BACK as the view — downstream flows scan the landing, not the
+  plan, exactly like the checkpoint-cache step (F9).
+- ``TemporaryView`` → logical ``createOrReplaceTempView`` (no storage).
+- ``StreamingTable`` → every ``@append_flow`` targeting it runs as an
+  availableNow streaming write (parquet, append) with its OWN
+  checkpoint under ``storage/_checkpoints/<table>/<flow>`` — re-running
+  the pipeline over an unchanged source appends NOTHING (exactly-once
+  per checkpoint), which is the incremental-refresh semantics a
+  Connect runner provides.
+- Flow-level ``spark_conf`` is set for the duration of the flow's
+  compute+write and restored after, win or lose.
+
+Deliberately out of scope (fail loud, never silently skip):
+``register_sql`` (SQL-file graph elements — author SQL steps through
+``plans.steps`` instead), ``Sink`` outputs other than parquet/noop, and
+batch flows targeting streaming tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.pipelines.flow import Flow
+from pyspark.pipelines.graph_element_registry import (
+    GraphElementRegistry,
+    graph_element_registration_context,
+)
+from pyspark.pipelines.output import (
+    MaterializedView,
+    Output,
+    Sink,
+    StreamingTable,
+    TemporaryView,
+)
+
+
+class LocalGraphRegistry(GraphElementRegistry):
+    """Collects SDP declarations through the public registry contract."""
+
+    def __init__(self) -> None:
+        self.outputs: dict[str, Output] = {}
+        self.flows: list[Flow] = []
+
+    def register_output(self, output: Output) -> None:
+        if output.name in self.outputs:
+            raise ValueError(f"duplicate dataset name: {output.name!r}")
+        self.outputs[output.name] = output
+
+    def register_flow(self, flow: Flow) -> None:
+        self.flows.append(flow)
+
+    def register_sql(self, sql_text: str, file_path) -> None:
+        raise NotImplementedError(
+            "SQL-file graph elements need the Connect-backed registry; "
+            "author SQL transforms through plans.steps (F7/F12) instead"
+        )
+
+
+def declare(registry: LocalGraphRegistry, define: Callable[[], None]) -> None:
+    """Run ``define()`` (a function containing ``@sdp.*`` decorators)
+    with ``registry`` as the active graph-element registry."""
+    with graph_element_registration_context(registry):
+        define()
+
+
+def _missing_relation(exc: Exception) -> str | None:
+    """If ``exc`` is an unresolved-relation error, return the bare
+    relation name; else None. Works across the 4.x condition rename."""
+    get = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    cond = get() if get else None
+    if not cond or "TABLE_OR_VIEW_NOT_FOUND" not in cond:
+        return None
+    params = exc.getMessageParameters() or {}
+    rel = params.get("relationName", "")
+    return rel.strip("`").split("`.`")[-1] or None
+
+
+@dataclass
+class _RunState:
+    materialized: dict[str, DataFrame] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+
+class _FlowConf:
+    """Apply a flow's spark_conf for its compute+write, then restore."""
+
+    def __init__(self, spark: SparkSession, conf: dict[str, str]):
+        self._spark, self._conf, self._saved = spark, conf, {}
+
+    def __enter__(self):
+        for k, v in self._conf.items():
+            try:
+                self._saved[k] = self._spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self._spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+
+
+def run_local_pipeline(
+    spark: SparkSession,
+    registry: LocalGraphRegistry,
+    storage_dir: str,
+) -> dict[str, DataFrame]:
+    """Materialize every output of an SDP graph on the classic session.
+
+    Returns {dataset name → read-back DataFrame} for every non-sink
+    output. See the module docstring for ordering/semantics; raises on
+    cycles, out-of-graph references, unsupported sinks, and streaming
+    tables fed by batch flows.
+    """
+    flows_by_target: dict[str, list[Flow]] = {}
+    for f in registry.flows:
+        flows_by_target.setdefault(f.target, []).append(f)
+    for name, out in registry.outputs.items():
+        n = len(flows_by_target.get(name, []))
+        if isinstance(out, StreamingTable):
+            if n == 0:
+                raise ValueError(f"streaming table {name!r} has no flows")
+        elif isinstance(out, Sink):
+            if n == 0:
+                raise ValueError(f"sink {name!r} has no flows")
+        elif n != 1:
+            raise ValueError(
+                f"dataset {name!r} needs exactly one defining flow, has {n}"
+            )
+
+    state = _RunState()
+    pending = list(registry.outputs)
+    while pending:
+        progressed = False
+        still: list[str] = []
+        for name in pending:
+            try:
+                state.materialized[name] = _materialize(
+                    spark, registry, registry.outputs[name],
+                    flows_by_target.get(name, []), storage_dir, state,
+                )
+                state.errors.pop(name, None)
+                progressed = True
+            except _Defer as d:
+                state.errors[name] = str(d)
+                still.append(name)
+        pending = still
+        if pending and not progressed:
+            detail = "; ".join(f"{n}: {state.errors[n]}" for n in pending)
+            raise RuntimeError(
+                f"pipeline cannot make progress (cycle?): {detail}"
+            )
+    return {
+        n: df for n, df in state.materialized.items() if df is not None
+    }
+
+
+class _Defer(Exception):
+    """Internal: this output depends on a not-yet-materialized sibling."""
+
+
+def _defer_or_raise(exc: Exception, registry: LocalGraphRegistry, state: _RunState):
+    rel = _missing_relation(exc)
+    if rel is not None and rel in registry.outputs:
+        if rel not in state.materialized:
+            raise _Defer(f"waits for {rel!r}") from exc
+    raise exc
+
+
+def _materialize(
+    spark: SparkSession,
+    registry: LocalGraphRegistry,
+    out: Output,
+    flows: list[Flow],
+    storage_dir: str,
+    state: _RunState,
+) -> DataFrame | None:
+    if isinstance(out, TemporaryView):
+        (flow,) = flows
+        try:
+            with _FlowConf(spark, flow.spark_conf):
+                df = flow.func()
+                df.createOrReplaceTempView(out.name)
+                return spark.table(out.name)
+        except _Defer:
+            raise
+        except Exception as exc:
+            _defer_or_raise(exc, registry, state)
+    elif isinstance(out, StreamingTable):
+        # one sink dir PER FLOW: a file-sink's _spark_metadata commit log
+        # is per-path and batch-id-keyed, so two independent flows cannot
+        # share one path (the second flow's log would collide with the
+        # first's and its files would be invisible to committed reads).
+        # The table is the metadata-log-aware union of its flow landings.
+        for flow in flows:
+            try:
+                with _FlowConf(spark, flow.spark_conf):
+                    df = flow.func()
+                    if not df.isStreaming:
+                        raise TypeError(
+                            f"flow {flow.name!r} targets streaming table "
+                            f"{out.name!r} but returned a batch DataFrame; "
+                            "use @sdp.materialized_view for batch"
+                        )
+                    writer = (
+                        df.writeStream.format(out.format or "parquet")
+                        .outputMode("append")
+                        .option(
+                            "checkpointLocation",
+                            f"{storage_dir}/_checkpoints/{out.name}/{flow.name}",
+                        )
+                        .trigger(availableNow=True)
+                    )
+                    if out.partition_cols:
+                        writer = writer.partitionBy(*out.partition_cols)
+                    q = writer.start(f"{storage_dir}/{out.name}/{flow.name}")
+                    q.awaitTermination()
+            except _Defer:
+                raise
+            except Exception as exc:
+                _defer_or_raise(exc, registry, state)
+        parts = [
+            spark.read.format(out.format or "parquet").load(
+                f"{storage_dir}/{out.name}/{flow.name}"
+            )
+            for flow in flows
+        ]
+        got = parts[0]
+        for p in parts[1:]:  # fail loud on cross-flow schema drift
+            got = got.unionByName(p)
+        got.createOrReplaceTempView(out.name)
+        return spark.table(out.name)
+    elif isinstance(out, MaterializedView):
+        (flow,) = flows
+        path = f"{storage_dir}/{out.name}"
+        try:
+            with _FlowConf(spark, flow.spark_conf):
+                df = flow.func()
+                writer = df.write.mode("overwrite").format(
+                    out.format or "parquet"
+                )
+                if out.partition_cols:
+                    writer = writer.partitionBy(*out.partition_cols)
+                writer.save(path)
+        except _Defer:
+            raise
+        except Exception as exc:
+            _defer_or_raise(exc, registry, state)
+        got = spark.read.format(out.format or "parquet").load(path)
+        got.createOrReplaceTempView(out.name)
+        return spark.table(out.name)
+    elif isinstance(out, Sink):
+        if out.format not in ("parquet", "noop"):
+            raise NotImplementedError(
+                f"local sink format {out.format!r} unsupported "
+                "(parquet/noop only); use sources.sinks for JDBC/landing"
+            )
+        for flow in flows:
+            try:
+                with _FlowConf(spark, flow.spark_conf):
+                    df = flow.func()
+                    if not df.isStreaming:
+                        raise TypeError(
+                            f"sink flow {flow.name!r} must be streaming"
+                        )
+                    writer = (
+                        df.writeStream.format(out.format)
+                        .options(**dict(out.options))
+                        .option(
+                            "checkpointLocation",
+                            f"{storage_dir}/_checkpoints/{out.name}/{flow.name}",
+                        )
+                        .trigger(availableNow=True)
+                    )
+                    q = writer.start()
+                    q.awaitTermination()
+            except _Defer:
+                raise
+            except Exception as exc:
+                _defer_or_raise(exc, registry, state)
+        return None
+    else:
+        raise NotImplementedError(f"unsupported output type: {type(out)}")

@@ -56,6 +56,7 @@ from dwh_etl_framework_spark.queries import wave21  # noqa: F401
 from dwh_etl_framework_spark.queries import wave22  # noqa: F401
 from dwh_etl_framework_spark.queries import wave23  # noqa: F401
 from dwh_etl_framework_spark.queries import wave24  # noqa: F401
+from dwh_etl_framework_spark.queries import wave25  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -738,6 +739,8 @@ ROTATION_QUEUE: dict[str, int] = {
     "r56_param_sql_report": 13,
     "f42_statestore_read": 13,
     "x112_span_dedup_rewrite": 13,
+    # round-12 declarative-pipelines lowering (wave25)
+    "f43_declarative_pipeline": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

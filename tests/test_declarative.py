@@ -1,0 +1,179 @@
+"""Local SDP executor (plans/declarative.py): ordering, incrementality,
+fail-loud scope edges — the semantics behind the f43 docstring."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.pipelines as sdp
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from dwh_etl_framework_spark.plans.declarative import (
+    LocalGraphRegistry,
+    declare,
+    run_local_pipeline,
+)
+
+
+def test_mv_chain_resolves_out_of_authoring_order(spark, tmp_path):
+    """The consumer is declared FIRST; the retry pass must defer it,
+    materialize its upstream, then finish it on the next pass."""
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(name="t_sdp_report")
+        def report():
+            return spark.table("t_sdp_base").groupBy("k").count()
+
+        @sdp.materialized_view(name="t_sdp_base")
+        def base():
+            return spark.range(12).selectExpr("id % 3 AS k", "id AS v")
+
+    declare(reg, define)
+    out = run_local_pipeline(spark, reg, str(tmp_path))
+    assert out["t_sdp_report"].count() == 3
+    # materialized: the report is served from its parquet landing
+    assert (tmp_path / "t_sdp_report").exists()
+    assert (tmp_path / "t_sdp_base").exists()
+
+
+def test_temporary_view_stays_logical(spark, tmp_path):
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.temporary_view(name="t_sdp_tv")
+        def tv():
+            return spark.range(5).selectExpr("id AS v")
+
+        @sdp.materialized_view(name="t_sdp_tv_sink")
+        def sink():
+            return spark.table("t_sdp_tv").filter("v >= 2")
+
+    declare(reg, define)
+    out = run_local_pipeline(spark, reg, str(tmp_path))
+    assert out["t_sdp_tv_sink"].count() == 3
+    assert not (tmp_path / "t_sdp_tv").exists()  # no storage for views
+
+
+def test_streaming_table_is_incremental_across_runs(spark, tmp_path):
+    """Two append flows land into one streaming table; re-running the
+    whole pipeline over unchanged sources appends NOTHING (per-flow
+    checkpoints), and new source data arrives exactly once."""
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(30).selectExpr("id AS v").write.parquet(src_a)
+    spark.range(30, 50).selectExpr("id AS v").write.parquet(src_b)
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_streaming_table("t_sdp_st")
+
+        @sdp.append_flow(target="t_sdp_st", name="flow_a")
+        def flow_a():
+            return spark.readStream.schema("v bigint").parquet(src_a)
+
+        @sdp.append_flow(target="t_sdp_st", name="flow_b")
+        def flow_b():
+            return spark.readStream.schema("v bigint").parquet(src_b)
+
+    declare(reg, define)
+    store = str(tmp_path / "store")
+    assert run_local_pipeline(spark, reg, store)["t_sdp_st"].count() == 50
+    # unchanged sources: exactly-once, not doubled
+    assert run_local_pipeline(spark, reg, store)["t_sdp_st"].count() == 50
+    # new file in one source: only the delta lands
+    spark.range(50, 60).selectExpr("id AS v").write.mode("append").parquet(src_a)
+    assert run_local_pipeline(spark, reg, store)["t_sdp_st"].count() == 60
+
+
+def test_cycle_raises_with_both_names(spark, tmp_path):
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(name="t_sdp_cyc_a")
+        def a():
+            return spark.table("t_sdp_cyc_b")
+
+        @sdp.materialized_view(name="t_sdp_cyc_b")
+        def b():
+            return spark.table("t_sdp_cyc_a")
+
+    declare(reg, define)
+    with pytest.raises(RuntimeError, match="cannot make progress"):
+        run_local_pipeline(spark, reg, str(tmp_path))
+
+
+def test_out_of_graph_reference_fails_immediately(spark, tmp_path):
+    """A missing table that is NOT a graph output can never appear —
+    raise the analysis error instead of spinning the retry loop."""
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(name="t_sdp_orphan")
+        def orphan():
+            return spark.table("t_sdp_never_defined_anywhere")
+
+    declare(reg, define)
+    with pytest.raises(AnalysisException):
+        run_local_pipeline(spark, reg, str(tmp_path))
+
+
+def test_flow_spark_conf_applied_and_restored(spark, tmp_path):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(
+            name="t_sdp_conf", spark_conf={"spark.sql.shuffle.partitions": "3"}
+        )
+        def conf_probe():
+            seen["during"] = spark.conf.get("spark.sql.shuffle.partitions")
+            return spark.range(4).selectExpr("id AS v")
+
+    declare(reg, define)
+    run_local_pipeline(spark, reg, str(tmp_path))
+    assert seen["during"] == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_partition_cols_shape_the_landing(spark, tmp_path):
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(name="t_sdp_part", partition_cols=["k"])
+        def part():
+            return spark.range(6).selectExpr("id % 2 AS k", "id AS v")
+
+    declare(reg, define)
+    out = run_local_pipeline(spark, reg, str(tmp_path))
+    assert out["t_sdp_part"].count() == 6
+    assert (tmp_path / "t_sdp_part" / "k=0").exists()
+
+
+def test_scope_edges_fail_loud(spark, tmp_path):
+    # sql-file elements are Connect-registry territory
+    with pytest.raises(NotImplementedError, match="plans.steps"):
+        LocalGraphRegistry().register_sql("CREATE ...", tmp_path)
+    # duplicate dataset names
+    reg = LocalGraphRegistry()
+
+    def define():
+        @sdp.materialized_view(name="t_sdp_dup")
+        def one():
+            return spark.range(1)
+
+    declare(reg, define)
+    with pytest.raises(ValueError, match="duplicate"):
+        declare(reg, define)
+    # batch flow into a streaming table
+    reg2 = LocalGraphRegistry()
+
+    def define2():
+        sdp.create_streaming_table("t_sdp_st_batch")
+
+        @sdp.append_flow(target="t_sdp_st_batch", name="batchy")
+        def batchy():
+            return spark.range(3).selectExpr("id AS v")
+
+    declare(reg2, define2)
+    with pytest.raises(TypeError, match="batch DataFrame"):
+        run_local_pipeline(spark, reg2, str(tmp_path / "st_batch"))

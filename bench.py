@@ -175,6 +175,12 @@ HEADLINE = [
     "x111_zorder_pruning_gain",  # range vs Z-order layouts, 3 predicate
                                  # shapes pruned from landed metadata
                                  # (r12; two landings + six decisions)
+    "x112_span_dedup_rewrite",   # repeated-span cut + corpus rebuild
+                                 # (r12; the Lee-et-al rewrite pass —
+                                 # whole-corpus map-side reconstruction)
+    "x113_triangle_count",       # degree-oriented triangle count (r12;
+                                 # the wedge join is the cost trail —
+                                 # orientation bounds its fan-out)
 ]
 
 

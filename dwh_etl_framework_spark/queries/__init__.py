@@ -57,6 +57,7 @@ from dwh_etl_framework_spark.queries import wave22  # noqa: F401
 from dwh_etl_framework_spark.queries import wave23  # noqa: F401
 from dwh_etl_framework_spark.queries import wave24  # noqa: F401
 from dwh_etl_framework_spark.queries import wave25  # noqa: F401
+from dwh_etl_framework_spark.queries import wave26  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -274,6 +275,7 @@ SF1_EXCLUDED: dict[str, str] = {
     "x94_prefix_filter_jaccard": "x94s_prefix_filter_sampled",
     "x97_cascade_recall_audit": "x97s_cascade_audit_sampled",
     "x99_edit_distance_join": "x99s_edit_join_sampled",
+    "x113_triangle_count": "x113s_triangle_sampled",
 }
 
 DRIVER_WINDOW: list[str] = [
@@ -741,6 +743,8 @@ ROTATION_QUEUE: dict[str, int] = {
     "x112_span_dedup_rewrite": 13,
     # round-12 declarative-pipelines lowering (wave25)
     "f43_declarative_pipeline": 13,
+    # round-12 graph-analytics depth (wave26)
+    "x113_triangle_count": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the
@@ -760,6 +764,7 @@ ROTATION_EXEMPT: frozenset[str] = frozenset([
     "x94s_prefix_filter_sampled",
     "x97s_cascade_audit_sampled",
     "x99s_edit_join_sampled",
+    "x113s_triangle_sampled",
 ])
 
 

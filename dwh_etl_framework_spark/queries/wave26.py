@@ -1,0 +1,216 @@
+"""Round-12 graph-analytics depth: triangle counting under degree
+orientation.
+
+The graph tier (connected components → x20/x101, PageRank → x77,
+mutual-kNN health → x57) lacked the third classic primitive: triangle
+counting, the basis of clustering-coefficient / community-density
+features over co-occurrence graphs (which products are bought
+together, which documents share near-dup clusters). ``x113`` counts
+triangles on the part co-purchase graph (parts sharing an order) with
+the degree-ordered orientation of Suri & Vassilvitskii, "Counting
+Triangles and the Curse of the Last Reducer" (WWW 2011): orient every
+edge from the lower (degree, id) endpoint to the higher, enumerate
+each triangle exactly once as x→y→z with x<y<z in that order, and the
+wedge join's per-key fan-out is bounded by O(√m) instead of the max
+degree — the skew fix that makes the join survive a power-law graph at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+X113_TOPK = 10
+
+#: both engines orient by the same spelled-out total order on
+#: (degree, node id) — no engine-specific struct/row comparison.
+_LOWER = "(du < dv OR (du = dv AND u < v))"
+
+_X113_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN {_LOWER} THEN u ELSE v END AS s,
+           CASE WHEN {_LOWER} THEN v ELSE u END AS t
+    FROM (
+        SELECT p.u, p.v, du.d AS du, dv.d AS dv
+        FROM pairs p
+        JOIN deg du ON du.node = p.u
+        JOIN deg dv ON dv.node = p.v
+    )
+),
+tris AS (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.t
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+pernode AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+    FROM (SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris)
+    GROUP BY node
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges
+    FROM tris
+)
+SELECT d.node AS part_id, d.d AS degree,
+       COALESCE(pn.tri_cnt, 0) AS tri_cnt,
+       g.n_triangles, g.n_edges
+FROM deg d
+LEFT JOIN pernode pn ON pn.node = d.node
+CROSS JOIN totals g
+ORDER BY tri_cnt DESC, part_id ASC
+LIMIT {X113_TOPK}
+"""
+
+
+@query("x113_triangle_count", oracle=_X113_ORACLE)
+def x113_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics: exact triangle counting on the part
+    co-purchase graph (distinct part pairs sharing an order), via
+    degree-ordered orientation (Suri & Vassilvitskii, WWW 2011). The
+    top-{X113_TOPK} nodes by triangle count (degree and global
+    totals alongside) are the driver-hashed report; the oracle
+    recomputes the whole pipeline — pairs, degrees, orientation,
+    one-per-triangle enumeration — in portable SQL, sharing the
+    spelled-out (degree, id) comparison so neither engine can orient
+    differently.
+
+    Scale shape: the quadratic pair expansion is per-ORDER (order line
+    counts are bounded small — the market-basket shape), never a global
+    self-join. Orientation is the skew fix: every wedge join key is a
+    node's OUT-neighborhood under the (degree, id) order, bounded by
+    O(√m) even on a power-law graph, so the "last reducer" hot key the
+    naive adjacency join creates cannot form; each triangle is
+    enumerated exactly once (x<y<z), no post-dedup exchange. Joins are
+    all equi-joins on node ids — digest-sized rows, no text, and AQE
+    can broadcast the degree table when it fits."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return (
+        triangle_report(pairs)
+        .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
+        .limit(X113_TOPK)
+    )
+
+
+#: sf1 twin: order-keyed deterministic 1-in-5 sample. Triangle work grows
+#: with Σ outdeg² — at sf1 the FULL wedge join costs ~10× the sf0.1 run on
+#: both engines (measured round 12: >9 min wall), so the full-strength
+#: oracle stays sf0.01/sf0.1 and the sampled twin carries sf1 scale
+#: evidence, the x94s/x99s policy. Sampling ORDERS (not edges) keeps every
+#: kept basket intact, so sampled triangles are real triangles.
+X113S_MOD = 5
+
+_X113S_ORACLE = _X113_ORACLE.replace(
+    "FROM lineitem a",
+    f"FROM (SELECT * FROM lineitem WHERE l_orderkey % {X113S_MOD} = 0) a",
+).replace(
+    "JOIN lineitem b",
+    f"JOIN (SELECT * FROM lineitem WHERE l_orderkey % {X113S_MOD} = 0) b",
+)
+
+
+@query("x113s_triangle_sampled", oracle=_X113S_ORACLE)
+def x113s_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x113's sf1 scale twin: the identical orientation pipeline over the
+    deterministic 1-in-{X113S_MOD} order sample (whole baskets kept, so
+    every sampled triangle is a real co-purchase triangle). Exists so
+    PARITY_sf1 carries triangle-count evidence at 10× bench scale while
+    the full-strength x113 oracle stays at driver scale — the
+    x94s/x99s policy (wedge-join work grows superlinearly with density,
+    measured round 12)."""
+    t = fixtures(spark, sf_dir)
+    li = (
+        t.lineitem.filter(F.col("l_orderkey") % X113S_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return (
+        triangle_report(pairs)
+        .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
+        .limit(X113_TOPK)
+    )
+
+
+def triangle_report(pairs: DataFrame) -> DataFrame:
+    """Core x113 plan over any undirected edge list (u < v, distinct) —
+    split out so the known-graph invariant tests can drive it."""
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            f"CASE WHEN {_LOWER} THEN u ELSE v END AS s",
+            f"CASE WHEN {_LOWER} THEN v ELSE u END AS t",
+        )
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
+    )
+    glob = tris.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    return (
+        deg.join(pernode, "node", "left")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri_cnt", F.lit(0)).cast("long").alias("tri_cnt"),
+        )
+        .crossJoin(F.broadcast(glob))
+    )

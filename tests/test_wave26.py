@@ -1,0 +1,69 @@
+"""x113 triangle counting: known-graph invariants behind the oracle."""
+
+from __future__ import annotations
+
+from dwh_etl_framework_spark.queries.wave26 import (
+    triangle_report,
+    x113_triangle_count,
+)
+
+from conftest import SF_DIR
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "u bigint, v bigint")
+
+
+def test_k4_plus_pendant(spark):
+    """K4 has exactly 4 triangles, 3 per member; a pendant node has 0."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    rows = {r["part_id"]: r for r in triangle_report(_pairs(spark, k4)).collect()}
+    assert rows[1]["n_triangles"] == 4 and rows[1]["n_edges"] == 7
+    assert all(rows[n]["tri_cnt"] == 3 for n in (1, 2, 3, 4))
+    assert rows[5]["tri_cnt"] == 0 and rows[5]["degree"] == 1
+    assert rows[4]["degree"] == 4
+
+
+def test_triangle_free_graph(spark):
+    """A star (hub + 4 leaves) is triangle-free whatever the skew —
+    the orientation must not manufacture triangles at the hub."""
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    rows = triangle_report(_pairs(spark, star)).collect()
+    assert all(r["tri_cnt"] == 0 for r in rows)
+    assert rows[0]["n_triangles"] == 0
+
+
+def test_handshake_identity_on_fixture(spark):
+    """Each triangle contributes exactly 3 per-node counts: over the
+    FULL fixture report, sum(tri_cnt) == 3 * n_triangles."""
+    from pyspark.sql import functions as F
+    from dwh_etl_framework_spark.queries.registry import fixtures
+
+    t = fixtures(spark, SF_DIR)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    rep = triangle_report(pairs)
+    agg = rep.agg(
+        F.sum("tri_cnt").alias("s"), F.first("n_triangles").alias("n")
+    ).first()
+    assert agg["s"] == 3 * agg["n"]
+
+
+def test_x113_no_cartesian_and_total_order(spark):
+    df = x113_triangle_count(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only cross joins are the two single-row totals broadcasts
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    keys = [(-r["tri_cnt"], r["part_id"]) for r in rows]
+    assert keys == sorted(keys)

@@ -178,9 +178,16 @@ HEADLINE = [
     "x112_span_dedup_rewrite",   # repeated-span cut + corpus rebuild
                                  # (r12; the Lee-et-al rewrite pass —
                                  # whole-corpus map-side reconstruction)
-    "x113_triangle_count",       # degree-oriented triangle count (r12;
-                                 # the wedge join is the cost trail —
-                                 # orientation bounds its fan-out)
+    "x113s_triangle_sampled",    # degree-oriented triangle count, the
+                                 # order-sampled scale tier (r12). The
+                                 # full-strength x113 is correctness-
+                                 # only at bench scale (the x02/x60
+                                 # policy): the fixture's co-purchase
+                                 # projection is DENSE (avg degree ~120
+                                 # at sf0.1 -> ~72M wedges, 19.7s
+                                 # measured), so the benched plan is
+                                 # the sampled tier, like every other
+                                 # quadratic-risk discovery op.
 ]
 
 

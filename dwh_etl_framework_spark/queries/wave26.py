@@ -100,7 +100,16 @@ def x113_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive adjacency join creates cannot form; each triangle is
     enumerated exactly once (x<y<z), no post-dedup exchange. Joins are
     all equi-joins on node ids — digest-sized rows, no text, and AQE
-    can broadcast the degree table when it fits."""
+    can broadcast the degree table when it fits.
+
+    Honest cost note (measured round 12): orientation bounds the WORST
+    key, but total wedge work is Σ outdeg² — on this fixture's DENSE
+    co-purchase projection (uniform part choice ⇒ avg degree ~120 at
+    sf0.1) that is ~72M wedges ⇒ 19.7 s, so the full count is
+    correctness-tier at bench scale and the benched/sf1 plan is the
+    order-sampled x113s (the x02/x60 policy). Real co-purchase graphs
+    are support-thresholded (edge weight ≥ k) before counting, which
+    removes exactly this density."""
     t = fixtures(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")

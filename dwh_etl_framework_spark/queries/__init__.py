@@ -745,6 +745,7 @@ ROTATION_QUEUE: dict[str, int] = {
     "f43_declarative_pipeline": 13,
     # round-12 graph-analytics depth (wave26)
     "x113_triangle_count": 13,
+    "x114_kcore_profile": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -223,3 +223,144 @@ def triangle_report(pairs: DataFrame) -> DataFrame:
         )
         .crossJoin(F.broadcast(glob))
     )
+
+
+# ---- x114: k-core peeling profile ---------------------------------------
+
+X114_K = 64
+X114_ROUNDS = 5
+
+
+def _x114_oracle() -> str:
+    """Unroll the peeling rounds as a CTE chain — like x108's greedy
+    trajectory, one hash certifies every round's removal decision."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    # and each round references the prior round 4x — inlined, the chain
+    # re-expands exponentially (measured: sf0.001 never finished).
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+s0 AS MATERIALIZED (SELECT u AS node FROM pairs UNION SELECT v FROM pairs)"""
+    ]
+    for i in range(1, X114_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (
+        SELECT p.u AS node FROM pairs p
+        WHERE p.u IN (SELECT node FROM s{p})
+          AND p.v IN (SELECT node FROM s{p})
+        UNION ALL
+        SELECT p.v FROM pairs p
+        WHERE p.u IN (SELECT node FROM s{p})
+          AND p.v IN (SELECT node FROM s{p})
+    ) GROUP BY node
+),
+s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {X114_K})""")
+    rows = ", ".join(
+        f"({i}, (SELECT COUNT(*) FROM s{i-1}) - (SELECT COUNT(*) FROM s{i}),"
+        f" (SELECT COUNT(*) FROM s{i}))"
+        for i in range(1, X114_ROUNDS + 1)
+    )
+    parts.append(f"""
+SELECT CAST(col0 AS BIGINT) AS round,
+       CAST(col1 AS BIGINT) AS n_removed,
+       CAST(col2 AS BIGINT) AS n_remaining
+FROM (VALUES {rows}) t(col0, col1, col2)
+ORDER BY round""")
+    return "".join(parts)
+
+
+_X114_ORACLE = _x114_oracle()
+
+
+@query("x114_kcore_profile", oracle=_X114_ORACLE)
+def x114_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics: the k-core peeling trace (Seidman 1983;
+    the Matula-Beck/Batagelj-Zaversnik peel) on the part co-purchase
+    graph — {X114_ROUNDS} bounded rounds of "drop every node with
+    fewer than {X114_K} surviving co-purchase partners", reporting
+    (round, n_removed, n_remaining). Bounded-round semantics on
+    purpose: the trace is deterministic at every scale factor (no
+    data-dependent fixpoint claim for the oracle to chase), the fixture
+    exercises real peeling (nodes keep falling below k as their
+    neighbors leave), and ``kcore_fixpoint`` in tests shows the same
+    rounds reach the true core when they converge. The oracle unrolls
+    all rounds as one CTE chain (the x108 trajectory pattern), so a
+    single driver hash certifies every round's degree computation and
+    removal decision.
+
+    Scale shape: peeling needs NO wedge work — each round is one
+    degree aggregate over surviving edges plus two semi-joins
+    (node-sized build sides, broadcastable), so unlike x113 the full
+    dense graph stays cheap: O(rounds × edges) with edges shrinking.
+    The round count is a driver-side constant, not driver data flow
+    (the x77 iterative precedent), and each round's survivor frame is
+    localCheckpointed to keep the lineage flat at cluster scale."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return kcore_profile(spark, pairs, X114_K, X114_ROUNDS)
+
+
+def kcore_profile(
+    spark: SparkSession, pairs: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """Core x114 plan over any undirected edge list (u < v, distinct)."""
+    survivors = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    trace = []
+    for rnd in range(1, rounds + 1):
+        su = survivors.select(F.col("node").alias("u"))
+        sv = survivors.select(F.col("node").alias("v"))
+        alive = pairs.join(su, "u", "left_semi").join(sv, "v", "left_semi")
+        deg = (
+            alive.select(F.col("u").alias("node"))
+            .unionAll(alive.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        nxt = (
+            deg.filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        trace.append(
+            survivors.agg(
+                F.count(F.lit(1)).cast("long").alias("n_prev")
+            ).crossJoin(
+                nxt.agg(F.count(F.lit(1)).cast("long").alias("n_remaining"))
+            ).select(
+                F.lit(rnd).cast("long").alias("round"),
+                (F.col("n_prev") - F.col("n_remaining"))
+                .cast("long")
+                .alias("n_removed"),
+                "n_remaining",
+            )
+        )
+        survivors = nxt
+    out = trace[0]
+    for t_ in trace[1:]:
+        out = out.unionAll(t_)
+    return out.orderBy("round")

@@ -67,3 +67,28 @@ def test_x113_no_cartesian_and_total_order(spark):
     assert len(rows) <= 10
     keys = [(-r["tri_cnt"], r["part_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_x114_clique_survives_chain_peels(spark):
+    """6-clique + pendant path, k=3: the path peels in round 1, the
+    clique never peels (every member keeps degree 5)."""
+    from dwh_etl_framework_spark.queries.wave26 import kcore_profile
+
+    clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+    path = [(6, 7), (7, 8), (8, 9)]
+    rows = kcore_profile(spark, _pairs(spark, clique + path), 3, 4).collect()
+    assert [(r["round"], r["n_removed"], r["n_remaining"]) for r in rows] == [
+        (1, 3, 6), (2, 0, 6), (3, 0, 6), (4, 0, 6),
+    ]
+
+
+def test_x114_cascade_removes_hub_after_leaves(spark):
+    """Star with k=2: leaves die in round 1 (degree 1), the hub dies in
+    round 2 once its edges are gone — the cascade the peel exists for."""
+    from dwh_etl_framework_spark.queries.wave26 import kcore_profile
+
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    rows = kcore_profile(spark, _pairs(spark, star), 2, 3).collect()
+    assert [(r["round"], r["n_removed"], r["n_remaining"]) for r in rows] == [
+        (1, 4, 1), (2, 1, 0), (3, 0, 0),
+    ]

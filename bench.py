@@ -188,6 +188,10 @@ HEADLINE = [
                                  # measured), so the benched plan is
                                  # the sampled tier, like every other
                                  # quadratic-risk discovery op.
+    "x115_support_triangles",    # the production shape: support gate
+                                 # first (edges 1.2M -> 3.9k at sf0.1),
+                                 # then the same oriented count — full
+                                 # strength IS the scale plan (r12)
 ]
 
 

@@ -746,6 +746,9 @@ ROTATION_QUEUE: dict[str, int] = {
     # round-12 graph-analytics depth (wave26)
     "x113_triangle_count": 13,
     "x114_kcore_profile": 13,
+    "x115_support_triangles": 13,
+    # round-12 late probe: IDENTIFIER clause + parameterized object names
+    "r57_identifier_report": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -339,3 +339,51 @@ def span_dedup_rewrite(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- r57: IDENTIFIER clause + parameterized object names -----------------
+
+R57_TABLE = "orders"
+R57_DIM = "o_orderpriority"
+
+_R57_SQL = """
+SELECT IDENTIFIER(:dim) AS dim_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum
+FROM IDENTIFIER(:tbl)
+GROUP BY IDENTIFIER(:dim)
+ORDER BY dim_value
+"""
+
+_R57_ORACLE = f"""
+SELECT {R57_DIM} AS dim_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum
+FROM {R57_TABLE}
+GROUP BY {R57_DIM}
+ORDER BY dim_value
+"""
+
+
+@query("r57_identifier_report", oracle=_R57_ORACLE)
+def r57_identifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-tier, NEW engine surface (round-12 probe): the ``IDENTIFIER``
+    clause with named parameters — table AND column names arrive as
+    ``:tbl``/``:dim`` parameters and bind as catalog identifiers, not
+    strings. This is the missing half of r56: parameterized VALUES were
+    already injection-proof, and IDENTIFIER extends that to the object
+    names a config-driven framework splices today (the reference's
+    transform tier assembles table names into SQL text by hand,
+    ``airflow_etl.py:251`` — one malformed config value away from
+    executing as SQL). A name that is not a single identifier
+    (``'orders WHERE 1=1'``) fails to PARSE instead of executing
+    (pinned in tests/test_wave24.py). The oracle is the same report
+    with both identifiers spelled literally.
+
+    Scale shape: identifiers resolve at plan time — the generated plan
+    is byte-identical to the literal query's plan, pushdown and codegen
+    included; zero runtime cost for the indirection."""
+    fixtures(spark, sf_dir)
+    return spark.sql(_R57_SQL, args={"tbl": R57_TABLE, "dim": R57_DIM})

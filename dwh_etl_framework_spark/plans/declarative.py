@@ -37,9 +37,14 @@ tier — but discovers edges at runtime):
 - Flow-level ``spark_conf`` is set for the duration of the flow's
   compute+write and restored after, win or lose.
 
+``Sink`` outputs support parquet, noop, and jdbc (the F15 sink via
+``foreachBatch`` — checkpointed batch ids make unchanged-source re-runs
+append nothing; a mid-write crash may re-append on restart, the
+documented at-least-once edge of ``foreachBatch``).
+
 Deliberately out of scope (fail loud, never silently skip):
 ``register_sql`` (SQL-file graph elements — author SQL steps through
-``plans.steps`` instead), ``Sink`` outputs other than parquet/noop, and
+``plans.steps`` instead), ``Sink`` formats beyond those three, and
 batch flows targeting streaming tables.
 """
 
@@ -285,10 +290,10 @@ def _materialize(
         got.createOrReplaceTempView(out.name)
         return spark.table(out.name)
     elif isinstance(out, Sink):
-        if out.format not in ("parquet", "noop"):
+        if out.format not in ("parquet", "noop", "jdbc"):
             raise NotImplementedError(
                 f"local sink format {out.format!r} unsupported "
-                "(parquet/noop only); use sources.sinks for JDBC/landing"
+                "(parquet/noop/jdbc only); use sources.sinks for other landings"
             )
         for flow in flows:
             try:
@@ -298,16 +303,47 @@ def _materialize(
                         raise TypeError(
                             f"sink flow {flow.name!r} must be streaming"
                         )
-                    writer = (
-                        df.writeStream.format(out.format)
-                        .options(**dict(out.options))
-                        .option(
-                            "checkpointLocation",
-                            f"{storage_dir}/_checkpoints/{out.name}/{flow.name}",
+                    ckpt = f"{storage_dir}/_checkpoints/{out.name}/{flow.name}"
+                    if out.format == "jdbc":
+                        # the F15 sink via foreachBatch: Spark has no
+                        # native streaming jdbc sink. Checkpointed batch
+                        # ids make an unchanged source append NOTHING on
+                        # re-run; a batch that crashed MID-WRITE may be
+                        # re-appended on restart (foreachBatch is
+                        # at-least-once) — point the sink at an
+                        # idempotent/staging table if that matters.
+                        from dwh_etl_framework_spark.sources.sinks import (
+                            write_jdbc,
                         )
-                        .trigger(availableNow=True)
-                    )
-                    q = writer.start()
+
+                        opts = dict(out.options)
+                        url = opts.pop("url", None)
+                        table = opts.pop("dbtable", None)
+                        if not url or not table:
+                            raise ValueError(
+                                f"jdbc sink {out.name!r} needs 'url' and "
+                                "'dbtable' in options"
+                            )
+
+                        def _write(bdf: DataFrame, _bid: int) -> None:
+                            write_jdbc(
+                                bdf, url, table, mode="append", options=opts
+                            )
+
+                        writer = (
+                            df.writeStream.foreachBatch(_write)
+                            .option("checkpointLocation", ckpt)
+                            .trigger(availableNow=True)
+                        )
+                        q = writer.start()
+                    else:
+                        writer = (
+                            df.writeStream.format(out.format)
+                            .options(**dict(out.options))
+                            .option("checkpointLocation", ckpt)
+                            .trigger(availableNow=True)
+                        )
+                        q = writer.start()
                     q.awaitTermination()
             except _Defer:
                 raise

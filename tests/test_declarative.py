@@ -177,3 +177,66 @@ def test_scope_edges_fail_loud(spark, tmp_path):
     declare(reg2, define2)
     with pytest.raises(TypeError, match="batch DataFrame"):
         run_local_pipeline(spark, reg2, str(tmp_path / "st_batch"))
+
+
+def test_jdbc_sink_lands_in_derby_exactly_once(spark, tmp_path):
+    """An SDP jdbc sink routes through the F15 writer via foreachBatch:
+    the Derby table receives the stream's rows, and re-running the
+    pipeline over an unchanged source appends nothing (checkpointed
+    batch ids)."""
+    url = "jdbc:derby:memory:sdpsink;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = str(tmp_path / "src")
+    spark.range(25).selectExpr("id AS v").write.parquet(src)
+    # pre-create the target so types are fixed by DDL, then append
+    spark.createDataFrame([], "v bigint").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "sdp_out").options(**opts).mode("overwrite").save()
+
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_sink(
+            "t_sdp_jdbc",
+            format="jdbc",
+            options={"url": url, "dbtable": "sdp_out", **opts},
+        )
+
+        @sdp.append_flow(target="t_sdp_jdbc", name="to_derby")
+        def to_derby():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    declare(reg, define)
+    store = str(tmp_path / "store")
+
+    def derby_count():
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "sdp_out")
+            .options(**opts)
+            .load()
+            .count()
+        )
+
+    run_local_pipeline(spark, reg, store)
+    assert derby_count() == 25
+    run_local_pipeline(spark, reg, store)  # unchanged source: no re-append
+    assert derby_count() == 25
+
+
+def test_jdbc_sink_requires_url_and_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(3).selectExpr("id AS v").write.parquet(src)
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_sink("t_sdp_jdbc_bad", format="jdbc", options={})
+
+        @sdp.append_flow(target="t_sdp_jdbc_bad", name="nowhere")
+        def nowhere():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    declare(reg, define)
+    with pytest.raises(ValueError, match="url"):
+        run_local_pipeline(spark, reg, str(tmp_path / "store"))

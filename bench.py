@@ -184,14 +184,15 @@ HEADLINE = [
                                  # only at bench scale (the x02/x60
                                  # policy): the fixture's co-purchase
                                  # projection is DENSE (avg degree ~120
-                                 # at sf0.1 -> ~72M wedges, 19.7s
+                                 # at sf0.1 -> ~72M wedges, 8.9s
                                  # measured), so the benched plan is
                                  # the sampled tier, like every other
                                  # quadratic-risk discovery op.
-    "x115_support_triangles",    # the production shape: support gate
-                                 # first (edges 1.2M -> 3.9k at sf0.1),
-                                 # then the same oriented count — full
-                                 # strength IS the scale plan (r12)
+    "x115_support_triangles",    # the production shape: distinct-order
+                                 # support gate first (edges 1.2M ->
+                                 # 3.6k at sf0.1), then the same
+                                 # oriented count — full strength IS
+                                 # the scale plan (r12)
 ]
 
 

@@ -125,12 +125,18 @@ class _FlowConf:
         self._spark, self._conf, self._saved = spark, conf, {}
 
     def __enter__(self):
-        for k, v in self._conf.items():
-            try:
-                self._saved[k] = self._spark.conf.get(k)
-            except Exception:
-                self._saved[k] = None
-            self._spark.conf.set(k, v)
+        try:
+            for k, v in self._conf.items():
+                try:
+                    self._saved[k] = self._spark.conf.get(k)
+                except Exception:
+                    self._saved[k] = None
+                self._spark.conf.set(k, v)
+        except BaseException:
+            # a mid-loop set raised (e.g. a static conf): __exit__ will
+            # never run, so restore what was already applied here
+            self.__exit__(None, None, None)
+            raise
 
     def __exit__(self, *exc):
         for k, old in self._saved.items():
@@ -154,6 +160,17 @@ def run_local_pipeline(
     """
     flows_by_target: dict[str, list[Flow]] = {}
     for f in registry.flows:
+        if f.target not in registry.outputs:
+            raise ValueError(
+                f"flow {f.name!r} targets unknown dataset {f.target!r} "
+                f"(registered: {sorted(registry.outputs)})"
+            )
+        if any(g.name == f.name for g in flows_by_target.get(f.target, [])):
+            raise ValueError(
+                f"duplicate flow name {f.name!r} for target {f.target!r} — "
+                "flow names key checkpoint and landing dirs, so they must "
+                "be unique per target"
+            )
         flows_by_target.setdefault(f.target, []).append(f)
     for name, out in registry.outputs.items():
         n = len(flows_by_target.get(name, []))
@@ -232,6 +249,7 @@ def _materialize(
         # share one path (the second flow's log would collide with the
         # first's and its files would be invisible to committed reads).
         # The table is the metadata-log-aware union of its flow landings.
+        flow_schemas: dict[str, object] = {}
         for flow in flows:
             try:
                 with _FlowConf(spark, flow.spark_conf):
@@ -242,6 +260,7 @@ def _materialize(
                             f"{out.name!r} but returned a batch DataFrame; "
                             "use @sdp.materialized_view for batch"
                         )
+                    flow_schemas[flow.name] = df.schema
                     writer = (
                         df.writeStream.format(out.format or "parquet")
                         .outputMode("append")
@@ -259,12 +278,20 @@ def _materialize(
                 raise
             except Exception as exc:
                 _defer_or_raise(exc, registry, state)
-        parts = [
-            spark.read.format(out.format or "parquet").load(
-                f"{storage_dir}/{out.name}/{flow.name}"
-            )
-            for flow in flows
-        ]
+        parts = []
+        for flow in flows:
+            path = f"{storage_dir}/{out.name}/{flow.name}"
+            try:
+                parts.append(
+                    spark.read.format(out.format or "parquet").load(path)
+                )
+            except Exception:
+                # a valid-but-empty source commits zero batches and never
+                # creates its sink dir — a legitimate "no data yet" first
+                # run registers an EMPTY table (stream schema), not a crash
+                parts.append(
+                    spark.createDataFrame([], flow_schemas[flow.name])
+                )
         got = parts[0]
         for p in parts[1:]:  # fail loud on cross-flow schema drift
             got = got.unionByName(p)

@@ -29,6 +29,38 @@ X113_TOPK = 10
 #: (degree, node id) — no engine-specific struct/row comparison.
 _LOWER = "(du < dv OR (du = dv AND u < v))"
 
+
+def _copurchase_pairs(li: DataFrame, support: int | None = None) -> DataFrame:
+    """Distinct part pairs sharing an order (u < v), from a
+    (l_orderkey, l_partkey) projection — the one pair builder every
+    wave26 operator shares (review r12: it was copy-pasted four ways).
+
+    With ``support``, keep only pairs co-occurring in ≥ support
+    DISTINCT ORDERS. Orders, not joined line pairs: a part can repeat
+    within one basket, so COUNT(*) over the join would count a
+    twice-in-one-order part as support 2 — the market-basket gate is
+    per-basket evidence (review r12 finding, mirrored in the oracle).
+    """
+    a, b = li.alias("a"), li.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("o"),
+        F.col("a.l_partkey").alias("u"),
+        F.col("b.l_partkey").alias("v"),
+    )
+    if support is None:
+        return joined.select("u", "v").distinct()
+    return (
+        joined.groupBy("u", "v")
+        .agg(F.countDistinct("o").alias("support"))
+        .filter(F.col("support") >= support)
+        .select("u", "v")
+    )
+
+
 _X113_ORACLE = f"""
 WITH pairs AS (
     SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -105,27 +137,17 @@ def x113_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Honest cost note (measured round 12): orientation bounds the WORST
     key, but total wedge work is Σ outdeg² — on this fixture's DENSE
     co-purchase projection (uniform part choice ⇒ avg degree ~120 at
-    sf0.1) that is ~72M wedges ⇒ 19.7 s, so the full count is
+    sf0.1) that is ~72M wedges ⇒ 8.9 s warm at sf0.1 (19.7 s before
+    the review-pass fix that materializes ``tris`` once — the wedge
+    join used to re-execute for every consumer), so the full count is
     correctness-tier at bench scale and the benched/sf1 plan is the
     order-sampled x113s (the x02/x60 policy). Real co-purchase graphs
-    are support-thresholded (edge weight ≥ k) before counting, which
-    removes exactly this density."""
+    are support-thresholded first — that production shape is x115,
+    which removes exactly this density."""
     t = fixtures(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     return (
-        triangle_report(pairs)
+        triangle_report(_copurchase_pairs(li))
         .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
         .limit(X113_TOPK)
     )
@@ -162,20 +184,8 @@ def x113s_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_orderkey") % X113S_MOD == 0)
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     return (
-        triangle_report(pairs)
+        triangle_report(_copurchase_pairs(li))
         .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
         .limit(X113_TOPK)
     )
@@ -185,14 +195,16 @@ def triangle_report(pairs: DataFrame) -> DataFrame:
     """Core x113 plan over any undirected edge list (u < v, distinct) —
     split out so the known-graph invariant tests can drive it.
 
-    Both fan-out points are materialized once (the x87 rule): ``pairs``
-    feeds THREE consumers (degrees, the orientation join, n_edges) and
-    ``oriented`` feeds three more (e1/e2/e3 of the wedge join), so
-    without the checkpoints each consumer re-runs its upstream
-    self-join. Honest measurement (round 12): the x113s bench entry
-    moves 3.5 → 3.2 s — the wedge join, not the recompute, dominates
-    at this density, but the checkpoint keeps the scan count
-    input-size-independent, which is what matters at 100 TB."""
+    ALL THREE fan-out points are materialized once (the x87 rule):
+    ``pairs`` feeds three consumers (degrees, the orientation join,
+    n_edges), ``oriented`` feeds the three wedge-join arms, and —
+    found by the round-12 review pass — ``tris`` feeds the per-corner
+    explode AND the global count, and is by far the most expensive
+    subtree. Measured: materializing ``tris`` cut the full x113 from
+    19.7 to 8.9 s warm at sf0.1 (the wedge join now executes once,
+    not once per consumer) and x113s from 3.2 to 2.8 s; per-corner
+    attribution is a single explode pass over the materialized
+    triangles instead of three unions."""
     pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -214,11 +226,12 @@ def triangle_report(pairs: DataFrame) -> DataFrame:
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    # tris is the THIRD fan-out point (three per-corner consumers + the
+    # global count) and by far the most expensive subtree — without this
+    # checkpoint the wedge join re-executes per consumer (review r12)
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).localCheckpoint(eager=False)
     pernode = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
     )
@@ -316,19 +329,7 @@ def x114_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed to keep the lineage flat at cluster scale."""
     t = fixtures(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    pairs = _copurchase_pairs(li).localCheckpoint(eager=False)
     return kcore_profile(spark, pairs, X114_K, X114_ROUNDS)
 
 
@@ -385,7 +386,7 @@ _X115_ORACLE = f"""
 WITH pairs AS MATERIALIZED (
     SELECT u, v FROM (
         SELECT a.l_partkey AS u, b.l_partkey AS v,
-               COUNT(*) AS support
+               COUNT(DISTINCT a.l_orderkey) AS support
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -457,22 +458,8 @@ def x115_support_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-strength plan IS the scale plan, no sampled twin needed."""
     t = fixtures(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= X115_SUPPORT)
-        .select("u", "v")
-    )
     return (
-        triangle_report(pairs)
+        triangle_report(_copurchase_pairs(li, support=X115_SUPPORT))
         .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
         .limit(X113_TOPK)
     )

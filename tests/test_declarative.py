@@ -240,3 +240,64 @@ def test_jdbc_sink_requires_url_and_table(spark, tmp_path):
     declare(reg, define)
     with pytest.raises(ValueError, match="url"):
         run_local_pipeline(spark, reg, str(tmp_path / "store"))
+
+
+def test_unknown_flow_target_rejected(spark, tmp_path):
+    """A flow naming a target that was never declared is a config typo —
+    it must fail validation, not be silently dropped (review r12)."""
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_streaming_table("t_sdp_real")
+
+        @sdp.append_flow(target="t_sdp_reel", name="typo")  # note the typo
+        def typo():
+            return spark.readStream.format("rate").load()
+
+    declare(reg, define)
+    with pytest.raises(ValueError, match="unknown dataset 't_sdp_reel'"):
+        run_local_pipeline(spark, reg, str(tmp_path))
+
+
+def test_duplicate_flow_names_rejected(spark, tmp_path):
+    """Flow names key checkpoint/landing dirs — duplicates would share a
+    commit log (the per-path collision), so they are rejected up front."""
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_streaming_table("t_sdp_dupflow")
+
+        @sdp.append_flow(target="t_sdp_dupflow", name="load")
+        def load_a():
+            return spark.readStream.format("rate").load()
+
+        @sdp.append_flow(target="t_sdp_dupflow", name="load")
+        def load_b():
+            return spark.readStream.format("rate").load()
+
+    declare(reg, define)
+    with pytest.raises(ValueError, match="duplicate flow name 'load'"):
+        run_local_pipeline(spark, reg, str(tmp_path))
+
+
+def test_empty_source_registers_empty_streaming_table(spark, tmp_path):
+    """A valid-but-empty source commits zero batches and never creates
+    its sink dir; the table must register EMPTY with the stream's
+    schema, not crash on read-back (review r12)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)  # exists but holds no files
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_streaming_table("t_sdp_empty")
+
+        @sdp.append_flow(target="t_sdp_empty", name="nothing_yet")
+        def nothing_yet():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    declare(reg, define)
+    out = run_local_pipeline(spark, reg, str(tmp_path / "store"))
+    assert out["t_sdp_empty"].columns == ["v"]
+    assert out["t_sdp_empty"].count() == 0

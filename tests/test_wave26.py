@@ -107,3 +107,21 @@ def test_x115_thresholded_graph_is_tiny_and_consistent(spark):
     n_edges = rows[0]["n_edges"]
     # raw sf0.001 projection has ~8.9k edges; thresholded must be well under
     assert 0 < n_edges < 5000
+
+
+def test_x115_within_basket_repeat_does_not_self_certify(spark):
+    """The support gate counts DISTINCT ORDERS: a part repeated inside
+    one basket must not push a pair over the threshold (review r12),
+    while genuine two-order co-occurrence must."""
+    from dwh_etl_framework_spark.queries.wave26 import _copurchase_pairs
+
+    li = spark.createDataFrame(
+        # order 1 holds part 5 twice + part 7 once; order 2 repeats
+        # the (8, 9) pair that also co-occurs in order 3
+        [(1, 5), (1, 5), (1, 7), (2, 8), (2, 9), (3, 8), (3, 9)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    gated = {(r["u"], r["v"]) for r in _copurchase_pairs(li, support=2).collect()}
+    assert gated == {(8, 9)}  # (5, 7) saw only one order
+    ungated = {(r["u"], r["v"]) for r in _copurchase_pairs(li).collect()}
+    assert ungated == {(5, 7), (8, 9)}

@@ -137,9 +137,10 @@ def x113_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Honest cost note (measured round 12): orientation bounds the WORST
     key, but total wedge work is Σ outdeg² — on this fixture's DENSE
     co-purchase projection (uniform part choice ⇒ avg degree ~120 at
-    sf0.1) that is ~72M wedges ⇒ 8.9 s warm at sf0.1 (19.7 s before
-    the review-pass fix that materializes ``tris`` once — the wedge
-    join used to re-execute for every consumer), so the full count is
+    sf0.1) that is ~72M wedges ⇒ 8.9 s at sf0.1 (fresh-session harness;
+    ~20-22 s on the same harness before the review-pass fix that
+    materializes ``tris`` once — the wedge join used to re-execute
+    for every consumer), so the full count is
     correctness-tier at bench scale and the benched/sf1 plan is the
     order-sampled x113s (the x02/x60 policy). Real co-purchase graphs
     are support-thresholded first — that production shape is x115,
@@ -204,7 +205,9 @@ def triangle_report(pairs: DataFrame) -> DataFrame:
     19.7 to 8.9 s warm at sf0.1 (the wedge join now executes once,
     not once per consumer) and x113s from 3.2 to 2.8 s; per-corner
     attribution is a single explode pass over the materialized
-    triangles instead of three unions."""
+    triangles instead of three unions. (Fresh-session harness both
+    sides; the official warm bench reads lower absolute numbers —
+    BENCH_local.json is the comparable trail.)"""
     pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("u").alias("node"))

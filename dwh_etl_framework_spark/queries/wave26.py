@@ -466,3 +466,51 @@ def x115_support_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tri_cnt").desc(), F.col("part_id").asc())
         .limit(X113_TOPK)
     )
+
+
+def kcore_fixpoint(
+    spark: SparkSession, pairs: DataFrame, k: int, max_rounds: int = 64
+):
+    """Peel to convergence: the true k-core (Batagelj-Zaversnik) as the
+    fixpoint of x114's bounded rounds. Returns ``(survivors, rounds)``
+    where ``survivors`` is the node frame of the k-core and ``rounds``
+    is how many peels ran before a round removed nothing.
+
+    Driver control flow is ONE SCALAR per round (the survivor count —
+    the x77 iterative precedent); each round's frame is
+    localCheckpointed so lineage stays flat however long the cascade
+    runs. ``max_rounds`` is a runaway guard: a graph's peel depth is
+    bounded by its node count, so hitting the guard means the guard is
+    too small, and the function fails loud rather than returning a
+    non-converged set as if it were the core."""
+    pairs = pairs.localCheckpoint(eager=False)
+    survivors = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = survivors.count()
+    for rnd in range(1, max_rounds + 1):
+        su = survivors.select(F.col("node").alias("u"))
+        sv = survivors.select(F.col("node").alias("v"))
+        alive = pairs.join(su, "u", "left_semi").join(sv, "v", "left_semi")
+        nxt = (
+            alive.select(F.col("u").alias("node"))
+            .unionAll(alive.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        n_now = nxt.count()
+        if n_now == n_prev:
+            return survivors, rnd - 1
+        survivors, n_prev = nxt, n_now
+        if n_now == 0:
+            return survivors, rnd
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_rounds} rounds — "
+        "raise max_rounds (peel depth is bounded by the node count)"
+    )

@@ -125,3 +125,36 @@ def test_x115_within_basket_repeat_does_not_self_certify(spark):
     assert gated == {(8, 9)}  # (5, 7) saw only one order
     ungated = {(r["u"], r["v"]) for r in _copurchase_pairs(li).collect()}
     assert ungated == {(5, 7), (8, 9)}
+
+
+def test_kcore_fixpoint_agrees_with_bounded_trace(spark):
+    """The fixpoint certifies x114's bounded-round semantics: once the
+    bounded trace goes quiet, its remaining count IS the true core."""
+    from pyspark.sql import functions as F
+    from dwh_etl_framework_spark.queries.registry import fixtures
+    from dwh_etl_framework_spark.queries.wave26 import (
+        X114_K,
+        _copurchase_pairs,
+        kcore_fixpoint,
+        kcore_profile,
+    )
+
+    t = fixtures(spark, SF_DIR)
+    pairs = _copurchase_pairs(t.lineitem.select("l_orderkey", "l_partkey"))
+    core, rounds = kcore_fixpoint(spark, pairs, X114_K)
+    trace = kcore_profile(spark, pairs, X114_K, max(rounds, 1) + 1).collect()
+    assert trace[-1]["n_remaining"] == core.count()
+    assert trace[-1]["n_removed"] == 0  # the trace had gone quiet
+
+
+def test_kcore_fixpoint_known_graphs(spark):
+    from dwh_etl_framework_spark.queries.wave26 import kcore_fixpoint
+
+    clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+    path = [(6, 7), (7, 8), (8, 9)]
+    core, rounds = kcore_fixpoint(spark, _pairs(spark, clique + path), 3)
+    assert sorted(r["node"] for r in core.collect()) == [1, 2, 3, 4, 5, 6]
+    assert rounds == 1  # one peel removes the path, the next is quiet
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    core2, rounds2 = kcore_fixpoint(spark, _pairs(spark, star), 2)
+    assert core2.count() == 0 and rounds2 == 2  # leaves, then the hub

@@ -293,67 +293,21 @@ DRIVER_WINDOW: list[str] = [
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
     "x20_dedup_clusters",
-    # round-12 rotation (VERDICT r11 "What's missing" #1): the sixteen
-    # round-11 oracled entrants earn driver rows — the nine completing
-    # TPC-H shapes (r40 Q3, r41 Q7, r42 Q9, r43 Q10, r44 Q12, r45 Q14,
-    # r46 Q18, r47 Q19, r48 Q22), the round-11 engine-surface probes
-    # (r49 VARIANT, r50/r52 collations on filter+DISTINCT and JOIN key,
-    # r51 polymorphic-analyze UDTF — now Arrow-batched), the x107 Luhn
-    # checksum PII tier, the x108 k-center coreset, and f38, the
-    # metadata-served join decision closing the sketch-at-sink loop.
-    # Exits, each with 2-5 driver-green CORRECTNESS rows per the
-    # WINDOW_EVER protocol: x93 (5 rows; drift evidence stays via its
-    # local oracle + the x65/x89/x91 family oracles every pytest run),
-    # x94/x97 (4+3; lossless-dedup evidence stays via the in-window
-    # critical x01/x03b + the x94s/x97s sf1 twins + local oracles),
-    # x95/x98 (4+3; sampler evidence stays via local oracles + property
-    # tests), x96/x102 (4+3; text-mining evidence stays via the
-    # in-window x69 BM25 + local oracles), x99/x99b (3+3; edit-join
-    # evidence stays via local oracles + the x99s sf1 twin), x100 (3;
-    # RRF stays via local oracle), x101 (3; entity-resolution evidence
-    # stays via local oracle + streaming-twin chaos sweeps), and five
-    # TPC-H-shape veterans displaced by the nine fresh shapes — r16b,
-    # r35, r36, r37, r38 (2 rows each; every shape keeps its local
-    # oracle + PARITY rows, and r39 — the deepest decorrelation — stays
-    # in-window).
+    # round-12 entrants STAYING for a second driver row (WINDOW_EVER
+    # precedent: exits carry 2+ rows where slots allow): six TPC-H
+    # shapes, the UDTF/collation/PII/coreset/metadata probes, the
+    # round-12b backlog batch and the SQL-UDF/scripting probes.
     "r40_shipping_priority",
     "r41_volume_shipping",
     "r42_product_profit",
-    "r43_returned_items",
-    "r44_priority_by_class",
-    "r45_promo_share",
     "r46_large_volume_orders",
     "r47_disjunctive_bands",
     "r48_inactive_big_balance",
-    "r49_variant_json",
-    "r50_collated_segments",
     "r51_udtf_polymorphic_split",
     "r52_collated_join",
     "x107_pii_luhn_redaction",
     "x108_kcenter_coreset",
     "f38_metadata_join_decision",
-    # round-12b rotation (VERDICT r11 item 3): first batch of the
-    # never-windowed backlog — the schedule for the remainder is the
-    # machine-checked ROTATION_QUEUE below. Entrants, all hash-green in
-    # PARITY_r12: x07 lang-ID, x10 document fingerprint, the
-    # funnel/cohort event-analytics family (x21 funnel, x22 cohort
-    # retention, x25 Markov transitions), x79 blocked fuzzy name match,
-    # and the round-12 engine-surface probes r53 (SQL UDF, scalar +
-    # table-valued) and r54 (SQL-scripting session variable). Exits,
-    # each with 2 driver-green rows (r10+r11) per the WINDOW_EVER
-    # protocol, each with an in-window sibling carrying the operator
-    # family: f35 (change-feed-from-intervals ≡ the staying f34), x103
-    # (CMS join-size estimate feeds the staying x105 decision + f38
-    # metadata decision), x106 (PII scrub evidence stays via the
-    # strictly-harder x107 Luhn tier), r39 (decorrelation stress stays
-    # via r15c Q21 + r46 Q18 + r48 Q22), x104 (blocking-audit evidence
-    # TRANSFERS to the entering x79 blocked-match + the in-window x03b
-    # banding), f31 (privacy-gate evidence stays via the in-window f36
-    # erasure + local oracle), f33 (PIT-join evidence stays via the
-    # in-window f23 SCD2 intervals + f32 time travel), f37 (Python
-    # DataSource evidence stays via its local oracle + the dedicated
-    # test_pysource suite + cursor-stream chaos tests). All exits keep
-    # local oracles and remain in PARITY_r{NN} every round.
     "x07_lang_id",
     "x10_fingerprint",
     "x21_funnel",
@@ -362,128 +316,71 @@ DRIVER_WINDOW: list[str] = [
     "x79_blocked_name_match",
     "r53_sql_udf",
     "r54_scripted_threshold",
-    # round-11 rotation (VERDICT r10 item 1): the ten distinct operators
-    # that had local parity (hash-green in PARITY_r10) but zero driver
-    # rows across ten rounds enter — f22 journal compaction, f23 SCD2
-    # intervals, f26 schema evolution, f27 bucketed zero-exchange join,
-    # x18 salted skew join, x24 range join, x69 BM25 ranked retrieval,
-    # x75 WAV audio decode, x76 RVID video frame-sampling, x80
-    # Misra-Gries heavy hitters. Exits, each with 4-10 driver-green
-    # CORRECTNESS rows per the WINDOW_EVER protocol: r27c (10 rows;
-    # Arrow-UDF evidence stays via local r27/r27b/r27d oracles every
-    # pytest run), r32 (7; watermark evidence stays via the in-window
-    # critical r30 + local oracle + streaming replay tests), r33b (7;
-    # interval-join evidence stays via r30 + test_stream_join), x06c
-    # (9; ANN evidence stays via the in-window critical x05 + local
-    # oracle + IVF recall tests), x11 (9; multimodal evidence TRANSFERS
-    # to the entering x75/x76 real-decode rows + x11's local oracle),
-    # r20c (5; lateral-top-k evidence stays via local oracle + the
-    # in-window x95 tournament), x81 (5; semantic-dedup evidence stays
-    # via the in-window critical x20 clusters + x01/x03b + local
-    # oracle), f29 (5; planner evidence transfers to the entering f22
-    # compaction + local oracle), f30 (4; checksum evidence stays via
-    # local oracle + reconciliation tests), x91 (4; profiling evidence
-    # stays via the in-window x93 changepoint + local oracle).
-    "f22_journal_compaction",
-    "f23_scd2_intervals",
-    "f26_schema_evolution",
-    "f27_bucketed_join",
-    "x18_salted_join",
-    "x24_range_join",
-    "x69_bm25_topk",
-    "x75_audio_decode",
-    "x76_video_framesample",
-    "x80_heavy_hitters",
-    # round-10c rotation: the five round-10 closing entrants enter with
-    # dual-SF hash evidence (PARITY_r10 + PARITY_sf1) — r16b (Q17-shaped
-    # correlated scalar aggregate), r34 (recursive-CTE hierarchy rollup,
-    # new engine surface this Spark build supports), f35 (change feed
-    # served from materialized SCD2 intervals, ≡ f34), f36 (right-to-
-    # erasure journal rewrite), f37 (Python DataSource partitioned
-    # engine scan). Exits, each with 4 driver-green rows r06-r09:
-    # x42 (PQ evidence stays via the in-window x81 SemDeDup codebook
-    # path + x05/x06c vector tier + local oracle and sf1 twin),
-    # r14b (multi-table join stress stays via in-window r15c Q21 +
-    # entering r16b Q17 + the r16 flagship), f28 (layout-planning
-    # evidence stays via in-window f29 backfill planner + local oracle),
-    # x85 (packing evidence stays via in-window x95 quota + x83 DSIR +
-    # local oracle), x87 (span/boilerplate evidence stays via in-window
-    # x96 boilerplate n-grams + x102 phrase search + local oracle).
-    "r34_recursive_rollup",
-    "f36_right_to_erasure",
-    # round-10d rotation: the four late-session entrants, all hash-green
-    # at sf0.001/0.01/0.1 AND sf1 (PARITY_r10 + PARITY_sf1) — r35
-    # (Q2-shaped correlated MIN over a join tree), r36 (Q15-shaped
-    # max-of-aggregate), r37 (Q13-shaped outer-join double aggregation),
-    # x106 (PII detect+redact, the LLM-pipeline scrub pass). Exits, each
-    # with 4 driver-green rows r06-r09: x83 (sampling/mixing evidence
-    # stays via in-window x95 quota + x98 weighted + local oracle), x84
-    # (sketch evidence stays via in-window x103 join-size + x88
-    # quantiles + the portable-HLL local oracle), x77 (graph evidence
-    # stays via in-window x101 connected-components/golden-record +
-    # per-iteration checkpoint tests), x74 (multimodal evidence stays
-    # via in-window x11 binary columns + x74's local decode-roundtrip
-    # oracle and tests).
-    # round-10e: r38 (Q8-shaped conditional-aggregate market share —
-    # the exact-cents ratio discipline) replaces x88 (4 driver-green
-    # rows r06-r09; quantile/sketch evidence stays via the in-window
-    # x103 join-size sketch + x88's local oracle and refinement tests).
-    # round-10f: r39 (Q20-shaped THREE-level nested correlated subquery
-    # — grouped scalar inside a correlated HAVING inside an IN; the
-    # deepest decorrelation path in the registry) replaces x89 (3
-    # driver-green rows r07-r09; drift evidence stays via the in-window
-    # x93 changepoint + x89's local oracle).
-    # round-10 rotation (VERDICT r9 item 1): the six dual-SF-green round-9
-    # closing entrants enter — the completed journal/temporal family
-    # (f31 k-anonymity gate, f32 time travel, f33 point-in-time SCD2
-    # join, f34 change data feed — the reference's stubbed delta extract
-    # answered, airflow_etl.py:452-463) and the planner-statistics tier
-    # (x103 CMS join-size estimate, x104 sorted-neighborhood blocking
-    # audit). Exits, each with 4-8 driver-green CORRECTNESS rows per the
-    # WINDOW_EVER protocol: x50 (incremental-dedup evidence stays via
-    # the in-window x01 exact + x03b banding + x94/x97 lossless tiers +
-    # stream-twin tests), x57 (kNN-graph evidence stays via the
-    # in-window x77 PageRank over the same graph + x06c), x65 (drift
-    # evidence stays via the in-window x89 timeline + x93 changepoint),
-    # x66 (overlap/leakage evidence stays via the in-window x94/x97
-    # lossless tiers + local oracle + x66s sf1 twin), x86 (CMS evidence
-    # stays via the ENTERING x103 — the same sketch driving a planner
-    # decision — + x84/x88 sketch family), x06d (embedding-near-dup
-    # evidence stays via the in-window x81 SemDeDup + x06c IVF + x05).
-    # All exits keep local oracles + PARITY_r{NN} rows.
-    "f32_time_travel_read",
-    "f34_change_feed",
-    # round-10b rotation: r15c (Q21-shaped double-correlated-subquery
-    # stress — Catalyst decorrelation certified against DuckDB by ONE
-    # driver hash; VERDICT r9 #5) replaces f24 (4 driver-green rows
-    # r06-r09; incremental-maintenance evidence stays via the in-window
-    # f34 change feed — the same journal-incremental family — plus
-    # f24's local oracle + tests/test_aggmaint.py); x105 (the planner
-    # decision table the x103 statistic now drives; VERDICT r9 #2)
-    # replaces x68 (4 driver-green rows r06-r09; consistency-audit
-    # evidence stays via the in-window x91 column profile + the x05/
-    # x06c vector tier + x68's local oracle and x68s sf1 twin).
-    "r15c_sole_blame_supplier",
-    "x105_join_strategy_decision",
-    # round-9c entrants: lossless edit-distance join (x51 exits with
-    # CORRECTNESS_r07/r08 rows; collocation evidence stays via x96 +
-    # local oracle), BM25 ranked retrieval (x52 exits with r07/r08 rows;
-    # canonical-selection evidence stays via x81/x20 + local oracle)
-    # round-9d entrant: distinct-first fuzzy value matching (r31 exits
-    # with CORRECTNESS_r04-r08 rows; sliding-window evidence stays via
-    # the in-window r30/r32/r33b streaming tier + local oracle)
-    # round-9e entrant: entity resolution + golden record (x04b exits
-    # with CORRECTNESS_r02-r08 rows; near-dup discovery evidence stays
-    # via the in-window x03b/x94/x97 + x04b's local oracle)
-    # round-9b entrant: deterministic weighted sampling (f06 exits with
-    # CORRECTNESS_r07/r08 rows; roundtrip evidence stays via f04/f05)
-    # round-8 entrants: lossless prefix-filter join, exact-quota
-    # tournament sample, boilerplate mining
-    # round-9 entrant: composed cascade recall audit (discovery certified
-    # by the lossless prefix-filter tier)
-    # round-9f entrant: positional phrase search (x82 exits with
-    # CORRECTNESS_r06-r08 rows; layout evidence stays via f28/f29 +
-    # x82's local oracle and zone-map tests)
+    # round-13 rotation (VERDICT r12 item 1): drain the machine-checked
+    # ROTATION_QUEUE round-13 batch — the 21 round-12 closing-wave and
+    # backlog entrants, all hash-green in PARITY_r12 and 15 of them
+    # independently re-verified by the judge
+    # (PARITY_judge_sample_r12.json). Entrants: the text-quality backlog
+    # (x08 quality score, x09 token count, x23 quality report, x27
+    # vocabulary), warehouse utilities (x26 date dimension, x70 robust
+    # scaling, x71 key-skew profile, x78 event anomaly), the
+    # statistics-ordered join tier (x109 3-table System-R DP, x110
+    # 4-table interval DP, f39/f40 the chosen orders EXECUTED as config
+    # steps), the round-12 engine surfaces (r55 pipe syntax, r56 native
+    # parameterized SQL + GROUP BY ALL, r57 IDENTIFIER clause, f42
+    # statestore reader, f43 declarative-pipeline lowering), the
+    # repeated-span removal rewrite (x112), and the graph tier (x113
+    # exact triangles, x114 k-core profile, x115 support-thresholded
+    # triangles).
+    #
+    # Exits, each with 1-3 driver-green rows plus staying family
+    # evidence (every exit keeps its DuckDB oracle, exercised by
+    # tests/test_oracle_parity.py and PARITY_r{NN} every round):
+    #   2-3-row exits: f22 compaction (journal protocol stays via the
+    #   critical f19/f20/f21), f23 SCD2 intervals + f32 time travel +
+    #   f34 change feed (temporal family: local oracles + streaming SCD2
+    #   chaos sweeps; the journal trio stays in-window), f26 schema
+    #   evolution, f27 bucketed join + x18 salted join + x24 range join
+    #   (join-shape family stays via r41/r42 + the ENTERING f39/f40
+    #   executed-order steps), x69 BM25 (text family stays via in-window
+    #   x07/x10 + entering x08/x09/x23/x27), x75/x76 multimodal decode
+    #   (local oracles + tests/test_ship_package.py runs the x75 shape
+    #   from a hostile cwd every pytest run), x80 heavy hitters (sketch
+    #   family stays via in-window f38 + entering x109/x110), r34
+    #   recursive rollup (bounded-round CTE evidence transfers to the
+    #   entering x114 k-core profile), f36 erasure (privacy family stays
+    #   via in-window x107), r15c Q21 (decorrelation stress stays via
+    #   in-window r46 Q18 + r48 Q22), x105 join-strategy decision
+    #   (superseded by the entering x109/x110/f39/f40 — the same
+    #   metadata tier deciding ORDER, strictly harder — plus in-window
+    #   f38).
+    #   1-row exits (round-12 entrants whose shape families stay dense
+    #   in-window): r43 Q10 + r44 Q12 + r45 Q14 (six TPC-H shapes stay:
+    #   r40/r41/r42/r46/r47/r48), r49 VARIANT (the stored-variant twin
+    #   r49b is queued for round 14 and returns the surface to the
+    #   window; local oracle + A/B bench stay), r50 collated DISTINCT
+    #   (sibling r52 collated JOIN stays in-window).
+    "x08_quality_score",
+    "x09_token_count",
+    "x23_quality_report",
+    "x26_date_dimension",
+    "x27_vocabulary",
+    "x70_robust_scale",
+    "x71_key_skew_profile",
+    "x78_event_anomaly",
+    "x109_join_order_dp",
+    "x110_chain_order_dp",
+    "f39_ordered_chain_report",
+    "f40_chain4_report",
+    "r55_pipe_priority_report",
+    "r56_param_sql_report",
+    "r57_identifier_report",
+    "f42_statestore_read",
+    "f43_declarative_pipeline",
+    "x112_span_dedup_rewrite",
+    "x113_triangle_count",
+    "x114_kcore_profile",
+    "x115_support_triangles",
 ]
 
 
@@ -695,6 +592,36 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x79_blocked_name_match",
     "r53_sql_udf",
     "r54_scripted_threshold",
+    # x67 exited the window in round 7 with a CORRECTNESS_r06 row; its
+    # name was dropped from this ledger by mistake and the rotation
+    # checker only passed via the driver_ran fallback (VERDICT r12
+    # "What's wrong" #2). Restored — and check_window_ever_complete now
+    # asserts every name in any CORRECTNESS artifact is listed here, so
+    # the ledger is self-checking instead of fallback-rescued.
+    "x67_cross_source_dups",
+    # round-13 entrants (ROTATION_QUEUE round-13 batch, VERDICT r12
+    # item 1)
+    "x08_quality_score",
+    "x09_token_count",
+    "x23_quality_report",
+    "x26_date_dimension",
+    "x27_vocabulary",
+    "x70_robust_scale",
+    "x71_key_skew_profile",
+    "x78_event_anomaly",
+    "x109_join_order_dp",
+    "x110_chain_order_dp",
+    "f39_ordered_chain_report",
+    "f40_chain4_report",
+    "r55_pipe_priority_report",
+    "r56_param_sql_report",
+    "r57_identifier_report",
+    "f42_statestore_read",
+    "f43_declarative_pipeline",
+    "x112_span_dedup_rewrite",
+    "x113_triangle_count",
+    "x114_kcore_profile",
+    "x115_support_triangles",
 ])
 
 #: Rotation schedule for the never-windowed backlog (VERDICT r11 item 3).
@@ -706,19 +633,8 @@ WINDOW_EVER: frozenset[str] = frozenset([
 #: driver evidence. Drain order: earlier-round batches first; within a
 #: batch, distinct user-facing operators before b/c/d variants.
 ROTATION_QUEUE: dict[str, int] = {
-    # round-13 batch: remaining distinct user-facing operators
-    "x08_quality_score": 13,
-    "x09_token_count": 13,
-    "x23_quality_report": 13,
-    "x26_date_dimension": 13,
-    "x27_vocabulary": 13,
-    "x70_robust_scale": 13,
-    "x71_key_skew_profile": 13,
-    "x78_event_anomaly": 13,
-    "x109_join_order_dp": 13,
-    "f39_ordered_chain_report": 13,
-    "x110_chain_order_dp": 13,
-    "f40_chain4_report": 13,
+    # (round-13 batch DRAINED in round 13 — all 21 entries entered
+    # DRIVER_WINDOW; see the round-13 rotation block above.)
     # round-14 batch: relational variants whose operator families are
     # in-window via canonical siblings (kept oracled + PARITY every round)
     "x73_epoch_shuffle": 14,
@@ -733,22 +649,6 @@ ROTATION_QUEUE: dict[str, int] = {
     # the older backlog per the WINDOW_EVER protocol
     "f41_zonemap_pruned_scan": 14,
     "x111_zorder_pruning_gain": 14,
-    # round-12 closing wave (wave24): new engine surfaces (pipe syntax,
-    # native parameterized SQL, statestore reader) and the span-rewrite
-    # pass — distinct user-facing operators, so they join the round-13
-    # batch ahead of the round-14 variants
-    "r55_pipe_priority_report": 13,
-    "r56_param_sql_report": 13,
-    "f42_statestore_read": 13,
-    "x112_span_dedup_rewrite": 13,
-    # round-12 declarative-pipelines lowering (wave25)
-    "f43_declarative_pipeline": 13,
-    # round-12 graph-analytics depth (wave26)
-    "x113_triangle_count": 13,
-    "x114_kcore_profile": 13,
-    "x115_support_triangles": 13,
-    # round-12 late probe: IDENTIFIER clause + parameterized object names
-    "r57_identifier_report": 13,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -260,6 +260,29 @@ def check_rotation_queue() -> list[str]:
     return problems
 
 
+def check_window_ever_complete() -> list[str]:
+    """WINDOW_EVER must mean what its docstring says (VERDICT r12 "what's
+    wrong" #2: x67 had a CORRECTNESS_r06 row but was missing from the
+    ledger, and check_rotation_queue only passed via its driver_ran
+    fallback): every query name appearing in ANY CORRECTNESS_r*.json
+    artifact must be listed in WINDOW_EVER — the ledger is self-checking,
+    not fallback-rescued."""
+    import json
+
+    problems = []
+    repo = Path(__file__).resolve().parent.parent
+    driver_ran: set[str] = set()
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        driver_ran |= set(json.loads(artifact.read_text()))
+    unledgered = sorted(driver_ran - WINDOW_EVER)
+    if unledgered:
+        problems.append(
+            "queries with CORRECTNESS_r* driver rows missing from the "
+            f"WINDOW_EVER ledger: {unledgered} — append them"
+        )
+    return problems
+
+
 def main() -> int:
     text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     mentioned = set(re.findall(r"`([frx]\d{2}[a-z0-9_]*)`", text))
@@ -287,6 +310,7 @@ def main() -> int:
         check_driver_window()
         + check_post_window_evidence()
         + check_window_exit_evidence()
+        + check_window_ever_complete()
         + check_rotation_queue()
         + check_parity_artifact_fresh()
         + check_sf1_sweep_evidence()

@@ -23,19 +23,53 @@ tier — but discovers edges at runtime):
   progress raises with every pending output's error — a cycle cannot
   spin, and a reference to a table OUTSIDE the graph fails immediately
   (it could never succeed later).
+- Dependency edges may also be declared STATICALLY via the optional
+  ``depends_on={"consumer": ["upstream", ...]}`` argument: hinted
+  outputs are Kahn-ordered before the first pass, so a fully-hinted
+  N-deep chain plans in ONE pass (no O(N²) retry attempts). Hints are
+  advisory ordering only — retry discovery remains the fallback, and
+  the materialized results are identical with or without them.
+- Before the run loop the output NAMESPACE is validated: a registered
+  output name that already resolves to a PERSISTENT catalog table
+  raises (a consumer flow would silently read the pre-existing table
+  on its first pass instead of deferring); a pre-existing TEMP VIEW
+  with that name is dropped up front (the graph replaces it anyway —
+  dropping converts the stale-read hazard into a correct deferral).
 - ``MaterializedView`` → compute once, land as parquet under
   ``storage/<name>`` (``partition_cols`` honored), register the
   READ-BACK as the view — downstream flows scan the landing, not the
-  plan, exactly like the checkpoint-cache step (F9).
-- ``TemporaryView`` → logical ``createOrReplaceTempView`` (no storage).
+  plan, exactly like the checkpoint-cache step (F9). MV and
+  streaming-table read-back views stay registered in the session after
+  the run (they name real landings — the local analogue of publishing
+  to the catalog).
+- ``TemporaryView`` → logical ``createOrReplaceTempView`` (no
+  storage), visible to downstream flows DURING the run and dropped in
+  a ``finally`` when the run ends (upstream: a temporary view "is not
+  visible outside of the graph"); the returned DataFrame stays valid —
+  it holds the analyzed plan, not the name.
 - ``StreamingTable`` → every ``@append_flow`` targeting it runs as an
   availableNow streaming write (parquet, append) with its OWN
   checkpoint under ``storage/_checkpoints/<table>/<flow>`` — re-running
   the pipeline over an unchanged source appends NOTHING (exactly-once
   per checkpoint), which is the incremental-refresh semantics a
-  Connect runner provides.
+  Connect runner provides. A ``@sdp.table`` whose query function
+  returns a BATCH DataFrame (upstream: a full-refresh table — the
+  decorator registers a StreamingTable plus a flow named like the
+  target) is materialized as an OVERWRITE landing, recomputed on every
+  run; a batch DataFrame from an ``@append_flow`` (a differently-named
+  flow) is still a TypeError — appending a batch result to a
+  checkpointed streaming landing has no exactly-once story.
 - Flow-level ``spark_conf`` is set for the duration of the flow's
-  compute+write and restored after, win or lose.
+  compute+write and restored after, win or lose. Scope caveat for
+  ``@sdp.temporary_view``: a temp view is logical, so only the flow's
+  PLAN CONSTRUCTION runs under the conf — analysis-time semantics
+  (e.g. ``spark.sql.ansi.enabled`` baking evalMode into expressions)
+  stick in the stored plan, but confs read at EXECUTION time (shuffle
+  partitions, codegen flags) are long restored by the time a
+  downstream flow's action runs. MV/streaming-table/sink flows execute
+  their write in-scope, so both kinds apply there.
+  (``tests/test_declarative.py::test_temp_view_conf_scope_is_plan_time``
+  pins this contract.)
 
 ``Sink`` outputs support parquet, noop, and jdbc (the F15 sink via
 ``foreachBatch`` — checkpointed batch ids make unchanged-source re-runs
@@ -45,7 +79,8 @@ documented at-least-once edge of ``foreachBatch``).
 Deliberately out of scope (fail loud, never silently skip):
 ``register_sql`` (SQL-file graph elements — author SQL steps through
 ``plans.steps`` instead), ``Sink`` formats beyond those three, and
-batch flows targeting streaming tables.
+batch ``@append_flow``s targeting streaming tables (``@sdp.table``
+with a batch query function IS supported — full refresh, see above).
 """
 
 from __future__ import annotations
@@ -146,17 +181,44 @@ class _FlowConf:
                 self._spark.conf.set(k, old)
 
 
+def _kahn_order(names: list[str], edges: dict[str, list[str]]) -> list[str]:
+    """Topological order of ``names`` under hinted upstream ``edges``
+    (consumer → upstreams); unhinted names keep declaration order.
+    Raises on a cycle among the hints — retry could never untangle it."""
+    remaining = dict.fromkeys(names)
+    ordered: list[str] = []
+    while remaining:
+        ready = [
+            n for n in remaining
+            if all(u not in remaining for u in edges.get(n, []))
+        ]
+        if not ready:
+            raise ValueError(
+                f"depends_on hints form a cycle among: {sorted(remaining)}"
+            )
+        for n in ready:
+            ordered.append(n)
+            del remaining[n]
+    return ordered
+
+
 def run_local_pipeline(
     spark: SparkSession,
     registry: LocalGraphRegistry,
     storage_dir: str,
+    depends_on: dict[str, list[str]] | None = None,
+    stats: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize every output of an SDP graph on the classic session.
 
     Returns {dataset name → read-back DataFrame} for every non-sink
     output. See the module docstring for ordering/semantics; raises on
-    cycles, out-of-graph references, unsupported sinks, and streaming
-    tables fed by batch flows.
+    cycles, out-of-graph references, unsupported sinks, streaming
+    tables fed by batch ``@append_flow``s, and output names shadowed by
+    pre-existing persistent tables. ``depends_on`` statically hints
+    consumer→upstream edges (one-pass planning on deep chains);
+    ``stats``, if given, is filled with ``{"passes": …, "attempts": …}``
+    so tests can assert the planning cost.
     """
     flows_by_target: dict[str, list[Flow]] = {}
     for f in registry.flows:
@@ -185,28 +247,62 @@ def run_local_pipeline(
                 f"dataset {name!r} needs exactly one defining flow, has {n}"
             )
 
-    state = _RunState()
-    pending = list(registry.outputs)
-    while pending:
-        progressed = False
-        still: list[str] = []
-        for name in pending:
-            try:
-                state.materialized[name] = _materialize(
-                    spark, registry, registry.outputs[name],
-                    flows_by_target.get(name, []), storage_dir, state,
-                )
-                state.errors.pop(name, None)
-                progressed = True
-            except _Defer as d:
-                state.errors[name] = str(d)
-                still.append(name)
-        pending = still
-        if pending and not progressed:
-            detail = "; ".join(f"{n}: {state.errors[n]}" for n in pending)
-            raise RuntimeError(
-                f"pipeline cannot make progress (cycle?): {detail}"
+    for name, ups in (depends_on or {}).items():
+        ghosts = [u for u in [name, *ups] if u not in registry.outputs]
+        if ghosts:
+            raise ValueError(
+                f"depends_on names not in the graph: {sorted(set(ghosts))}"
             )
+
+    # Namespace guard (the retry loop defers ONLY on unresolved names,
+    # so a graph output shadowed by a pre-existing relation would be
+    # read stale on the first pass with no error — see module docstring).
+    for name in registry.outputs:
+        if isinstance(registry.outputs[name], Sink):
+            continue  # sinks are write-only; nothing reads them by name
+        spark.catalog.dropTempView(name)  # no-op unless a temp view exists
+        if spark.catalog.tableExists(name):
+            raise ValueError(
+                f"graph output {name!r} shadows a pre-existing catalog "
+                "table — a consumer flow would silently read it instead "
+                "of deferring; rename the output or drop the table"
+            )
+
+    state = _RunState()
+    pending = _kahn_order(list(registry.outputs), depends_on or {})
+    passes = attempts = 0
+    try:
+        while pending:
+            passes += 1
+            progressed = False
+            still: list[str] = []
+            for name in pending:
+                attempts += 1
+                try:
+                    state.materialized[name] = _materialize(
+                        spark, registry, registry.outputs[name],
+                        flows_by_target.get(name, []), storage_dir, state,
+                    )
+                    state.errors.pop(name, None)
+                    progressed = True
+                except _Defer as d:
+                    state.errors[name] = str(d)
+                    still.append(name)
+            pending = still
+            if pending and not progressed:
+                detail = "; ".join(f"{n}: {state.errors[n]}" for n in pending)
+                raise RuntimeError(
+                    f"pipeline cannot make progress (cycle?): {detail}"
+                )
+    finally:
+        # graph-internal names do not outlive the run (upstream: a
+        # TemporaryView "is not visible outside of the graph"); the
+        # returned DataFrames hold analyzed plans, not the names
+        for name, out in registry.outputs.items():
+            if isinstance(out, TemporaryView) and name in state.materialized:
+                spark.catalog.dropTempView(name)
+        if stats is not None:
+            stats["passes"], stats["attempts"] = passes, attempts
     return {
         n: df for n, df in state.materialized.items() if df is not None
     }
@@ -238,12 +334,41 @@ def _materialize(
             with _FlowConf(spark, flow.spark_conf):
                 df = flow.func()
                 df.createOrReplaceTempView(out.name)
-                return spark.table(out.name)
+                # return the analyzed plan, NOT spark.table(name): the
+                # view is graph-internal and dropped when the run ends
+                return df
         except _Defer:
             raise
         except Exception as exc:
             _defer_or_raise(exc, registry, state)
     elif isinstance(out, StreamingTable):
+        # @sdp.table with a batch query function: upstream full-refresh
+        # semantics — the decorator registers a StreamingTable plus a
+        # flow NAMED LIKE THE TARGET; recompute and overwrite on every
+        # run (no checkpoint — there is nothing incremental to track).
+        if len(flows) == 1 and flows[0].name == out.name:
+            flow = flows[0]
+            try:
+                with _FlowConf(spark, flow.spark_conf):
+                    df = flow.func()
+                    if not df.isStreaming:
+                        path = f"{storage_dir}/{out.name}/{flow.name}"
+                        writer = df.write.mode("overwrite").format(
+                            out.format or "parquet"
+                        )
+                        if out.partition_cols:
+                            writer = writer.partitionBy(*out.partition_cols)
+                        writer.save(path)
+                        got = spark.read.format(
+                            out.format or "parquet"
+                        ).load(path)
+                        got.createOrReplaceTempView(out.name)
+                        return spark.table(out.name)
+            except _Defer:
+                raise
+            except Exception as exc:
+                _defer_or_raise(exc, registry, state)
+            # streaming @sdp.table: fall through to the append path
         # one sink dir PER FLOW: a file-sink's _spark_metadata commit log
         # is per-path and batch-id-keyed, so two independent flows cannot
         # share one path (the second flow's log would collide with the
@@ -279,16 +404,27 @@ def _materialize(
             except Exception as exc:
                 _defer_or_raise(exc, registry, state)
         parts = []
+        jconf = spark.sparkContext._jsc.hadoopConfiguration()
         for flow in flows:
             path = f"{storage_dir}/{out.name}/{flow.name}"
-            try:
+            # a valid-but-empty source commits zero batches and never
+            # creates its sink dir — ONLY that case registers an EMPTY
+            # table (stream schema). Any other read failure (corrupt
+            # landing, IO/permission error) propagates: substituting
+            # empty data for a real error would silently produce wrong
+            # downstream results (ADVICE r12).
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+            if jpath.getFileSystem(jconf).exists(jpath):
+                # explicit stream schema: no inference, so a committed-
+                # but-empty landing (zero data files) reads as empty
+                # instead of failing UNABLE_TO_INFER_SCHEMA, while
+                # genuinely unreadable files still fail at execution
                 parts.append(
-                    spark.read.format(out.format or "parquet").load(path)
+                    spark.read.format(out.format or "parquet")
+                    .schema(flow_schemas[flow.name])
+                    .load(path)
                 )
-            except Exception:
-                # a valid-but-empty source commits zero batches and never
-                # creates its sink dir — a legitimate "no data yet" first
-                # run registers an EMPTY table (stream schema), not a crash
+            else:
                 parts.append(
                     spark.createDataFrame([], flow_schemas[flow.name])
                 )

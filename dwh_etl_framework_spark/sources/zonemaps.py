@@ -109,15 +109,21 @@ def _zonemap_rows(
     )
 
 
-def _current_zonemap(spark: SparkSession, path: str) -> list:
-    """Latest-generation row per fragment (collected — metadata-sized)."""
+def _current_zonemap(spark: SparkSession, path: str) -> tuple[list, int]:
+    """Latest-generation row per fragment (collected — metadata-sized).
+
+    Returns ``(resolved rows, raw row count)`` — the raw count is the
+    map's physical size including superseded generations, the number a
+    growth audit watches (``read_table_pruned`` reports it as
+    ``map_rows``; :func:`compact_table_zonemaps` shrinks it back to one
+    row per fragment)."""
     raw = spark.read.parquet(f"{path}/{ZONEMAP_DIR}").collect()
     best: dict[int, object] = {}
     for r in raw:
         k = int(r["fragment"])
         if k not in best or r["__gen"] > best[k]["__gen"]:
             best[k] = r
-    return [best[k] for k in sorted(best)]
+    return [best[k] for k in sorted(best)], len(raw)
 
 
 def _zonemap_pending(spark: SparkSession, path: str) -> list[str]:
@@ -172,7 +178,7 @@ def land_fragment_with_zonemap(
             f"crashed mid-span ({pending}) — re-run the fragment landing "
             "(or the bulk write_table_with_zonemaps) to republish."
         )
-    landed = _current_zonemap(spark, path)
+    landed, _ = _current_zonemap(spark, path)
     want = {f"{c}__{m}" for c in stats_cols for m in ("min", "max")}
     have = {
         c
@@ -228,6 +234,49 @@ def land_fragment_with_zonemap(
     return frag_id
 
 
+def compact_table_zonemaps(spark: SparkSession, path: str) -> dict:
+    """Rewrite the flat zone map to latest-generation rows only, with
+    ``__gen`` reset to 0 — the ``rebuild_table_sketches`` pattern.
+
+    Why this exists (the tier's own 100×-argument): incremental re-lands
+    APPEND a superseding ``__gen`` row per fragment and nothing else ever
+    removes superseded rows, so under daily re-lands the map grows by one
+    row per fragment per day and every pruning decision collects ALL
+    generations to the driver before resolving latest. Metadata-sized for
+    months, but a million-fragment table re-landed daily needs the map
+    rewritten periodically — watch ``read_table_pruned``'s ``map_rows``
+    vs ``fragments_total`` and compact when the ratio drifts.
+
+    Crash safety: refuses on a ``_pending_`` marker (a fragment re-land
+    is mid-span — its superseding row may not have landed yet). The
+    rewrite itself is collect (metadata-sized, same as every pruning
+    decision) → overwrite; a crash mid-overwrite leaves a missing or
+    partial map, which :func:`read_table_pruned`'s exact-coverage check
+    refuses LOUDLY — never a silently stale bound. Pruning decisions are
+    identical before and after (the resolved latest-per-fragment rows are
+    exactly what is rewritten); a post-compaction re-land continues at
+    ``__gen = 1``.
+
+    Returns ``{"rows_before": …, "rows_after": …}``."""
+    pending = _zonemap_pending(spark, path)
+    if pending:
+        raise IOError(
+            f"zone map at {path!r} has a pending fragment re-land "
+            f"({pending}) — finish or republish it before compacting."
+        )
+    map_path = f"{path}/{ZONEMAP_DIR}"
+    src = spark.read.parquet(map_path)
+    schema = src.schema
+    latest, rows_before = _current_zonemap(spark, path)
+    compacted = spark.createDataFrame(latest, schema).withColumn(
+        "__gen", F.lit(0).cast("bigint")
+    )
+    # one small file, written AFTER the read is fully materialized (the
+    # collect above) — never a lazy self-overwrite of the dir being read
+    compacted.coalesce(1).write.mode("overwrite").parquet(map_path)
+    return {"rows_before": rows_before, "rows_after": len(latest)}
+
+
 def _fs_fragments(spark: SparkSession, path: str, fragment_col: str) -> list[int]:
     """Fragment ids present as hive dirs in the data directory."""
     fs, p = _hadoop_fs(spark, path)
@@ -271,7 +320,7 @@ def read_table_pruned(
             "fragment's data. Re-run the fragment landing (or the bulk "
             "write_table_with_zonemaps) to republish."
         )
-    rows = _current_zonemap(spark, path)  # metadata-sized by design
+    rows, map_rows = _current_zonemap(spark, path)  # metadata-sized
     cols = rows[0].__fields__ if rows else []
     for c in intervals:
         if rows and f"{c}__min" not in cols:
@@ -298,7 +347,13 @@ def read_table_pruned(
         if ok:
             kept.append(int(r["fragment"]))
     kept.sort()
-    info = {"fragments_total": len(map_frags), "fragments_kept": len(kept)}
+    info = {
+        "fragments_total": len(map_frags),
+        "fragments_kept": len(kept),
+        # physical map size incl. superseded generations — the growth
+        # signal a maintenance job watches to schedule compaction
+        "map_rows": map_rows,
+    }
     if not kept:
         empty = spark.read.parquet(path).drop(fragment_col).limit(0)
         return empty, info

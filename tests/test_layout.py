@@ -250,3 +250,67 @@ def test_zorder_prunes_where_range_layout_cannot(spark, tmp_path):
     _, z_off = read_table_pruned(spark, zp, off)
     assert lin_off["fragments_kept"] == lin_off["fragments_total"]
     assert z_off["fragments_kept"] < z_off["fragments_total"]
+
+
+def test_zonemap_compaction_resets_map_to_one_row_per_fragment(
+    spark, tmp_path
+):
+    """VERDICT r12 item 2: N re-lands append N superseding rows; compact
+    rewrites the flat map to latest-gen only (rows == fragment count),
+    pruning decisions are IDENTICAL before/after, and a post-compaction
+    re-land continues cleanly from the reset generation."""
+    from dwh_etl_framework_spark.sources.zonemaps import (
+        compact_table_zonemaps,
+    )
+
+    df, path = _land_demo(spark, tmp_path)
+    n_frags = len(
+        spark.read.parquet(path).select("__fragment").distinct().collect()
+    )
+    # five re-lands of fragment 3 → five superseded generations in the map
+    for i in range(5):
+        replacement = spark.createDataFrame(
+            [(90_001 + j, 2_100, 100_000 + i) for j in range(5)],
+            "id BIGINT, a BIGINT, b BIGINT",
+        ).withColumn("__fragment", F.lit(3).cast("bigint"))
+        land_fragment_with_zonemap(replacement, path, ["a", "b"])
+    probes = [
+        {"b": (100_000, 100_010)},
+        {"a": (0, 2_000)},
+        {"a": (2_000, 2_200), "b": (0, 10_000)},
+    ]
+    before = [read_table_pruned(spark, path, p) for p in probes]
+    assert before[0][1]["map_rows"] == n_frags + 5  # growth is visible
+    stats = compact_table_zonemaps(spark, path)
+    assert stats == {"rows_before": n_frags + 5, "rows_after": n_frags}
+    after = [read_table_pruned(spark, path, p) for p in probes]
+    for (bdf, binfo), (adf, ainfo) in zip(before, after):
+        assert binfo["fragments_kept"] == ainfo["fragments_kept"]
+        assert binfo["fragments_total"] == ainfo["fragments_total"]
+        assert sorted(r["id"] for r in bdf.collect()) == sorted(
+            r["id"] for r in adf.collect()
+        )
+        assert ainfo["map_rows"] == n_frags  # one row per fragment again
+    # generation counter restarts: the next re-land appends gen 1 and wins
+    replacement = spark.createDataFrame(
+        [(95_001, 2_100, 500_000)], "id BIGINT, a BIGINT, b BIGINT"
+    ).withColumn("__fragment", F.lit(3).cast("bigint"))
+    land_fragment_with_zonemap(replacement, path, ["a", "b"])
+    pruned, info = read_table_pruned(spark, path, {"b": (500_000, 500_000)})
+    assert info["fragments_kept"] == 1
+    assert [r["id"] for r in pruned.collect()] == [95_001]
+
+
+def test_zonemap_compaction_refuses_pending_marker(spark, tmp_path):
+    from dwh_etl_framework_spark.sources.sinks import PENDING_PREFIX
+    from dwh_etl_framework_spark.sources.zonemaps import (
+        compact_table_zonemaps,
+    )
+
+    _, path = _land_demo(spark, tmp_path)
+    marker = tmp_path / "demo" / ZONEMAP_DIR / f"{PENDING_PREFIX}deadbeef"
+    marker.write_text("")
+    with pytest.raises(IOError, match="pending"):
+        compact_table_zonemaps(spark, path)
+    marker.unlink()
+    assert compact_table_zonemaps(spark, path)["rows_after"] > 0

@@ -16,12 +16,29 @@ reports per-query MEDIANS (sub-second deltas between rounds were shown
 in round 2 to be codegen/JIT jitter — medians make them adjudicable) and
 ``cold_queries`` keeps the first-pass timings so the per-plan codegen
 constant stays visible.
+
+Noise model (VERDICT r12 #3: with median-of-3, sub-second queries showed
+40-64% run-to-run spreads, so a real 1.3× regression was
+indistinguishable from machine noise): after the base rounds, any query
+cheaper than ``ADAPTIVE_CUTOFF_SEC`` whose median confidence interval is
+wider than ``TARGET_CI_PCT`` gets extra round-robin samples (up to
+``MAX_SAMPLES``) until the CI tightens. The reported statistic per query
+is ``median_ci_pct`` — the half-width of the ~95% notched-boxplot CI of
+the median, ``100 · 1.58 · IQR / √n / median`` over the WARM samples —
+which SHRINKS with more reps (unlike ``spread_pct``, the raw
+(max−min)/median range, which is kept for artifact continuity but grows
+with sample count by construction). Adjudication rule for round-over-
+round deltas: a delta is a regression signal only if it exceeds the
+query's ``median_ci_pct`` in BOTH rounds' artifacts; expensive queries
+(≥ the cutoff) keep median-of-3 — their per-run cost already dominates
+jitter.
 """
 
 from __future__ import annotations
 
 import gc
 import json
+import math
 import os
 import statistics
 import sys
@@ -193,6 +210,10 @@ HEADLINE = [
                                  # 3.6k at sf0.1), then the same
                                  # oriented count — full strength IS
                                  # the scale plan (r12)
+    "x116_cc_components",        # bounded-round label-propagation CC
+                                 # over the thresholded graph (r13;
+                                 # 6 join+min-combine rounds, O(edges)
+                                 # each — the iterative-loop trail)
 ]
 
 
@@ -295,6 +316,48 @@ def main() -> None:
             gc.collect()
         if name not in errors:
             timings[name] = round(warm_median(samples[name]), 4)
+    # Adaptive reps for cheap queries (see module docstring noise model):
+    # round-robin extra samples over the still-noisy sub-cutoff queries so
+    # their median CI tightens below TARGET_CI_PCT (or MAX_SAMPLES caps a
+    # genuinely unstable plan — visible via its recorded CI, never hidden).
+    # A GLOBAL budget bounds the pass's wall time: noisiest-first, so the
+    # queries whose medians are least adjudicable get the reps when the
+    # budget is tight (e.g. a small-SF run where everything is cheap).
+    extra_budget = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "400"))
+    for _ in range(4):  # bounded refinement passes
+        if extra_budget <= 0:
+            break
+        need = [
+            n for n, med in timings.items()
+            if n not in errors
+            and med < ADAPTIVE_CUTOFF_SEC
+            and len(samples[n]) < MAX_SAMPLES
+            and (median_ci_pct(samples[n]) or 100.0) > TARGET_CI_PCT
+        ]
+        if not need:
+            break
+        need.sort(
+            key=lambda n: -(median_ci_pct(samples[n]) or 100.0)
+        )
+        for _rep in range(4):
+            for name in need:
+                if (
+                    name in errors
+                    or len(samples[name]) >= MAX_SAMPLES
+                    or extra_budget <= 0
+                ):
+                    continue
+                extra_budget -= 1
+                try:
+                    samples[name].append(run(name))
+                except Exception as exc:  # noqa: BLE001 — same isolation
+                    first = (str(exc).splitlines() or [""])[0]
+                    errors[name] = f"{type(exc).__name__}: {first[:300]}"
+                gc.collect()
+        for name in need:
+            if name not in errors:
+                timings[name] = round(warm_median(samples[name]), 4)
+
     cold = {n: round(v[0], 4) for n, v in samples.items() if v}
 
     # Per-query spread over the warm samples (VERDICT r10 #4): the r10
@@ -323,6 +386,17 @@ def main() -> None:
         "runs": n_runs,
         "cold_queries": cold,
         "spread_pct": {n: spread_pct(v) for n, v in samples.items() if v},
+        "median_ci_pct": {
+            n: median_ci_pct(v) for n, v in samples.items() if v
+        },
+        "noise_model": (
+            "median_ci_pct = 100*1.58*IQR/sqrt(n_warm)/median over warm "
+            "samples (~95% notched-boxplot CI of the median); a round-"
+            "over-round delta is a regression signal only if it exceeds "
+            "both rounds' CIs. spread_pct is the raw warm range, kept "
+            "for pre-r13 artifact continuity (grows with n by "
+            "construction)."
+        ),
         "retimed_outliers": retimed,
         "errors": errors,
         "raw_samples": {n: [round(x, 4) for x in v] for n, v in samples.items()},
@@ -332,6 +406,25 @@ def main() -> None:
     )
     print(summary_line(timings, errors, sf, len(HEADLINE)))
     spark.stop()
+
+
+#: adaptive-repetition thresholds (module docstring noise model)
+ADAPTIVE_CUTOFF_SEC = 1.0   # only cheap queries earn extra reps
+TARGET_CI_PCT = 20.0        # stop once the median's ~95% CI is this tight
+MAX_SAMPLES = 19            # 1 cold + 18 warm hard cap per query
+
+
+def median_ci_pct(v: list[float]) -> float | None:
+    """~95% CI half-width of the median as % of the median, over the WARM
+    samples (cold pass dropped when ≥3 exist): ``100·1.58·IQR/√n/median``
+    — the notched-boxplot formula (McGill/Tukey/Larsen 1978). None when
+    fewer than 4 warm samples exist (IQR needs quartiles)."""
+    w = v[1:] if len(v) >= 3 else v
+    m = statistics.median(w)
+    if len(w) < 4 or m <= 0:
+        return None
+    q = statistics.quantiles(w, n=4, method="inclusive")
+    return round(100.0 * 1.58 * (q[2] - q[0]) / math.sqrt(len(w)) / m, 1)
 
 
 def select_outliers(

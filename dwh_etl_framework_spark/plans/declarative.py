@@ -71,10 +71,13 @@ tier — but discovers edges at runtime):
   (``tests/test_declarative.py::test_temp_view_conf_scope_is_plan_time``
   pins this contract.)
 
-``Sink`` outputs support parquet, noop, and jdbc (the F15 sink via
-``foreachBatch`` — checkpointed batch ids make unchanged-source re-runs
-append nothing; a mid-write crash may re-append on restart, the
-documented at-least-once edge of ``foreachBatch``).
+``Sink`` outputs support the file sinks parquet/csv/json/orc (path via
+``options={"path": …}``, format options passed through — all four ride
+Spark's checkpointed file-sink commit log), noop, and jdbc (the F15
+sink via ``foreachBatch`` — checkpointed batch ids make
+unchanged-source re-runs append nothing; a mid-write crash may
+re-append on restart, the documented at-least-once edge of
+``foreachBatch``).
 
 Deliberately out of scope (fail loud, never silently skip):
 ``register_sql`` (SQL-file graph elements — author SQL steps through
@@ -453,10 +456,11 @@ def _materialize(
         got.createOrReplaceTempView(out.name)
         return spark.table(out.name)
     elif isinstance(out, Sink):
-        if out.format not in ("parquet", "noop", "jdbc"):
+        if out.format not in ("parquet", "csv", "json", "orc", "noop", "jdbc"):
             raise NotImplementedError(
                 f"local sink format {out.format!r} unsupported "
-                "(parquet/noop/jdbc only); use sources.sinks for other landings"
+                "(parquet/csv/json/orc file sinks, noop, jdbc); use "
+                "sources.sinks for other landings"
             )
         for flow in flows:
             try:

@@ -649,6 +649,9 @@ ROTATION_QUEUE: dict[str, int] = {
     # the older backlog per the WINDOW_EVER protocol
     "f41_zonemap_pruned_scan": 14,
     "x111_zorder_pruning_gain": 14,
+    # round-13 graph-tier depth (VERDICT r12 item 6): bounded-round
+    # label-propagation components over the support-thresholded graph
+    "x116_cc_components": 14,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

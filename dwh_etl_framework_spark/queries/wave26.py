@@ -514,3 +514,185 @@ def kcore_fixpoint(
         f"k-core peel did not converge within {max_rounds} rounds — "
         "raise max_rounds (peel depth is bounded by the node count)"
     )
+
+
+# ---- x116: connected components on the thresholded graph ----------------
+
+X116_ROUNDS = 6
+
+
+def _x116_oracle() -> str:
+    """Unroll the label-propagation rounds as a MATERIALIZED CTE chain —
+    the x114 pattern: one driver hash certifies every round's min-label
+    exchange. (AS MATERIALIZED is load-bearing for the same reason as
+    x114: each round references the prior round twice, and DuckDB's
+    default CTE inlining would re-expand the chain exponentially.)"""
+    parts = [
+        f"""
+WITH pairs AS MATERIALIZED (
+    SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               COUNT(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE support >= {X115_SUPPORT}
+),
+edges AS MATERIALIZED (
+    SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+l0 AS MATERIALIZED (
+    SELECT node, node AS lbl
+    FROM (SELECT u AS node FROM pairs UNION SELECT v FROM pairs)
+)"""
+    ]
+    for i in range(1, X116_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+    SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{p}
+        UNION ALL
+        SELECT e.v AS node, l.lbl FROM edges e JOIN l{p} l ON l.node = e.u
+    ) GROUP BY node
+)""")
+    parts.append(f""",
+comp AS (
+    SELECT CAST(lbl AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{X116_ROUNDS} GROUP BY lbl
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(size) AS BIGINT) AS n_nodes
+    FROM comp
+)
+SELECT c.component, c.size, t.n_components, t.n_nodes
+FROM comp c CROSS JOIN totals t
+ORDER BY size DESC, component ASC
+LIMIT {X113_TOPK}""")
+    return "".join(parts)
+
+
+_X116_ORACLE = _x116_oracle()
+
+
+@query("x116_cc_components", oracle=_X116_ORACLE)
+def x116_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics, round-13 depth (VERDICT r12 item 6):
+    connected components of the SUPPORT-THRESHOLDED co-purchase graph
+    (x115's significance-sized edges) by min-label propagation —
+    {X116_ROUNDS} bounded rounds of "label(v) = min(label(v),
+    min over neighbors' labels)", then the top-{X113_TOPK} components by
+    size (global totals alongside). Bounded-round semantics on purpose
+    (the x114 contract): after R rounds a node's label is exactly the
+    minimum node id within R hops — deterministic at every scale factor
+    with no data-dependent convergence claim for the oracle to chase —
+    and ``cc_fixpoint`` (tests) shows the same rounds reach the true
+    components when they converge. The oracle unrolls the rounds as one
+    MATERIALIZED CTE chain, so a single driver hash certifies threshold
+    + every propagation round + the size rollup.
+
+    Scale shape: each round is ONE equi-join (labels into the symmetric
+    edge list) plus ONE min-combine groupBy — both map-side combinable,
+    no wedge work, per-round cost O(edges) with digest-sized rows. The
+    support gate runs first, so the propagated graph is the
+    significance-sized one (1.20M→3.9k edges at sf0.1, sublinear in SF
+    — x115's measured collapse); on a graph where the threshold keeps
+    edges large, the same loop holds because nothing ever fans out past
+    the adjacency list. Per-round frames are localCheckpointed so
+    lineage stays flat (the x77 iterative precedent); round count is a
+    constant, not driver data flow."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(li, support=X115_SUPPORT)
+    labels = cc_labels(pairs, X116_ROUNDS)
+    comp = labels.groupBy(F.col("lbl").cast("long").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    totals = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("size").cast("long").alias("n_nodes"),
+    )
+    return (
+        comp.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("size").desc(), F.col("component").asc())
+        .limit(X113_TOPK)
+    )
+
+
+def cc_labels(pairs: DataFrame, rounds: int) -> DataFrame:
+    """Core x116 plan over any undirected edge list (u < v, distinct):
+    ``rounds`` min-label propagation steps; returns (node, lbl) where
+    lbl is the minimum node id within ``rounds`` hops."""
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = (
+        pairs.select("u", "v")
+        .unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(rounds):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "lbl")
+        labels = (
+            labels.unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def cc_fixpoint(
+    spark: SparkSession, pairs: DataFrame, max_rounds: int = 64
+):
+    """Propagate to convergence: the true connected components as the
+    fixpoint of x116's bounded rounds. Returns ``(labels, rounds)`` —
+    ``labels`` maps every node to its component's minimum node id.
+
+    Driver control flow is ONE SCALAR per round (the sum of labels — a
+    monotonically DECREASING bigint under min-propagation, so equality
+    between rounds certifies the fixpoint; the kcore_fixpoint
+    discipline). Converges in O(diameter) rounds; ``max_rounds`` is a
+    runaway guard that fails loud rather than returning non-converged
+    labels as if they were components."""
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = (
+        pairs.select("u", "v")
+        .unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for rnd in range(1, max_rounds + 1):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "lbl")
+        labels = (
+            labels.unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        now_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if now_sum == prev_sum:
+            return labels, rnd - 1
+        prev_sum = now_sum
+    raise RuntimeError(
+        f"label propagation did not converge within {max_rounds} rounds — "
+        "raise max_rounds (round count is bounded by the graph diameter)"
+    )

@@ -111,3 +111,26 @@ def test_select_outliers_rule():
     assert select_outliers(timings, prev) == ["a"]
     # boundary: exactly 2x is NOT an outlier (strict >)
     assert select_outliers({"a": 2.0}, {"a": 1.0}) == []
+
+
+def test_median_ci_pct_noise_model():
+    """The adaptive-rep noise model (VERDICT r12 #3): the CI statistic
+    needs >=4 warm samples, shrinks as reps are added (unlike the raw
+    range), and is scale-free in the median."""
+    from bench import median_ci_pct
+
+    # fewer than 4 warm samples -> undefined, triggers extra reps
+    assert median_ci_pct([0.5, 0.4, 0.41]) is None       # 2 warm
+    assert median_ci_pct([0.5, 0.4, 0.41, 0.39]) is None  # 3 warm
+    # a noisy cheap query: same jitter, more reps -> tighter CI
+    jitter = [0.30, 0.20, 0.40, 0.25, 0.35]
+    few = median_ci_pct([0.9] + jitter)                # 5 warm samples
+    many = median_ci_pct([0.9] + jitter * 3)           # 15 warm samples
+    assert few is not None and many is not None
+    assert many < few
+    # scale-free: 10x slower query with proportional jitter, same CI
+    scaled = median_ci_pct([9.0] + [10 * x for x in jitter])
+    assert abs(scaled - few) < 0.2
+    # the cold first pass is excluded: an enormous cold outlier does not
+    # move the statistic
+    assert median_ci_pct([99.0] + jitter) == few

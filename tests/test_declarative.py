@@ -539,3 +539,45 @@ def test_depends_on_hints_plan_deep_chain_in_one_pass(spark, tmp_path):
                 "t_sdp_chain_2": ["t_sdp_chain_1"],
             },
         )
+
+
+def test_csv_and_json_sinks_land_exactly_once(spark, tmp_path):
+    """ADVICE r12 follow-on: file sinks beyond parquet ride the same
+    checkpointed file-sink commit log — csv (with header) and json land
+    the stream's rows once, and an unchanged-source re-run appends
+    nothing."""
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id AS v").write.parquet(src)
+    csv_out = str(tmp_path / "csv_out")
+    json_out = str(tmp_path / "json_out")
+    reg = LocalGraphRegistry()
+
+    def define():
+        sdp.create_sink(
+            "t_sdp_csv", format="csv",
+            options={"path": csv_out, "header": "true"},
+        )
+        sdp.create_sink("t_sdp_json", format="json",
+                        options={"path": json_out})
+
+        @sdp.append_flow(target="t_sdp_csv", name="to_csv")
+        def to_csv():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+        @sdp.append_flow(target="t_sdp_json", name="to_json")
+        def to_json():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    declare(reg, define)
+    store = str(tmp_path / "store")
+    run_local_pipeline(spark, reg, store)
+    got_csv = spark.read.option("header", "true").schema("v bigint").csv(
+        csv_out
+    )
+    assert sorted(r["v"] for r in got_csv.collect()) == list(range(10))
+    got_json = spark.read.schema("v bigint").json(json_out)
+    assert sorted(r["v"] for r in got_json.collect()) == list(range(10))
+    run_local_pipeline(spark, reg, store)  # unchanged source: no re-append
+    assert spark.read.option("header", "true").schema("v bigint").csv(
+        csv_out
+    ).count() == 10

@@ -158,3 +158,65 @@ def test_kcore_fixpoint_known_graphs(spark):
     star = [(1, 2), (1, 3), (1, 4), (1, 5)]
     core2, rounds2 = kcore_fixpoint(spark, _pairs(spark, star), 2)
     assert core2.count() == 0 and rounds2 == 2  # leaves, then the hub
+
+
+def test_cc_labels_known_graphs(spark):
+    """x116 invariants: two disjoint cliques resolve to two components
+    labeled by their minimum node ids; bounded rounds mean exactly
+    'min label within R hops' on a long path."""
+    from dwh_etl_framework_spark.queries.wave26 import cc_labels
+
+    two = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    got = {
+        r["node"]: r["lbl"] for r in cc_labels(_pairs(spark, two), 4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # path 0-1-...-9, R=2: node i's label is exactly max(0, i - 2)
+    path = [(i, i + 1) for i in range(9)]
+    got2 = {
+        r["node"]: r["lbl"]
+        for r in cc_labels(_pairs(spark, path), 2).collect()
+    }
+    assert got2 == {i: max(0, i - 2) for i in range(10)}
+
+
+def test_cc_fixpoint_agrees_with_bounded_rounds(spark):
+    """The fixpoint certifies x116's bounded-round semantics on the real
+    thresholded fixture graph: once propagation converges, the bounded
+    plan with >= that many rounds produces the identical labeling."""
+    from dwh_etl_framework_spark.queries.registry import fixtures
+    from dwh_etl_framework_spark.queries.wave26 import (
+        X115_SUPPORT,
+        _copurchase_pairs,
+        cc_fixpoint,
+        cc_labels,
+    )
+
+    t = fixtures(spark, SF_DIR)
+    pairs = _copurchase_pairs(
+        t.lineitem.select("l_orderkey", "l_partkey"), support=X115_SUPPORT
+    )
+    labels, rounds = cc_fixpoint(spark, pairs)
+    bounded = cc_labels(pairs, max(rounds, 1))
+    assert (
+        labels.withColumnRenamed("lbl", "a")
+        .join(bounded.withColumnRenamed("lbl", "b"), "node")
+        .filter("a != b")
+        .count()
+        == 0
+    )
+    assert labels.count() == bounded.count()
+
+
+def test_cc_fixpoint_known_graphs(spark):
+    from dwh_etl_framework_spark.queries.wave26 import cc_fixpoint
+
+    # two components, diameters 3 and 0 -> converges in <= 3 rounds
+    g = [(5, 6), (6, 7), (7, 8), (20, 21)]
+    labels, rounds = cc_fixpoint(spark, _pairs(spark, g))
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 20: 20, 21: 20}
+    assert 1 <= rounds <= 3
+    with __import__("pytest").raises(RuntimeError, match="converge"):
+        cc_fixpoint(spark, _pairs(spark, [(i, i + 1) for i in range(12)]),
+                    max_rounds=3)

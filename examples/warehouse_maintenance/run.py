@@ -132,6 +132,45 @@ def maintain(spark, sf_dir: str, dest: str):
         )
     report["n_files"] = n_files
     report["n_skipped_by_probe"] = n_skipped
+
+    # 5. LANDED zone-map tier (round 13): the framework's own metadata —
+    #    nightly re-lands append superseding generations, the map_rows
+    #    signal shows the growth, compaction resets it, and the pruning
+    #    decision is identical before/after (the scheduled-maintenance
+    #    loop a platform team runs next to the compaction planner).
+    from dwh_etl_framework_spark.sources.zonemaps import (
+        compact_table_zonemaps,
+        land_fragment_with_zonemap,
+        read_table_pruned,
+        write_table_with_zonemaps,
+    )
+
+    day0 = "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"
+    shift = 1096  # probe bounds are on the 1995-01-01 axis (x82's)
+    zsrc = t.orders.withColumn("day_nr", F.expr(day0)).withColumn(
+        "__fragment", F.expr(f"CAST(({day0}) DIV 400 AS BIGINT)")
+    )
+    zdest = f"{dest}_zonemapped"
+    write_table_with_zonemaps(zsrc, zdest, ["day_nr"])
+    probe = {"day_nr": (PROBE_DAY_LO + shift, PROBE_DAY_HI + shift)}
+    _, fresh = read_table_pruned(spark, zdest, probe)
+    # three nightly re-lands of one fragment → three superseded map rows
+    night = zsrc.filter("__fragment = 3")
+    for _ in range(3):
+        land_fragment_with_zonemap(night, zdest, ["day_nr"])
+    _, grown = read_table_pruned(spark, zdest, probe)
+    compact_table_zonemaps(spark, zdest)
+    _, compacted = read_table_pruned(spark, zdest, probe)
+    report["zonemap_fragments_kept"] = (
+        f"{compacted['fragments_kept']}/{compacted['fragments_total']}"
+    )
+    report["zonemap_map_rows"] = (
+        f"fresh {fresh['map_rows']} → re-lands {grown['map_rows']} → "
+        f"compacted {compacted['map_rows']}"
+    )
+    report["zonemap_pruning_stable"] = (
+        grown["fragments_kept"] == compacted["fragments_kept"] == fresh["fragments_kept"]
+    )
     return report
 
 
@@ -145,6 +184,8 @@ def main() -> None:
         print(f"{k:>24}: {v}")
     if not report["checksum_match"]:
         raise SystemExit("REWRITE NOT CONTENT-PRESERVING")
+    if not report["zonemap_pruning_stable"]:
+        raise SystemExit("ZONE-MAP COMPACTION CHANGED A PRUNING DECISION")
     spark.stop()
 
 

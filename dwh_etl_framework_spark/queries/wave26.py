@@ -696,3 +696,120 @@ def cc_fixpoint(
         f"label propagation did not converge within {max_rounds} rounds — "
         "raise max_rounds (round count is bounded by the graph diameter)"
     )
+
+
+def cc_fixpoint_twostar(
+    spark: SparkSession, pairs: DataFrame, max_rounds: int = 40
+):
+    """Connected components by alternating star contraction — the
+    O(log²n)-round algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC 2014) — as the HIGH-DIAMETER companion
+    to :func:`cc_fixpoint`'s min-label propagation.
+
+    Why both exist: label propagation converges in O(diameter) rounds —
+    perfect for the thresholded co-purchase graph (diameter ~a few) but
+    pathological on chain-shaped graphs (lineage chains, citation
+    threads), where a 10⁶-node path needs 10⁶ rounds. Star contraction
+    halves component heights instead: each round REWRITES the edge set —
+    large-star hangs every node's larger neighbors onto its minimum
+    neighbor, small-star re-hangs the smaller ones — so rounds grow
+    logarithmically in component size, independent of diameter
+    (``test_twostar_beats_label_propagation_on_a_path`` pins the gap:
+    a 64-node path converges in ≤10 two-star rounds vs 63 propagation
+    rounds).
+
+    Per round: two groupBy-MIN aggregates and two equi-joins, all on
+    (bigint, bigint) edges, O(edges) shuffle — same per-round cost class
+    as a propagation round; frames are localCheckpointed so lineage
+    stays flat. Driver control flow is TWO SCALARS per round (canonical
+    edge count + xxhash64 sum — equality certifies the fixpoint; the
+    kcore_fixpoint discipline). Returns ``(labels, rounds)`` with the
+    same (node, lbl=component min) contract as :func:`cc_fixpoint` —
+    the tests assert both algorithms produce identical labelings.
+    """
+    edges = (
+        pairs.select("u", "v")
+        .filter("u != v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).filter("u != v").distinct()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        # every (u,v) with v > u re-hangs v onto m(u) ≤ u < v
+        return canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient big→small (canonical u<v ⇒ big = v); m over small side ∪ big
+        m = (
+            e.groupBy("v")
+            .agg(F.min("u").alias("mn"))
+            .select("v", F.least("mn", F.col("v")).alias("m"))
+        )
+        rehung = e.join(m, "v").select(
+            F.col("m").alias("u"), F.col("u").alias("v")
+        )
+        self_edge = m.select(F.col("m").alias("u"), F.col("v").alias("v"))
+        return canon(rehung.unionAll(self_edge))
+
+    def fingerprint(e: DataFrame):
+        # count + order-independent XOR of row hashes (the f30 checksum
+        # shape — XOR cannot overflow, unlike SUM under ANSI arithmetic)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = fingerprint(edges)
+    for rnd in range(1, max_rounds + 1):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        now = fingerprint(edges)
+        if now == prev:
+            # fixpoint: a star graph — every edge is (component min, v)
+            labels = (
+                all_nodes.join(
+                    edges.select(
+                        F.col("v").alias("node"), F.col("u").alias("lbl")
+                    ),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node", F.coalesce("lbl", F.col("node")).alias("lbl")
+                )
+                # defensive MIN: at the fixpoint each non-root hangs on
+                # exactly one root, so this is a no-op — but it makes the
+                # extraction deterministic even if a caller hands in a
+                # pre-contracted edge set one round short of the star
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            return labels, rnd - 1
+        prev = now
+    raise RuntimeError(
+        f"star contraction did not converge within {max_rounds} rounds — "
+        "raise max_rounds (rounds grow with log² of component size)"
+    )

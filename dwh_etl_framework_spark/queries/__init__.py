@@ -650,8 +650,11 @@ ROTATION_QUEUE: dict[str, int] = {
     "f41_zonemap_pruned_scan": 14,
     "x111_zorder_pruning_gain": 14,
     # round-13 graph-tier depth (VERDICT r12 item 6): bounded-round
-    # label-propagation components over the support-thresholded graph
+    # label-propagation components over the support-thresholded graph,
+    # plus the Watts-Strogatz local clustering coefficient (exact ppm
+    # integer arithmetic) over the same thresholded triangles
     "x116_cc_components": 14,
+    "x117_clustering_coefficient": 14,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -813,3 +813,99 @@ def cc_fixpoint_twostar(
         f"star contraction did not converge within {max_rounds} rounds — "
         "raise max_rounds (rounds grow with log² of component size)"
     )
+
+
+# ---- x117: local clustering coefficient on the thresholded graph ---------
+
+_X117_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               COUNT(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE support >= {X115_SUPPORT}
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN {_LOWER} THEN u ELSE v END AS s,
+           CASE WHEN {_LOWER} THEN v ELSE u END AS t
+    FROM (
+        SELECT p.u, p.v, du.d AS du, dv.d AS dv
+        FROM pairs p
+        JOIN deg du ON du.node = p.u
+        JOIN deg dv ON dv.node = p.v
+    )
+),
+tris AS (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.t
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+pernode AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+    FROM (SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris)
+    GROUP BY node
+)
+SELECT d.node AS part_id, d.d AS degree,
+       COALESCE(pn.tri_cnt, 0) AS tri_cnt,
+       CAST((2000000 * COALESCE(pn.tri_cnt, 0)) // (d.d * (d.d - 1))
+            AS BIGINT) AS coef_ppm
+FROM deg d
+LEFT JOIN pernode pn ON pn.node = d.node
+WHERE d.d >= 2
+ORDER BY coef_ppm DESC, tri_cnt DESC, part_id ASC
+LIMIT {X113_TOPK}
+"""
+
+
+@query("x117_clustering_coefficient", oracle=_X117_ORACLE)
+def x117_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics, round-13: the per-node LOCAL CLUSTERING
+    COEFFICIENT (Watts-Strogatz) on the support-thresholded co-purchase
+    graph — c(v) = 2·tri(v)/(d(v)·(d(v)−1)), the community-density
+    feature x113's docstring promises — reported for the
+    top-{X113_TOPK} nodes. The ratio is carried as EXACT integer parts
+    per million (``(2000000·tri) div (d·(d−1))``, Spark ``DIV`` ≡
+    DuckDB ``//``): integer arithmetic both engines evaluate
+    identically, no float in the driver hash. Nodes with d < 2 are
+    excluded (the coefficient is undefined — no neighbor pair exists).
+
+    Scale shape: everything reuses x115's plan — the significance gate,
+    the degree-oriented triangle enumeration (wedge key bounded O(√m)),
+    the per-corner explode — plus ONE map-side arithmetic projection;
+    no new shuffle class. On the raw (unthresholded) projection the
+    same function applies after the x113s-style sampling tier — the
+    coefficient is then an estimate, which is why the oracled query
+    lives on the thresholded graph where full strength is the scale
+    plan."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    rep = triangle_report(_copurchase_pairs(li, support=X115_SUPPORT))
+    return (
+        rep.filter(F.col("degree") >= 2)
+        .select(
+            "part_id",
+            "degree",
+            "tri_cnt",
+            F.expr(
+                "CAST((2000000 * tri_cnt) DIV (degree * (degree - 1)) "
+                "AS BIGINT)"
+            ).alias("coef_ppm"),
+        )
+        .orderBy(
+            F.col("coef_ppm").desc(),
+            F.col("tri_cnt").desc(),
+            F.col("part_id").asc(),
+        )
+        .limit(X113_TOPK)
+    )

@@ -327,18 +327,22 @@ def main() -> None:
     for _ in range(4):  # bounded refinement passes
         if extra_budget <= 0:
             break
+        # None (too few warm samples) sorts as maximally noisy; a
+        # COMPUTED 0.0 must not (falsy-zero — review r13)
+        def _ci(n: str) -> float:
+            pct = median_ci_pct(samples[n])
+            return 100.0 if pct is None else pct
+
         need = [
             n for n, med in timings.items()
             if n not in errors
             and med < ADAPTIVE_CUTOFF_SEC
             and len(samples[n]) < MAX_SAMPLES
-            and (median_ci_pct(samples[n]) or 100.0) > TARGET_CI_PCT
+            and _ci(n) > TARGET_CI_PCT
         ]
         if not need:
             break
-        need.sort(
-            key=lambda n: -(median_ci_pct(samples[n]) or 100.0)
-        )
+        need.sort(key=lambda n: -_ci(n))
         for _rep in range(4):
             for name in need:
                 if (

@@ -81,9 +81,13 @@ re-append on restart, the documented at-least-once edge of
 
 Deliberately out of scope (fail loud, never silently skip):
 ``register_sql`` (SQL-file graph elements — author SQL steps through
-``plans.steps`` instead), ``Sink`` formats beyond those three, and
+``plans.steps`` instead), ``Sink`` formats beyond those six, and
 batch ``@append_flow``s targeting streaming tables (``@sdp.table``
-with a batch query function IS supported — full refresh, see above).
+with a batch query function IS supported — full refresh, see above;
+a single batch flow explicitly NAMED like its target is
+indistinguishable from ``@sdp.table`` through the public Flow record
+and gets the same treatment, unless a streaming checkpoint already
+exists for it — then it fails loud instead of destroying history).
 """
 
 from __future__ import annotations
@@ -260,16 +264,23 @@ def run_local_pipeline(
     # Namespace guard (the retry loop defers ONLY on unresolved names,
     # so a graph output shadowed by a pre-existing relation would be
     # read stale on the first pass with no error — see module docstring).
-    for name in registry.outputs:
-        if isinstance(registry.outputs[name], Sink):
-            continue  # sinks are write-only; nothing reads them by name
-        spark.catalog.dropTempView(name)  # no-op unless a temp view exists
-        if spark.catalog.tableExists(name):
+    # Validate EVERY output before dropping ANY temp view: a graph that
+    # fails this guard must not have half-destroyed the user's session
+    # views on the way to its error (review r13).
+    readable = [
+        n for n, o in registry.outputs.items() if not isinstance(o, Sink)
+    ]  # sinks are write-only; nothing reads them by name
+    for name in readable:
+        # the dbName-qualified form checks CATALOG tables only, so a
+        # same-named temp view cannot mask a shadowing table here
+        if spark.catalog.tableExists(name, spark.catalog.currentDatabase()):
             raise ValueError(
                 f"graph output {name!r} shadows a pre-existing catalog "
                 "table — a consumer flow would silently read it instead "
                 "of deferring; rename the output or drop the table"
             )
+    for name in readable:
+        spark.catalog.dropTempView(name)  # no-op unless a temp view exists
 
     state = _RunState()
     pending = _kahn_order(list(registry.outputs), depends_on or {})
@@ -349,12 +360,35 @@ def _materialize(
         # semantics — the decorator registers a StreamingTable plus a
         # flow NAMED LIKE THE TARGET; recompute and overwrite on every
         # run (no checkpoint — there is nothing incremental to track).
+        # NOTE the public Flow carries no origin marker, so a single
+        # batch @append_flow EXPLICITLY named like its target is
+        # indistinguishable from @sdp.table and gets the same
+        # full-refresh treatment — EXCEPT when the flow already has a
+        # streaming checkpoint from earlier runs: overwriting a
+        # checkpointed append landing would silently destroy its
+        # accumulated history, so that case fails loud (review r13).
+        prebuilt: dict[str, DataFrame] = {}
         if len(flows) == 1 and flows[0].name == out.name:
             flow = flows[0]
             try:
                 with _FlowConf(spark, flow.spark_conf):
                     df = flow.func()
                     if not df.isStreaming:
+                        ckpt = (
+                            f"{storage_dir}/_checkpoints/{out.name}/"
+                            f"{flow.name}"
+                        )
+                        jconf = spark.sparkContext._jsc.hadoopConfiguration()
+                        jck = spark._jvm.org.apache.hadoop.fs.Path(ckpt)
+                        if jck.getFileSystem(jconf).exists(jck):
+                            raise TypeError(
+                                f"flow {flow.name!r} returned a batch "
+                                f"DataFrame but {out.name!r} has a streaming "
+                                f"checkpoint at {ckpt!r} from earlier runs — "
+                                "a full-refresh overwrite would destroy the "
+                                "appended history; keep the flow streaming "
+                                "or land the batch under a new table name"
+                            )
                         path = f"{storage_dir}/{out.name}/{flow.name}"
                         writer = df.write.mode("overwrite").format(
                             out.format or "parquet"
@@ -367,11 +401,14 @@ def _materialize(
                         ).load(path)
                         got.createOrReplaceTempView(out.name)
                         return spark.table(out.name)
+                    # streaming @sdp.table: reuse the plan below instead
+                    # of constructing it twice (review r13 — the query
+                    # function must not run two times per pipeline run)
+                    prebuilt[flow.name] = df
             except _Defer:
                 raise
             except Exception as exc:
                 _defer_or_raise(exc, registry, state)
-            # streaming @sdp.table: fall through to the append path
         # one sink dir PER FLOW: a file-sink's _spark_metadata commit log
         # is per-path and batch-id-keyed, so two independent flows cannot
         # share one path (the second flow's log would collide with the
@@ -381,7 +418,9 @@ def _materialize(
         for flow in flows:
             try:
                 with _FlowConf(spark, flow.spark_conf):
-                    df = flow.func()
+                    df = prebuilt.pop(flow.name, None)
+                    if df is None:
+                        df = flow.func()
                     if not df.isStreaming:
                         raise TypeError(
                             f"flow {flow.name!r} targets streaming table "

@@ -192,7 +192,9 @@ def x113s_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_report(pairs: DataFrame) -> DataFrame:
+def triangle_report(
+    pairs: DataFrame, include_globals: bool = True
+) -> DataFrame:
     """Core x113 plan over any undirected edge list (u < v, distinct) —
     split out so the known-graph invariant tests can drive it.
 
@@ -238,18 +240,19 @@ def triangle_report(pairs: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
     )
+    core = deg.join(pernode, "node", "left").select(
+        F.col("node").alias("part_id"),
+        F.col("d").alias("degree"),
+        F.coalesce("tri_cnt", F.lit(0)).cast("long").alias("tri_cnt"),
+    )
+    if not include_globals:
+        # x117 drops the totals — skip the two global aggregate jobs
+        # (Catalyst does not eliminate an unused crossJoin; review r13)
+        return core
     glob = tris.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     ).crossJoin(pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-    return (
-        deg.join(pernode, "node", "left")
-        .select(
-            F.col("node").alias("part_id"),
-            F.col("d").alias("degree"),
-            F.coalesce("tri_cnt", F.lit(0)).cast("long").alias("tri_cnt"),
-        )
-        .crossJoin(F.broadcast(glob))
-    )
+    return core.crossJoin(F.broadcast(glob))
 
 
 # ---- x114: k-core peeling profile ---------------------------------------
@@ -890,7 +893,9 @@ def x117_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     t = fixtures(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    rep = triangle_report(_copurchase_pairs(li, support=X115_SUPPORT))
+    rep = triangle_report(
+        _copurchase_pairs(li, support=X115_SUPPORT), include_globals=False
+    )
     return (
         rep.filter(F.col("degree") >= 2)
         .select(

@@ -581,3 +581,93 @@ def test_csv_and_json_sinks_land_exactly_once(spark, tmp_path):
     assert spark.read.option("header", "true").schema("v bigint").csv(
         csv_out
     ).count() == 10
+
+
+def test_batch_flow_cannot_overwrite_streaming_history(spark, tmp_path):
+    """Review r13: a single batch flow named like its streaming-table
+    target gets full-refresh treatment ONLY when no streaming checkpoint
+    exists — switching an already-checkpointed append flow to batch must
+    fail loud, not silently destroy the appended history."""
+    src = str(tmp_path / "src")
+    spark.range(4).selectExpr("id AS v").write.parquet(src)
+    store = str(tmp_path / "store")
+
+    def define_streaming():
+        sdp.create_streaming_table("t_sdp_hist")
+
+        @sdp.append_flow(target="t_sdp_hist", name="t_sdp_hist")
+        def t_sdp_hist():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    reg = LocalGraphRegistry()
+    declare(reg, define_streaming)
+    out = run_local_pipeline(spark, reg, store)
+    assert out["t_sdp_hist"].count() == 4  # checkpointed append landing
+
+    def define_batch():
+        sdp.create_streaming_table("t_sdp_hist")
+
+        @sdp.append_flow(target="t_sdp_hist", name="t_sdp_hist")
+        def t_sdp_hist():
+            return spark.range(1).selectExpr("id AS v")  # now batch
+
+    reg2 = LocalGraphRegistry()
+    declare(reg2, define_batch)
+    with pytest.raises(TypeError, match="streaming checkpoint"):
+        run_local_pipeline(spark, reg2, store)
+    # the landing is untouched
+    assert spark.read.parquet(f"{store}/t_sdp_hist/t_sdp_hist").count() == 4
+    spark.catalog.dropTempView("t_sdp_hist")
+
+
+def test_streaming_sdp_table_builds_plan_once(spark, tmp_path):
+    """Review r13: a streaming @sdp.table probes batchness and then
+    REUSES the plan — the user's query function runs once per pipeline
+    run, not twice."""
+    src = str(tmp_path / "src")
+    spark.range(3).selectExpr("id AS v").write.parquet(src)
+    calls = {"n": 0}
+
+    def define():
+        @sdp.table(name="t_sdp_once")
+        def t_sdp_once():
+            calls["n"] += 1
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    reg = LocalGraphRegistry()
+    declare(reg, define)
+    out = run_local_pipeline(spark, reg, str(tmp_path / "store"))
+    assert out["t_sdp_once"].count() == 3
+    assert calls["n"] == 1
+    spark.catalog.dropTempView("t_sdp_once")
+
+
+def test_failed_namespace_guard_leaves_user_views_intact(spark, tmp_path):
+    """Review r13: validation of EVERY output runs before ANY temp view
+    is dropped — a graph that fails the guard must not have already
+    destroyed the user's session views."""
+    spark.range(9).selectExpr("id AS v").createOrReplaceTempView(
+        "t_sdp_keepme"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_sdp_cat2")
+    spark.sql("CREATE TABLE t_sdp_cat2 (v BIGINT) USING parquet")
+    try:
+        reg = LocalGraphRegistry()
+
+        def define():
+            @sdp.materialized_view(name="t_sdp_keepme")
+            def a():
+                return spark.range(1).selectExpr("id AS v")
+
+            @sdp.materialized_view(name="t_sdp_cat2")
+            def b():
+                return spark.range(2).selectExpr("id AS v")
+
+        declare(reg, define)
+        with pytest.raises(ValueError, match="shadows a pre-existing"):
+            run_local_pipeline(spark, reg, str(tmp_path))
+        # the guard failed on t_sdp_cat2 BEFORE dropping t_sdp_keepme
+        assert spark.table("t_sdp_keepme").count() == 9
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sdp_cat2")
+        spark.catalog.dropTempView("t_sdp_keepme")

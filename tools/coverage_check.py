@@ -77,6 +77,19 @@ def check_post_window_evidence() -> list[str]:
     return problems
 
 
+def _driver_ran() -> set[str]:
+    """Union of every query name with a CORRECTNESS_r*.json driver row —
+    the one artifact scan three checkers share (review r13: it was
+    copy-pasted three ways; a format change must land once)."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    ran: set[str] = set()
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        ran |= set(json.loads(artifact.read_text()))
+    return ran
+
+
 def check_window_exit_evidence() -> list[str]:
     """No query may exit DRIVER_WINDOW without driver evidence (VERDICT r6
     item 2: x51/x52 — plus f06/x53/x56/x59, found auditing the artifacts —
@@ -97,11 +110,7 @@ def check_window_exit_evidence() -> list[str]:
         problems.append(
             f"DRIVER_WINDOW entrants missing from WINDOW_EVER ledger: {untracked}"
         )
-    repo = Path(__file__).resolve().parent.parent
-    driver_ran: set[str] = set()
-    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
-        driver_ran |= set(json.loads(artifact.read_text()))
-    never_run_exits = sorted(WINDOW_EVER - set(DRIVER_WINDOW) - driver_ran)
+    never_run_exits = sorted(WINDOW_EVER - set(DRIVER_WINDOW) - _driver_ran())
     if never_run_exits:
         problems.append(
             "queries exited DRIVER_WINDOW without ever receiving a "
@@ -230,10 +239,7 @@ def check_rotation_queue() -> list[str]:
     from dwh_etl_framework_spark.queries import ROTATION_EXEMPT, ROTATION_QUEUE
 
     problems = []
-    repo = Path(__file__).resolve().parent.parent
-    driver_ran: set[str] = set()
-    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
-        driver_ran |= set(json.loads(artifact.read_text()))
+    driver_ran = _driver_ran()
     scheduled = set(ROTATION_QUEUE) | ROTATION_EXEMPT
     unscheduled = sorted(
         n for n, q in QUERIES.items()
@@ -267,14 +273,8 @@ def check_window_ever_complete() -> list[str]:
     fallback): every query name appearing in ANY CORRECTNESS_r*.json
     artifact must be listed in WINDOW_EVER — the ledger is self-checking,
     not fallback-rescued."""
-    import json
-
     problems = []
-    repo = Path(__file__).resolve().parent.parent
-    driver_ran: set[str] = set()
-    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
-        driver_ran |= set(json.loads(artifact.read_text()))
-    unledgered = sorted(driver_ran - WINDOW_EVER)
+    unledgered = sorted(_driver_ran() - WINDOW_EVER)
     if unledgered:
         problems.append(
             "queries with CORRECTNESS_r* driver rows missing from the "

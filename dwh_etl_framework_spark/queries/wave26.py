@@ -1,19 +1,28 @@
-"""Round-12 graph-analytics depth: triangle counting under degree
-orientation.
+"""Graph-analytics tier over the part co-purchase graph (rounds 12-13).
 
-The graph tier (connected components → x20/x101, PageRank → x77,
-mutual-kNN health → x57) lacked the third classic primitive: triangle
-counting, the basis of clustering-coefficient / community-density
-features over co-occurrence graphs (which products are bought
-together, which documents share near-dup clusters). ``x113`` counts
-triangles on the part co-purchase graph (parts sharing an order) with
-the degree-ordered orientation of Suri & Vassilvitskii, "Counting
-Triangles and the Curse of the Last Reducer" (WWW 2011): orient every
-edge from the lower (degree, id) endpoint to the higher, enumerate
-each triangle exactly once as x→y→z with x<y<z in that order, and the
-wedge join's per-key fan-out is bounded by O(√m) instead of the max
-degree — the skew fix that makes the join survive a power-law graph at
-100 TB.
+The classic primitives, each oracled end-to-end and each with its scale
+argument spelled out:
+
+- **x113/x113s** exact triangle counting with the degree-ordered
+  orientation of Suri & Vassilvitskii, "Counting Triangles and the
+  Curse of the Last Reducer" (WWW 2011): orient every edge from the
+  lower (degree, id) endpoint to the higher, enumerate each triangle
+  exactly once as x→y→z, and the wedge join's per-key fan-out is
+  bounded by O(√m) instead of the max degree — the skew fix that makes
+  the join survive a power-law graph at 100 TB.
+- **x114** k-core peeling profile (Seidman / Batagelj-Zaversnik) in
+  bounded rounds, plus the ``kcore_fixpoint`` convergence certificate.
+- **x115** the production shape: support-threshold the edges first
+  (distinct-order market-basket evidence), then count — the gate
+  removes exactly the coincidence density that makes the raw
+  projection quadratic-ish.
+- **x116** connected components by bounded-round min-label propagation
+  over the thresholded edges (round 13), with ``cc_fixpoint``; and
+  ``cc_fixpoint_twostar``, the Kiveris-et-al star contraction whose
+  O(log²n) rounds replace O(diameter) on chain-shaped graphs — the
+  measured 64-node-path gap is pinned in tests.
+- **x117** Watts-Strogatz local clustering coefficient as exact
+  integer parts-per-million over the thresholded triangles (round 13).
 """
 
 from __future__ import annotations

@@ -58,6 +58,7 @@ from dwh_etl_framework_spark.queries import wave23  # noqa: F401
 from dwh_etl_framework_spark.queries import wave24  # noqa: F401
 from dwh_etl_framework_spark.queries import wave25  # noqa: F401
 from dwh_etl_framework_spark.queries import wave26  # noqa: F401
+from dwh_etl_framework_spark.queries import wave27  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -655,6 +656,10 @@ ROTATION_QUEUE: dict[str, int] = {
     # integer arithmetic) over the same thresholded triangles
     "x116_cc_components": 14,
     "x117_clustering_coefficient": 14,
+    # round-13 env re-probe: native XML turned LIVE (Spark 4 built-in) —
+    # expression roundtrip + file data source, the r53/r54 precedent
+    "r58_xml_roundtrip": 14,
+    "f44_xml_datasource_roundtrip": 14,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

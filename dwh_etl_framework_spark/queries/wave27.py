@@ -1,0 +1,157 @@
+"""Round-13 engine-surface probes: native XML (new in Spark 4).
+
+The round-13 environment re-probe found Spark 4.1's built-in XML
+support LIVE on all three surfaces — ``to_xml``/``from_xml``
+expressions, the ``xml`` file data source (read AND write), and the
+classic ``xpath_*`` extractors — closing the one semi-structured
+format the engine surface didn't cover (JSON → r26/r49 VARIANT,
+CSV/ORC → f04/f05, Avro absent from this build). Productized the
+r53/r54 way: each probe is an oracled registry query whose DuckDB twin
+computes the same report from the RAW columns, so one driver hash
+certifies the XML encode→decode path is lossless on typed data —
+DuckDB never needs to parse XML.
+
+Reference anchor: the reference framework moves everything as JDBC
+rows or parquet (``connector.py``, ``airflow_etl.py:433-450``); a
+third-party XML feed would have to be pre-flattened outside it. Here
+it is a first-class scan/sink format plus row-level expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+
+_R58_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS xpath_cents_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
+@query("r58_xml_roundtrip", oracle=_R58_ORACLE)
+def r58_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 13): native XML expressions. Each
+    order row is ENCODED to an XML string (``to_xml`` over a typed
+    struct incl. an exact-cents BIGINT), then DECODED two independent
+    ways — ``from_xml`` with an explicit schema, and ``xpath_long`` on
+    the raw string — and the grouped report is computed from the
+    DECODED values only. The oracle computes the same report straight
+    from the raw columns, so a single driver hash certifies
+    ``to_xml ∘ from_xml = identity`` on typed data AND that the xpath
+    extractor agrees with the schema'd parser (two parse paths, one
+    truth).
+
+    Scale shape: encode + both decodes are row-local JVM expressions
+    inside whole-stage codegen — no Python, no extra exchange beyond
+    the final map-side-combinable groupBy. At 100 TB this is the
+    standard "feed arrives as XML text" ingest map; the expression
+    cost is row-linear and the plan is identical to r16's class."""
+    t = fixtures(spark, sf_dir)
+    xml = t.orders.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "status STRING, cents BIGINT").alias("s"),
+        F.expr("xpath_long(x, '/ROW/cents')").alias("xp_cents"),
+    )
+    return (
+        parsed.groupBy(F.col("s.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s.cents").cast("long").alias("cents_sum"),
+            F.sum("xp_cents").cast("long").alias("xpath_cents_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+_F44_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum,
+       CAST(MIN(o_orderdate) AS DATE) AS d_min,
+       CAST(MAX(o_orderdate) AS DATE) AS d_max
+FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+_F44_DONE: dict = {}
+
+
+@query("f44_xml_datasource_roundtrip", oracle=_F44_ORACLE)
+def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 13): the native ``xml`` FILE data
+    source — the F4/F5 (csv/orc) roundtrip discipline applied to the
+    format Spark 4 added. The finished-orders slice lands as XML files
+    (``rowTag``-per-order), is read back with an EXPLICIT schema — the
+    fixture's ORIGINAL types (bigint / double / timestamp→date), no
+    inference in the checked path — and the checksum report over the
+    read-back must hash-equal the oracle's report over the original
+    parquet: count, distinct keys, exact cents, date range. Two traps
+    this pins, found live while building it: the writer emits DATE as
+    an ISO TIMESTAMP (read back as timestamp and cast — a DATE read
+    schema silently yields NULLs), and reading the double price as
+    DECIMAL(12,2) ROUNDS (232 of 4,933 sf0.01 rows gained a cent —
+    floor(x·100) is only faithful on the original double, which
+    roundtrips exactly via full-precision text).
+
+    Scale shape: the landing is written once per (session, sf) like
+    every roundtrip fixture (f04/f05); XML encode/decode is row-linear
+    and partition-parallel in both directions (each task writes/reads
+    its own files — no driver funnel). XML is a chatty wire format —
+    the probe certifies correctness of the path, while the layout
+    tiers keep parquet as the landing format of record."""
+    t = fixtures(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _F44_DONE:
+        h = hashlib.md5(
+            f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        dest = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f44_{h}"
+        (
+            t.orders.filter("o_orderstatus = 'F'")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "order")
+            .save(dest)
+        )
+        _F44_DONE[key] = dest
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+        )
+        .load(_F44_DONE[key])
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents_sum"),
+        F.min("o_orderdate").alias("d_min"),
+        F.max("o_orderdate").alias("d_max"),
+    )

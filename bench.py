@@ -214,6 +214,17 @@ HEADLINE = [
                                  # over the thresholded graph (r13;
                                  # 6 join+min-combine rounds, O(edges)
                                  # each — the iterative-loop trail)
+    "f44_xml_datasource_roundtrip",  # typed read-back of the XML file
+                                 # landing (r13; warm cost = the xml
+                                 # scan — the landing itself is once
+                                 # per session like f04/f05). r58's
+                                 # full-corpus DOUBLE decode (from_xml
+                                 # AND xpath per row — the second
+                                 # parse exists for certification, not
+                                 # production) measured 9.9 s at sf0.1
+                                 # and is correctness-tier (the
+                                 # x02/x60 policy); PLANS.md records
+                                 # the one-shot number.
 ]
 
 

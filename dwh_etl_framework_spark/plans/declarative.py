@@ -270,10 +270,11 @@ def run_local_pipeline(
     readable = [
         n for n, o in registry.outputs.items() if not isinstance(o, Sink)
     ]  # sinks are write-only; nothing reads them by name
+    current_db = spark.catalog.currentDatabase()
     for name in readable:
         # the dbName-qualified form checks CATALOG tables only, so a
         # same-named temp view cannot mask a shadowing table here
-        if spark.catalog.tableExists(name, spark.catalog.currentDatabase()):
+        if spark.catalog.tableExists(name, current_db):
             raise ValueError(
                 f"graph output {name!r} shadows a pre-existing catalog "
                 "table — a consumer flow would silently read it instead "
@@ -374,20 +375,23 @@ def _materialize(
                 with _FlowConf(spark, flow.spark_conf):
                     df = flow.func()
                     if not df.isStreaming:
-                        ckpt = (
-                            f"{storage_dir}/_checkpoints/{out.name}/"
-                            f"{flow.name}"
-                        )
+                        # check the TABLE's whole checkpoint parent, not
+                        # just this flow's dir: earlier runs may have
+                        # appended through DIFFERENTLY-NAMED flows, and a
+                        # full refresh would silently drop their landings
+                        # too (review r13, second pass)
+                        ckpt = f"{storage_dir}/_checkpoints/{out.name}"
                         jconf = spark.sparkContext._jsc.hadoopConfiguration()
                         jck = spark._jvm.org.apache.hadoop.fs.Path(ckpt)
                         if jck.getFileSystem(jconf).exists(jck):
                             raise TypeError(
                                 f"flow {flow.name!r} returned a batch "
-                                f"DataFrame but {out.name!r} has a streaming "
-                                f"checkpoint at {ckpt!r} from earlier runs — "
-                                "a full-refresh overwrite would destroy the "
-                                "appended history; keep the flow streaming "
-                                "or land the batch under a new table name"
+                                f"DataFrame but {out.name!r} has streaming "
+                                f"checkpoints under {ckpt!r} from earlier "
+                                "runs — a full-refresh overwrite would "
+                                "destroy the appended history; keep the "
+                                "flow streaming or land the batch under a "
+                                "new table name"
                             )
                         path = f"{storage_dir}/{out.name}/{flow.name}"
                         writer = df.write.mode("overwrite").format(

@@ -115,8 +115,9 @@ def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·100) is only faithful on the original double, which
     roundtrips exactly via full-precision text).
 
-    Scale shape: the landing is written once per (session, sf) like
-    every roundtrip fixture (f04/f05); XML encode/decode is row-linear
+    Scale shape: the landing is written once per SF and REUSED across
+    sessions (deterministic path + _SUCCESS gate — no per-session temp
+    leak); XML encode/decode is row-linear
     and partition-parallel in both directions (each task writes/reads
     its own files — no driver funnel). XML is a chatty wire format —
     the probe certifies correctness of the path, while the layout
@@ -124,18 +125,24 @@ def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _F44_DONE:
-        h = hashlib.md5(
-            f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
-        ).hexdigest()[:12]
+        # deterministic per-SF path, NOT applicationId-keyed: the landing
+        # is a pure function of the static fixture, so later sessions
+        # REUSE a committed landing instead of leaking one dir per
+        # session into the temp dir (review r13, second pass); a missing
+        # _SUCCESS marker (first run / crashed write) triggers the write
+        h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         dest = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f44_{h}"
-        (
-            t.orders.filter("o_orderstatus = 'F'")
-            .select("o_orderkey", "o_totalprice", "o_orderdate")
-            .write.mode("overwrite")
-            .format("xml")
-            .option("rowTag", "order")
-            .save(dest)
-        )
+        jconf = spark.sparkContext._jsc.hadoopConfiguration()
+        ok = spark._jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+        if not ok.getFileSystem(jconf).exists(ok):
+            (
+                t.orders.filter("o_orderstatus = 'F'")
+                .select("o_orderkey", "o_totalprice", "o_orderdate")
+                .write.mode("overwrite")
+                .format("xml")
+                .option("rowTag", "order")
+                .save(dest)
+            )
         _F44_DONE[key] = dest
     back = (
         spark.read.format("xml")

@@ -618,6 +618,30 @@ def test_batch_flow_cannot_overwrite_streaming_history(spark, tmp_path):
     # the landing is untouched
     assert spark.read.parquet(f"{store}/t_sdp_hist/t_sdp_hist").count() == 4
     spark.catalog.dropTempView("t_sdp_hist")
+    # review r13 second pass: the guard covers history appended by
+    # DIFFERENTLY-NAMED flows too — redefining the table as a batch
+    # @sdp.table (flow named like the target) must also fail loud
+    def define_table_batch():
+        @sdp.table(name="t_sdp_hist")
+        def t_sdp_hist():
+            return spark.range(1).selectExpr("id AS v")
+
+    reg3 = LocalGraphRegistry()
+
+    def define_other_flow():
+        sdp.create_streaming_table("t_sdp_hist")
+
+        @sdp.append_flow(target="t_sdp_hist", name="other_ingest")
+        def other_ingest():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    declare(reg3, define_other_flow)
+    run_local_pipeline(spark, reg3, store)  # second flow, own checkpoint
+    reg4 = LocalGraphRegistry()
+    declare(reg4, define_table_batch)
+    with pytest.raises(TypeError, match="streaming checkpoint"):
+        run_local_pipeline(spark, reg4, store)
+    spark.catalog.dropTempView("t_sdp_hist")
 
 
 def test_streaming_sdp_table_builds_plan_once(spark, tmp_path):

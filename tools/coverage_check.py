@@ -102,8 +102,6 @@ def check_window_exit_evidence() -> list[str]:
          at least one ``CORRECTNESS_r*.json`` (so rotating a query OUT
          before the driver has run it fails CI).
     """
-    import json
-
     problems = []
     untracked = sorted(set(DRIVER_WINDOW) - WINDOW_EVER)
     if untracked:
@@ -234,8 +232,6 @@ def check_rotation_queue() -> list[str]:
     driver evidence (WINDOW_EVER membership / a CORRECTNESS row). A new
     oracled query therefore cannot be registered without scheduling its
     driver evidence — prose queues drift, a checked set cannot."""
-    import json
-
     from dwh_etl_framework_spark.queries import ROTATION_EXEMPT, ROTATION_QUEUE
 
     problems = []

@@ -294,28 +294,15 @@ DRIVER_WINDOW: list[str] = [
     "x05_cosine_topk",
     "x03b_minhash_lsh_portable",
     "x20_dedup_clusters",
-    # round-12 entrants STAYING for a second driver row (WINDOW_EVER
-    # precedent: exits carry 2+ rows where slots allow): six TPC-H
-    # shapes, the UDTF/collation/PII/coreset/metadata probes, the
-    # round-12b backlog batch and the SQL-UDF/scripting probes.
-    "r40_shipping_priority",
-    "r41_volume_shipping",
-    "r42_product_profit",
+    # round-12 entrants STAYING for a third driver row where the family
+    # would otherwise thin out: the two decorrelation-stress TPC-H
+    # shapes (r46 Q18 grouped semi-join, r48 Q22 anti-join + scalar
+    # subquery), the cohort-retention event shape, the
+    # entity-resolution blocked match, and SQL scripting.
     "r46_large_volume_orders",
-    "r47_disjunctive_bands",
     "r48_inactive_big_balance",
-    "r51_udtf_polymorphic_split",
-    "r52_collated_join",
-    "x107_pii_luhn_redaction",
-    "x108_kcenter_coreset",
-    "f38_metadata_join_decision",
-    "x07_lang_id",
-    "x10_fingerprint",
-    "x21_funnel",
     "x22_cohort_retention",
-    "x25_event_transitions",
     "x79_blocked_name_match",
-    "r53_sql_udf",
     "r54_scripted_threshold",
     # round-13 rotation (VERDICT r12 item 1): drain the machine-checked
     # ROTATION_QUEUE round-13 batch — the 21 round-12 closing-wave and
@@ -382,6 +369,52 @@ DRIVER_WINDOW: list[str] = [
     "x113_triangle_count",
     "x114_kcore_profile",
     "x115_support_triangles",
+    # round-14 rotation (VERDICT r13 item 1): drain the machine-checked
+    # ROTATION_QUEUE round-14 batch — all 14 entries, distinct
+    # user-facing operators first per the queue's drain rule, then the
+    # relational variants. All 14 are hash-green in PARITY_r13 and 12 of
+    # them independently re-verified by the judge
+    # (PARITY_judge_sample_r13.json). Entrants: the landed-layout tier
+    # (f41 zone-map pruned scan, x111 Z-order pruning audit — two rounds
+    # behind their code, first per VERDICT), the graph-tier depth (x116
+    # bounded-round label-propagation connected components, x117 local
+    # clustering coefficient), native XML (r58 expression roundtrip, f44
+    # file data source roundtrip), then the variants: r49b stored
+    # VARIANT, x73 epoch shuffle (rows-only; dedicated semantics test),
+    # r22c LIKE patterns, r24d null functions, r25b array transform,
+    # r25d array set ops, r27 pandas UDF, r31b session window.
+    #
+    # Exits, each with TWO driver-green rows (r12 + r13) plus staying
+    # family evidence (every exit keeps its DuckDB oracle, exercised by
+    # tests/test_oracle_parity.py and PARITY_r{NN} every round):
+    #   TPC-H shapes r40 Q3 / r41 Q5 / r42 Q9 / r47 Q19 (the
+    #   decorrelation-stress pair r46 Q18 + r48 Q22 STAYS for a third
+    #   row; join/agg shapes stay dense via r16 + f39/f40 executed
+    #   orders); r51 UDTF + r53 SQL UDF (UDF family stays via the
+    #   ENTERING r27 pandas UDF + staying r54 scripting); r52 collated
+    #   join (string/collation surface stays via the entering r22c LIKE
+    #   tier); x107 PII/Luhn (privacy family: local oracle + redaction
+    #   tests; erasure f36 has prior rows); x108 k-center coreset (the
+    #   similarity family stays via staple x05 cosine top-k); f38
+    #   metadata join decision (the same landed-stats tier stays
+    #   in-window via x109/x110/f39/f40 AND enters twice more via
+    #   f41/x111 zone maps); x07 lang-ID + x10 fingerprint (text family
+    #   stays dense: x08/x09/x23/x27 all in-window); x21 funnel + x25
+    #   transitions (event family stays via x22 cohort + x78 anomaly).
+    "f41_zonemap_pruned_scan",
+    "x111_zorder_pruning_gain",
+    "x116_cc_components",
+    "x117_clustering_coefficient",
+    "r58_xml_roundtrip",
+    "f44_xml_datasource_roundtrip",
+    "r49b_variant_stored",
+    "x73_epoch_shuffle",
+    "r22c_like_patterns",
+    "r24d_null_fns",
+    "r25b_array_transform",
+    "r25d_array_set_ops",
+    "r27_pandas_udf",
+    "r31b_session_window",
 ]
 
 
@@ -623,6 +656,22 @@ WINDOW_EVER: frozenset[str] = frozenset([
     "x113_triangle_count",
     "x114_kcore_profile",
     "x115_support_triangles",
+    # round-14 entrants (ROTATION_QUEUE round-14 batch, VERDICT r13
+    # item 1)
+    "f41_zonemap_pruned_scan",
+    "x111_zorder_pruning_gain",
+    "x116_cc_components",
+    "x117_clustering_coefficient",
+    "r58_xml_roundtrip",
+    "f44_xml_datasource_roundtrip",
+    "r49b_variant_stored",
+    "x73_epoch_shuffle",
+    "r22c_like_patterns",
+    "r24d_null_fns",
+    "r25b_array_transform",
+    "r25d_array_set_ops",
+    "r27_pandas_udf",
+    "r31b_session_window",
 ])
 
 #: Rotation schedule for the never-windowed backlog (VERDICT r11 item 3).
@@ -634,32 +683,11 @@ WINDOW_EVER: frozenset[str] = frozenset([
 #: driver evidence. Drain order: earlier-round batches first; within a
 #: batch, distinct user-facing operators before b/c/d variants.
 ROTATION_QUEUE: dict[str, int] = {
-    # (round-13 batch DRAINED in round 13 — all 21 entries entered
-    # DRIVER_WINDOW; see the round-13 rotation block above.)
-    # round-14 batch: relational variants whose operator families are
-    # in-window via canonical siblings (kept oracled + PARITY every round)
-    "x73_epoch_shuffle": 14,
-    "r49b_variant_stored": 14,
-    "r22c_like_patterns": 14,
-    "r24d_null_fns": 14,
-    "r25b_array_transform": 14,
-    "r25d_array_set_ops": 14,
-    "r27_pandas_udf": 14,
-    "r31b_session_window": 14,
-    # round-12 layout tier (zone maps + Z-order, wave23) — queued behind
-    # the older backlog per the WINDOW_EVER protocol
-    "f41_zonemap_pruned_scan": 14,
-    "x111_zorder_pruning_gain": 14,
-    # round-13 graph-tier depth (VERDICT r12 item 6): bounded-round
-    # label-propagation components over the support-thresholded graph,
-    # plus the Watts-Strogatz local clustering coefficient (exact ppm
-    # integer arithmetic) over the same thresholded triangles
-    "x116_cc_components": 14,
-    "x117_clustering_coefficient": 14,
-    # round-13 env re-probe: native XML turned LIVE (Spark 4 built-in) —
-    # expression roundtrip + file data source, the r53/r54 precedent
-    "r58_xml_roundtrip": 14,
-    "f44_xml_datasource_roundtrip": 14,
+    # (round-13 batch DRAINED in round 13; round-14 batch — the
+    # layout tier f41/x111, graph tier x116/x117, native XML r58/f44,
+    # and the 8 relational variants — DRAINED in round 14: all 14
+    # entries entered DRIVER_WINDOW; see the round-14 rotation block
+    # above. New round-14 operators are queued below as they land.)
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -20,6 +20,8 @@ it is a first-class scan/sink format plus row-level expressions.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +100,30 @@ WHERE o_orderstatus = 'F'
 _F44_DONE: dict = {}
 
 
+def _f44_landing_path(sf_dir: str) -> str:
+    """Deterministic landing dir keyed by a CONTENT fingerprint of the
+    orders fixture (path + mtime_ns + size of every data file), not just
+    the ``sf_dir`` string: if the fixture parquet is ever regenerated in
+    place, the key changes and a stale landing can never be silently
+    reused (ADVICE r13)."""
+    orders = os.path.join(sf_dir, "orders.parquet")
+    paths = (
+        sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(orders)
+            for f in files
+        )
+        if os.path.isdir(orders)
+        else [orders]
+    )
+    parts = [sf_dir]
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    h = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f44_{h}"
+
+
 @query("f44_xml_datasource_roundtrip", oracle=_F44_ORACLE)
 def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-surface probe (round 13): the native ``xml`` FILE data
@@ -115,9 +141,11 @@ def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·100) is only faithful on the original double, which
     roundtrips exactly via full-precision text).
 
-    Scale shape: the landing is written once per SF and REUSED across
-    sessions (deterministic path + _SUCCESS gate — no per-session temp
-    leak); XML encode/decode is row-linear
+    Scale shape: the landing is written once per fixture CONTENT and
+    REUSED across sessions (fingerprint-keyed path + _SUCCESS gate +
+    atomic tmp→dest rename — no per-session temp leak, no stale reuse
+    after an in-place fixture regen, no first-write race); XML
+    encode/decode is row-linear
     and partition-parallel in both directions (each task writes/reads
     its own files — no driver funnel). XML is a chatty wire format —
     the probe certifies correctness of the path, while the layout
@@ -125,24 +153,31 @@ def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _F44_DONE:
-        # deterministic per-SF path, NOT applicationId-keyed: the landing
-        # is a pure function of the static fixture, so later sessions
-        # REUSE a committed landing instead of leaking one dir per
-        # session into the temp dir (review r13, second pass); a missing
-        # _SUCCESS marker (first run / crashed write) triggers the write
-        h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        dest = f"{tempfile.gettempdir()}/dwh_etl_framework_spark_f44_{h}"
-        jconf = spark.sparkContext._jsc.hadoopConfiguration()
-        ok = spark._jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
-        if not ok.getFileSystem(jconf).exists(ok):
+        # deterministic content-fingerprinted path, NOT
+        # applicationId-keyed: the landing is a pure function of the
+        # fixture bytes, so later sessions REUSE a committed landing
+        # instead of leaking one dir per session into the temp dir,
+        # while an in-place fixture regen changes the key (ADVICE r13)
+        dest = _f44_landing_path(sf_dir)
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            # write to a session-private dir, then one atomic rename
+            # publishes it: concurrent first runs each build a complete
+            # landing and exactly one rename wins (os.rename of a dir
+            # onto an existing path fails), so a reader can never
+            # observe a half-written or interleaved dest (ADVICE r13)
+            tmp = f"{dest}.tmp-{spark.sparkContext.applicationId}"
             (
                 t.orders.filter("o_orderstatus = 'F'")
                 .select("o_orderkey", "o_totalprice", "o_orderdate")
                 .write.mode("overwrite")
                 .format("xml")
                 .option("rowTag", "order")
-                .save(dest)
+                .save(tmp)
             )
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # racer won dest
         _F44_DONE[key] = dest
     back = (
         spark.read.format("xml")

@@ -443,7 +443,31 @@ def _materialize(
                     )
                     if out.partition_cols:
                         writer = writer.partitionBy(*out.partition_cols)
-                    q = writer.start(f"{storage_dir}/{out.name}/{flow.name}")
+                    land = f"{storage_dir}/{out.name}/{flow.name}"
+                    # batch→streaming switch guard (ADVICE r13, mirror of
+                    # the streaming→batch checkpoint guard above): a
+                    # landing dir WITHOUT a _spark_metadata log was
+                    # produced by a batch full-refresh; starting a file
+                    # sink there writes a commit log that makes committed
+                    # reads see only streaming files, silently vanishing
+                    # the prior batch rows.
+                    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                    jland = spark._jvm.org.apache.hadoop.fs.Path(land)
+                    jmeta = spark._jvm.org.apache.hadoop.fs.Path(
+                        f"{land}/_spark_metadata"
+                    )
+                    lfs = jland.getFileSystem(hconf)
+                    if lfs.exists(jland) and not lfs.exists(jmeta):
+                        raise TypeError(
+                            f"flow {flow.name!r} is streaming but its "
+                            f"landing {land!r} was produced by a batch "
+                            "full-refresh (no _spark_metadata commit "
+                            "log) — a file-sink start would hide the "
+                            "existing batch rows from committed reads; "
+                            "keep the table batch or land the stream "
+                            "under a new table name"
+                        )
+                    q = writer.start(land)
                     q.awaitTermination()
             except _Defer:
                 raise

@@ -257,6 +257,16 @@ def compact_table_zonemaps(spark: SparkSession, path: str) -> dict:
     exactly what is rewritten); a post-compaction re-land continues at
     ``__gen = 1``.
 
+    Concurrency contract (ADVICE r13): compaction is a SINGLE-WRITER
+    maintenance job — re-lands may run concurrently with pruned reads,
+    but not with compaction (the ``rebuild_table_sketches`` discipline).
+    The window is shrunk, not closed: immediately before the overwrite,
+    the pending marker and the map row count are re-checked, so a
+    re-land that appended (or is mid-span) between the collect and the
+    overwrite fails the compaction loudly instead of being silently
+    swallowed; only a writer landing inside the final check→overwrite
+    microseconds still requires the scheduling contract.
+
     Returns ``{"rows_before": …, "rows_after": …}``."""
     pending = _zonemap_pending(spark, path)
     if pending:
@@ -271,6 +281,19 @@ def compact_table_zonemaps(spark: SparkSession, path: str) -> dict:
     compacted = spark.createDataFrame(latest, schema).withColumn(
         "__gen", F.lit(0).cast("bigint")
     )
+    # last-moment re-check (ADVICE r13, see docstring contract): a
+    # concurrent re-land either still holds its _pending_ marker or has
+    # already appended its superseding rows — both abort the compaction
+    # before the overwrite can swallow them
+    pending = _zonemap_pending(spark, path)
+    recount = spark.read.parquet(map_path).count()
+    if pending or recount != rows_before:
+        raise IOError(
+            f"zone map at {path!r} changed during compaction "
+            f"(pending={pending or 'none'}, rows {rows_before}→{recount})"
+            " — a concurrent fragment re-land is running; compaction is "
+            "a single-writer maintenance job, re-run it afterwards."
+        )
     # one small file, written AFTER the read is fully materialized (the
     # collect above) — never a lazy self-overwrite of the dir being read
     compacted.coalesce(1).write.mode("overwrite").parquet(map_path)

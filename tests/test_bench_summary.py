@@ -99,6 +99,44 @@ def test_many_errors_still_fit_budget():
     assert parsed["errors"]["details_in"] == "BENCH_local.json"
 
 
+def test_calib_and_ci_rollup_in_driver_line():
+    """VERDICT r13 #2: the driver-consumed stdout line must be load-
+    adjudicable on its own — calib_sec (machine-speed probe) and the
+    compact ci rollup ride the line, and the REAL headline set still
+    fits the tail budget with them aboard."""
+    timings = {n: 12.3456 for n in HEADLINE}
+    ci = {n: 15.0 for n in HEADLINE}
+    ci[HEADLINE[0]] = 38.2          # the max
+    ci[HEADLINE[1]] = None          # an under-sampled query
+    line = summary_line(
+        timings, {}, 0.1, len(HEADLINE), calib_sec=0.4321, ci_by_query=ci
+    )
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["calib_sec"] == 0.4321
+    assert parsed["ci"]["max_pct"] == 38.2
+    assert parsed["ci"]["n_null"] == 1
+    # weighted average over equal timings = plain average of known CIs
+    known = [c for c in ci.values() if c is not None]
+    assert parsed["ci"]["wavg_pct"] == round(sum(known) / len(known), 1)
+    # omitted when not supplied (unit tests / partial callers)
+    bare = json.loads(summary_line(timings, {}, 0.1, len(HEADLINE)))
+    assert "calib_sec" not in bare and "ci" not in bare
+
+
+def test_ci_rollup_weighting_and_timing_filter():
+    """The ci rollup weights by per-query cost (an expensive query's CI
+    dominates the wavg) and ignores CI entries for untimed queries."""
+    timings = {"slow_q": 9.0, "fast_q": 1.0}
+    ci = {"slow_q": 10.0, "fast_q": 40.0, "errored_q": 99.0}
+    parsed = json.loads(
+        summary_line(timings, {}, 0.1, 2, calib_sec=0.5, ci_by_query=ci)
+    )
+    # (10*9 + 40*1) / 10 = 13.0 — and errored_q's 99 never enters
+    assert parsed["ci"]["wavg_pct"] == 13.0
+    assert parsed["ci"]["max_pct"] == 40.0
+
+
 def test_select_outliers_rule():
     """Outlier re-run pass (VERDICT r8 #3): >2x the previous BENCH_local
     median => re-time; new queries and missing/zero history never match."""

@@ -644,6 +644,45 @@ def test_batch_flow_cannot_overwrite_streaming_history(spark, tmp_path):
     spark.catalog.dropTempView("t_sdp_hist")
 
 
+def test_streaming_flow_cannot_bury_batch_landing(spark, tmp_path):
+    """ADVICE r13: the REVERSE switch of the checkpoint guard — a table
+    first materialized as a batch full-refresh landing (no
+    _spark_metadata, no checkpoint) that is later redefined as a
+    streaming flow must fail loud BEFORE the sink starts: a file-sink
+    commit log written into the batch dir would make committed reads see
+    only streaming files, silently vanishing the prior batch rows."""
+    store = str(tmp_path / "store")
+
+    def define_batch():
+        @sdp.table(name="t_sdp_flip")
+        def t_sdp_flip():
+            return spark.range(6).selectExpr("id AS v")
+
+    reg = LocalGraphRegistry()
+    declare(reg, define_batch)
+    out = run_local_pipeline(spark, reg, store)
+    assert out["t_sdp_flip"].count() == 6  # batch overwrite landing
+
+    src = str(tmp_path / "src")
+    spark.range(3).selectExpr("id AS v").write.parquet(src)
+
+    def define_streaming():
+        sdp.create_streaming_table("t_sdp_flip")
+
+        @sdp.append_flow(target="t_sdp_flip", name="t_sdp_flip")
+        def t_sdp_flip():
+            return spark.readStream.schema("v bigint").parquet(src)
+
+    reg2 = LocalGraphRegistry()
+    declare(reg2, define_streaming)
+    with pytest.raises(TypeError, match="_spark_metadata"):
+        run_local_pipeline(spark, reg2, store)
+    # the batch landing is untouched: all 6 rows still readable, no
+    # commit log was started
+    assert spark.read.parquet(f"{store}/t_sdp_flip/t_sdp_flip").count() == 6
+    spark.catalog.dropTempView("t_sdp_flip")
+
+
 def test_streaming_sdp_table_builds_plan_once(spark, tmp_path):
     """Review r13: a streaming @sdp.table probes batchness and then
     REUSES the plan — the user's query function runs once per pipeline

@@ -301,6 +301,42 @@ def test_zonemap_compaction_resets_map_to_one_row_per_fragment(
     assert [r["id"] for r in pruned.collect()] == [95_001]
 
 
+def test_zonemap_compaction_aborts_on_concurrent_reland(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: a re-land that appends a superseding generation AFTER
+    compaction's collect but BEFORE its overwrite must abort the
+    compaction loudly (re-checked row count), never be silently
+    swallowed by the rewrite. Simulated by racing a REAL
+    land_fragment_with_zonemap right after the collect."""
+    from dwh_etl_framework_spark.sources import zonemaps as zm
+
+    _, path = _land_demo(spark, tmp_path)
+    real = zm._current_zonemap
+
+    raced = []
+
+    def collect_then_race(spark_, path_):
+        out = real(spark_, path_)
+        if not raced:  # once: the racer's own landing resolves the map too
+            raced.append(True)
+            replacement = spark.createDataFrame(
+                [(97_001, 2_100, 700_000)], "id BIGINT, a BIGINT, b BIGINT"
+            ).withColumn("__fragment", F.lit(3).cast("bigint"))
+            land_fragment_with_zonemap(replacement, path, ["a", "b"])
+        return out
+
+    monkeypatch.setattr(zm, "_current_zonemap", collect_then_race)
+    with pytest.raises(IOError, match="changed during compaction"):
+        zm.compact_table_zonemaps(spark, path)
+    monkeypatch.setattr(zm, "_current_zonemap", real)
+    # the racer's superseding row survived and still wins the read
+    pruned, info = read_table_pruned(spark, path, {"b": (700_000, 700_000)})
+    assert [r["id"] for r in pruned.collect()] == [97_001]
+    # compaction succeeds once no writer races it
+    assert zm.compact_table_zonemaps(spark, path)["rows_after"] > 0
+
+
 def test_zonemap_compaction_refuses_pending_marker(spark, tmp_path):
     from dwh_etl_framework_spark.sources.sinks import PENDING_PREFIX
     from dwh_etl_framework_spark.sources.zonemaps import (

@@ -229,6 +229,13 @@ HEADLINE = [
                                  # over the thresholded graph (r13;
                                  # 6 join+min-combine rounds, O(edges)
                                  # each — the iterative-loop trail)
+    "x118_weighted_label_prop",  # weighted LP communities over the
+                                 # support-weighted graph (r14; the
+                                 # argmax-per-round iterative trail —
+                                 # join + SUM + struct-min per round)
+    "r59_native_topk_sketch",    # native DataSketches frequent-items,
+                                 # distributed accumulate/combine/
+                                 # estimate path (r14 env probe)
     "f44_xml_datasource_roundtrip",  # typed read-back of the XML file
                                  # landing (r13; warm cost = the xml
                                  # scan — the landing itself is once

@@ -59,6 +59,7 @@ from dwh_etl_framework_spark.queries import wave24  # noqa: F401
 from dwh_etl_framework_spark.queries import wave25  # noqa: F401
 from dwh_etl_framework_spark.queries import wave26  # noqa: F401
 from dwh_etl_framework_spark.queries import wave27  # noqa: F401
+from dwh_etl_framework_spark.queries import wave28  # noqa: F401
 
 #: The correctness driver evaluates the FIRST 50 registry entries in
 #: registration order (verified round 1: CORRECTNESS_r01.json == the first-50
@@ -687,7 +688,15 @@ ROTATION_QUEUE: dict[str, int] = {
     # layout tier f41/x111, graph tier x116/x117, native XML r58/f44,
     # and the 8 relational variants — DRAINED in round 14: all 14
     # entries entered DRIVER_WINDOW; see the round-14 rotation block
-    # above. New round-14 operators are queued below as they land.)
+    # above.)
+    # round-14 env re-probe: the Spark 4.1 DataSketches frequent-items
+    # SQL family (approx_top_k_accumulate/combine/estimate) turned LIVE
+    # — productized as r59, the r53/r54/r58 precedent
+    "r59_native_topk_sketch": 15,
+    # round-14 graph-tier depth (VERDICT r13 item 6): weighted label
+    # propagation communities over the support-weighted co-purchase
+    # graph, oracled via the bounded-rounds MATERIALIZED CTE chain
+    "x118_weighted_label_prop": 15,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -39,7 +39,11 @@ X113_TOPK = 10
 _LOWER = "(du < dv OR (du = dv AND u < v))"
 
 
-def _copurchase_pairs(li: DataFrame, support: int | None = None) -> DataFrame:
+def _copurchase_pairs(
+    li: DataFrame,
+    support: int | None = None,
+    keep_support: bool = False,
+) -> DataFrame:
     """Distinct part pairs sharing an order (u < v), from a
     (l_orderkey, l_partkey) projection — the one pair builder every
     wave26 operator shares (review r12: it was copy-pasted four ways).
@@ -49,7 +53,11 @@ def _copurchase_pairs(li: DataFrame, support: int | None = None) -> DataFrame:
     within one basket, so COUNT(*) over the join would count a
     twice-in-one-order part as support 2 — the market-basket gate is
     per-basket evidence (review r12 finding, mirrored in the oracle).
+    ``keep_support`` (requires ``support``) additionally returns the
+    support count as an edge-weight column — the x118 weighted graph.
     """
+    if keep_support and support is None:
+        raise ValueError("keep_support requires a support threshold")
     a, b = li.alias("a"), li.alias("b")
     joined = a.join(
         b,
@@ -62,12 +70,12 @@ def _copurchase_pairs(li: DataFrame, support: int | None = None) -> DataFrame:
     )
     if support is None:
         return joined.select("u", "v").distinct()
-    return (
+    gated = (
         joined.groupBy("u", "v")
         .agg(F.countDistinct("o").alias("support"))
         .filter(F.col("support") >= support)
-        .select("u", "v")
     )
+    return gated if keep_support else gated.select("u", "v")
 
 
 _X113_ORACLE = f"""

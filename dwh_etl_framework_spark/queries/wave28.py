@@ -1,0 +1,250 @@
+"""Round-14 additions: the native top-k sketch surface + weighted
+label propagation.
+
+Two tiers land here. **r59** productizes the round-14 environment
+re-probe's one LIVE discovery (the r53/r54/r58 precedent): Spark 4.1
+registers the DataSketches frequent-items family as SQL aggregates —
+``approx_top_k`` plus the distributed three-step
+``approx_top_k_accumulate`` / ``approx_top_k_combine`` /
+``approx_top_k_estimate`` — the engine-native counterpart of the
+portable CMS top-k tier (``operators/sketch.py``, x86). The probe
+exercises the full distributed-merge path (partial states per group →
+combine → estimate), which is exactly how the aggregate executes on a
+1000-executor cluster: accumulate is map-side per partition, combine
+is the exchange, estimate is a driver-cheap extraction.
+
+Oracle-ability: DataSketches frequent-items is EXACT whenever the
+number of distinct items fits ``maxItemsTracked`` (no eviction ever
+fires), so with NDV(p_brand)=25 ≪ 4096 the sketch IS a group-count,
+and emitting all items as rows (k ≥ NDV) removes tie-order ambiguity
+— the DuckDB twin is a plain GROUP BY. The same argument the portable
+HLL/CMS tier uses for its exact-audit oracles.
+
+**x118** is VERDICT r13 item 6: weighted label propagation over the
+support-thresholded co-purchase graph — the community detector that
+x116's min-label connected components can't express (CC merges
+everything reachable; LP lets dense regions keep their own label).
+Bounded synchronous rounds with a total tie order make it
+deterministic and DuckDB-unrollable (the x114/x116 MATERIALIZED CTE
+chain pattern).
+
+Reference anchor: the reference framework has no sketch or graph tier
+at all (``airflow_etl.py`` moves rows; every aggregate is a Greenplum
+passthrough) — both tiers are repo-native capabilities a training-data
+pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_etl_framework_spark.queries.registry import fixtures, query
+from dwh_etl_framework_spark.queries.wave26 import (
+    X113_TOPK,
+    X115_SUPPORT,
+    _copurchase_pairs,
+)
+
+#: sketch capacity for r59 — far above NDV(p_brand)=25, so the
+#: frequent-items sketch is provably in exact mode (no eviction)
+R59_MAX_TRACKED = 4096
+#: emitted k — above NDV, so EVERY brand appears as a row and the
+#: sketch's tie order among equal counts never reaches the output
+R59_K = 40
+
+_R59_ORACLE = """
+SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM part
+GROUP BY p_brand
+"""
+
+
+@query("r59_native_topk_sketch", oracle=_R59_ORACLE)
+def r59_native_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 14): the native DataSketches
+    frequent-items aggregate, exercised through its DISTRIBUTED form —
+    ``approx_top_k_accumulate`` builds one partial state per p_type
+    group (map-side partials), ``approx_top_k_combine`` merges the six
+    states (the exchange step), ``approx_top_k_estimate`` extracts the
+    item/count pairs. With ``maxItemsTracked``={R59_MAX_TRACKED} ≫
+    NDV(p_brand)=25 the sketch never evicts, so the estimate is exact
+    and the driver hash against a plain GROUP BY certifies the whole
+    accumulate→combine→estimate path end-to-end. k={R59_K} ≥ NDV emits
+    every brand, so no tie-order reaches the checked rows.
+
+    Scale shape: identical to any partial-aggregate — states are KB-
+    sized regardless of input rows, the only exchange is 6 sketch blobs,
+    and the same three-step split is what keeps a 100 TB top-k at one
+    pass with no row shuffle (the portable-CMS x86 argument, now with
+    the engine-native aggregate)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(f"""
+        WITH states AS (
+            SELECT approx_top_k_accumulate(p_brand, {R59_MAX_TRACKED}) AS st
+            FROM part
+            GROUP BY p_type
+        ),
+        merged AS (
+            SELECT approx_top_k_estimate(
+                       approx_top_k_combine(st, {R59_MAX_TRACKED}),
+                       {R59_K}) AS tk
+            FROM states
+        )
+        SELECT e.item AS brand, CAST(e.count AS BIGINT) AS cnt
+        FROM merged LATERAL VIEW explode(tk) AS e
+    """)
+
+
+X118_ROUNDS = 4
+
+
+def _x118_oracle() -> str:
+    """Unroll the weighted-LP rounds as a MATERIALIZED CTE chain — the
+    x116 pattern, with the per-round argmax spelled out as
+    ROW_NUMBER over (weight DESC, label ASC). AS MATERIALIZED is
+    load-bearing: each round references the prior round once inside an
+    aggregate-over-join; default inlining would re-expand the chain."""
+    parts = [
+        f"""
+WITH pairs AS MATERIALIZED (
+    SELECT u, v, support AS w FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               COUNT(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE support >= {X115_SUPPORT}
+),
+edges AS MATERIALIZED (
+    SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+),
+l0 AS MATERIALIZED (
+    SELECT node, node AS lbl
+    FROM (SELECT u AS node FROM pairs UNION SELECT v FROM pairs)
+)"""
+    ]
+    for i in range(1, X118_ROUNDS + 1):
+        p = i - 1
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+    SELECT node, lbl FROM (
+        SELECT e.v AS node, l.lbl, SUM(e.w) AS wt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.v
+                   ORDER BY SUM(e.w) DESC, l.lbl ASC
+               ) AS rn
+        FROM edges e JOIN l{p} l ON l.node = e.u
+        GROUP BY e.v, l.lbl
+    ) WHERE rn = 1
+)""")
+    parts.append(f""",
+comm AS (
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{X118_ROUNDS} GROUP BY lbl
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(size) AS BIGINT) AS n_nodes
+    FROM comm
+)
+SELECT c.community, c.size, t.n_communities, t.n_nodes
+FROM comm c CROSS JOIN totals t
+ORDER BY size DESC, community ASC
+LIMIT {X113_TOPK}""")
+    return "".join(parts)
+
+
+_X118_ORACLE = _x118_oracle()
+
+
+@query("x118_weighted_label_prop", oracle=_X118_ORACLE)
+def x118_weighted_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics, round-14 depth (VERDICT r13 item 6):
+    community detection by WEIGHTED label propagation (Raghavan et al.
+    2007, synchronous variant) over the support-thresholded co-purchase
+    graph — x116's edges, but carrying their support counts as weights.
+    Each of {X118_ROUNDS} bounded rounds every node adopts the label
+    with the greatest total incident edge weight among its neighbors,
+    ties broken by the SMALLER label — a total order, so the synchronous
+    update is deterministic at every scale factor and the oracle can
+    unroll it as one MATERIALIZED CTE chain (the x114/x116 pattern: a
+    single driver hash certifies threshold + weights + every argmax
+    round + the size rollup). Unlike x116's min-label CC — which merges
+    everything reachable — weighted LP lets densely-connected regions
+    keep distinct communities, the market-basket segmentation shape.
+
+    Scale shape: each round is ONE equi-join (labels into the symmetric
+    weighted edge list) + ONE map-side-combinable SUM groupBy + ONE
+    argmax groupBy (min over a (−weight, label) struct — no window, no
+    skew pivot), per-round cost O(edges). The support gate runs first
+    (1.20M→3.9k edges at sf0.1, x115's measured collapse); per-round
+    frames are localCheckpointed so lineage stays flat (the x77
+    discipline); round count is a constant, never driver data flow."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    labels = weighted_lp_labels(
+        _copurchase_pairs(li, support=X115_SUPPORT, keep_support=True),
+        X118_ROUNDS,
+    )
+    comm = labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    totals = comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("size").cast("long").alias("n_nodes"),
+    )
+    return (
+        comm.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(X113_TOPK)
+    )
+
+
+def weighted_lp_labels(pairs: DataFrame, rounds: int) -> DataFrame:
+    """Core x118 plan over any weighted undirected edge list
+    (u < v distinct, weight column ``support``): ``rounds`` synchronous
+    weighted-LP steps; returns (node, lbl). Argmax is expressed as
+    ``min(struct(-total_weight, label))`` — a plain map-side-combinable
+    aggregate, deliberately NOT a row_number window (no per-node
+    partition pivot, no skew hazard on high-degree nodes)."""
+    pairs = pairs.select(
+        "u", "v", F.col("support").alias("w")
+    ).localCheckpoint(eager=False)
+    edges = (
+        pairs.select("u", "v", "w")
+        .unionAll(
+            pairs.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(rounds):
+        scored = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            scored.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("wt")).alias("neg_wt"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

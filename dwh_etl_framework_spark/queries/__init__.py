@@ -697,6 +697,10 @@ ROTATION_QUEUE: dict[str, int] = {
     # propagation communities over the support-weighted co-purchase
     # graph, oracled via the bounded-rounds MATERIALIZED CTE chain
     "x118_weighted_label_prop": 15,
+    # x118's quality companion: Newman weighted modularity of the LP
+    # communities in exact integer terms (q_num/q_den — division never
+    # performed; negative-Q division semantics differ across engines)
+    "x119_community_modularity": 15,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

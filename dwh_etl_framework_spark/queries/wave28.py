@@ -203,6 +203,142 @@ def x118_weighted_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x119_oracle() -> str:
+    """x118's unrolled LP chain, then Newman weighted modularity over
+    the final labels in EXACT integer arithmetic: per community,
+    intra-community weight w_in and degree-sum d_c; globally
+    q_num = 4·m·Σw_in − Σd_c², q_den = 4·m² (so Q = q_num/q_den).
+    The division itself is never performed — q can be negative, and
+    truncating vs flooring integer division differ across engines for
+    negatives (the one trap the x117 ppm pattern did not have to face),
+    so the checked columns are the exact integer terms."""
+    chain = _x118_oracle()
+    head = chain[: chain.index(",\ncomm AS (")]
+    return head + f""",
+deg AS MATERIALIZED (
+    SELECT node, CAST(SUM(w) AS BIGINT) AS d FROM (
+        SELECT u AS node, w FROM pairs UNION ALL SELECT v, w FROM pairs
+    ) GROUP BY node
+),
+intra AS (
+    SELECT la.lbl AS lbl, CAST(SUM(p.w) AS BIGINT) AS w_in
+    FROM pairs p
+    JOIN l{X118_ROUNDS} la ON la.node = p.u
+    JOIN l{X118_ROUNDS} lb ON lb.node = p.v AND lb.lbl = la.lbl
+    GROUP BY la.lbl
+),
+dsum AS (
+    SELECT la.lbl, CAST(SUM(d.d) AS BIGINT) AS d_c,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{X118_ROUNDS} la JOIN deg d ON d.node = la.node
+    GROUP BY la.lbl
+),
+comm AS (
+    SELECT CAST(ds.lbl AS BIGINT) AS community, ds.size,
+           CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in, ds.d_c
+    FROM dsum ds LEFT JOIN intra i ON i.lbl = ds.lbl
+),
+mt AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM pairs),
+gq AS (
+    SELECT CAST(4 * mt.m * (SELECT SUM(w_in) FROM comm)
+                - (SELECT SUM(d_c * d_c) FROM comm) AS BIGINT) AS q_num,
+           CAST(4 * mt.m * mt.m AS BIGINT) AS q_den
+    FROM mt
+)
+SELECT c.community, c.size, c.w_in, c.d_c, g.q_num, g.q_den
+FROM comm c CROSS JOIN gq g
+ORDER BY size DESC, community ASC
+LIMIT {X113_TOPK}"""
+
+
+_X119_ORACLE = _x119_oracle()
+
+
+@query("x119_community_modularity", oracle=_X119_ORACLE)
+def x119_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics (round 14): Newman WEIGHTED modularity of
+    the x118 communities — the quality score that says whether label
+    propagation actually found structure (Q > 0) or noise. Carried as
+    EXACT integers (the x117 discipline, one step further): the checked
+    columns are q_num = 4·m·Σw_in − Σd_c² and q_den = 4·m² — the
+    division is never performed, because Q can be NEGATIVE and
+    truncating (Spark DIV) vs flooring (some engines) integer division
+    disagree below zero; exact integer terms sidestep the trap
+    entirely. Per-community rows carry (size, w_in, d_c) so the hash
+    certifies every community's intra-weight and degree mass, not just
+    the global score.
+
+    Scale shape: on top of x118's O(edges)-per-round labels, modularity
+    is TWO label joins into the edge list + three map-side-combinable
+    SUM aggregates — no new shuffle class, no wedge work; the global
+    terms are one scalar row broadcast back onto the community rows."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(li, support=X115_SUPPORT, keep_support=True)
+    labels = weighted_lp_labels(pairs, X118_ROUNDS)
+    return (
+        modularity_report(pairs, labels)
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(X113_TOPK)
+    )
+
+
+def modularity_report(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Core x119 plan over any weighted undirected edge list (u < v
+    distinct, weight column ``support``) and any (node, lbl) labeling:
+    one row per community with (community, size, w_in, d_c) plus the
+    global exact-integer modularity terms (q_num, q_den) replicated —
+    Q = q_num/q_den = Σ_c [w_in_c/m − (d_c/2m)²]."""
+    w = pairs.select("u", "v", F.col("support").alias("w"))
+    lab_u = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        w.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.sum("w").cast("long").alias("w_in"))
+    )
+    deg = (
+        w.select(F.col("u").alias("node"), "w")
+        .unionAll(w.select(F.col("v").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("d"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(
+            F.sum("d").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("size"),
+        )
+    )
+    comm = (
+        dsum.join(intra, "lbl", "left")
+        .select(
+            F.col("lbl").cast("long").alias("community"),
+            "size",
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
+            "d_c",
+        )
+    )
+    m = w.agg(F.sum("w").cast("long").alias("m"))
+    glob = (
+        comm.agg(
+            F.sum("w_in").cast("long").alias("sw"),
+            F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sd2"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            (4 * F.col("m") * F.col("sw") - F.col("sd2"))
+            .cast("long")
+            .alias("q_num"),
+            (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        )
+    )
+    return comm.crossJoin(F.broadcast(glob))
+
+
 def weighted_lp_labels(pairs: DataFrame, rounds: int) -> DataFrame:
     """Core x118 plan over any weighted undirected edge list
     (u < v distinct, weight column ``support``): ``rounds`` synchronous

@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 from dwh_etl_framework_spark.queries.wave26 import cc_labels
 from dwh_etl_framework_spark.queries.wave28 import (
     R59_K,
+    modularity_report,
     r59_native_topk_sketch,
     weighted_lp_labels,
     x118_weighted_label_prop,
+    x119_community_modularity,
 )
 
 from conftest import SF_DIR
@@ -94,6 +96,68 @@ def test_x118_report_shape_and_totals(spark):
     for a, b in zip(rep, rep[1:]):
         if a["size"] == b["size"]:
             assert a["community"] < b["community"]
+
+
+def _labels_df(spark, mapping):
+    return spark.createDataFrame(
+        list(mapping.items()), "node bigint, lbl bigint"
+    )
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: Σw_in = m and Σd_c² = (2m)², so
+    q_num = 4m·m − 4m² = 0 exactly — the null-model fixed point."""
+    tri = [(1, 2, 3), (1, 3, 3), (2, 3, 3)]
+    rep = modularity_report(
+        _wpairs(spark, tri), _labels_df(spark, {1: 1, 2: 1, 3: 1})
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["q_num"] == 0 and r["q_den"] == 4 * 9 * 9
+    assert r["w_in"] == 9 and r["d_c"] == 18 and r["size"] == 3
+
+
+def test_modularity_hand_computed_barbell(spark):
+    """Two K3s (weight 4 each edge) + weight-1 bridge, split at the
+    bridge: m = 25, each side w_in = 12, d_c = 25 -> q_num =
+    4·25·24 − 2·625 = 1150, q_den = 2500 (Q = 0.46) — and the split
+    labeling must beat all-in-one (Q = 0)."""
+    left = [(1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    right = [(7, 8, 4), (7, 9, 4), (8, 9, 4)]
+    bridge = [(3, 7, 1)]
+    wp = _wpairs(spark, left + right + bridge)
+    split = _labels_df(spark, {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7})
+    rows = {r["community"]: r for r in modularity_report(wp, split).collect()}
+    assert rows[1]["w_in"] == 12 and rows[1]["d_c"] == 25
+    assert rows[7]["w_in"] == 12 and rows[7]["d_c"] == 25
+    assert rows[1]["q_num"] == 4 * 25 * 24 - 2 * 625 == 1150
+    assert rows[1]["q_den"] == 4 * 25 * 25 == 2500
+    merged = _labels_df(spark, {n: 1 for n in (1, 2, 3, 7, 8, 9)})
+    assert modularity_report(wp, merged).collect()[0]["q_num"] == 0
+
+
+def test_modularity_can_go_negative(spark):
+    """An adversarial labeling that cuts every edge (each node its own
+    community): Σw_in = 0, so q_num = −Σd_c² < 0 — the reason the
+    checked columns are exact integer terms, never an integer
+    division whose negative semantics differ across engines."""
+    path = [(1, 2, 2), (2, 3, 2)]
+    singletons = _labels_df(spark, {1: 1, 2: 2, 3: 3})
+    r = modularity_report(_wpairs(spark, path), singletons).collect()[0]
+    assert r["q_num"] == -(4 + 16 + 4) and r["q_den"] == 64
+
+
+def test_x119_fixture_consistency(spark):
+    """Fixture smoke at sf0.001: q_num/q_den consistent across rows,
+    per-community identities hold (w_in ≤ d_c/2, size ≥ 1)."""
+    rep = x119_community_modularity(spark, SF_DIR).collect()
+    assert rep
+    q_num, q_den = rep[0]["q_num"], rep[0]["q_den"]
+    assert q_den > 0
+    assert all(r["q_num"] == q_num and r["q_den"] == q_den for r in rep)
+    for r in rep:
+        assert 2 * r["w_in"] <= r["d_c"]  # intra edges ≤ half degree mass
+        assert r["size"] >= 1
 
 
 def test_r59_exact_mode_matches_groupby(spark):

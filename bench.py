@@ -236,6 +236,12 @@ HEADLINE = [
     "r59_native_topk_sketch",    # native DataSketches frequent-items,
                                  # distributed accumulate/combine/
                                  # estimate path (r14 env probe)
+    "r60_native_hll_ndv",        # native HLL NDV + exact audit band
+                                 # (r14; the audit's COUNT DISTINCT is
+                                 # the benched row-weight — production
+                                 # runs the sketch alone)
+    "r61_theta_set_algebra",     # theta set algebra, one-scan FILTER
+                                 # sketches, exact below nominal (r14)
     "f44_xml_datasource_roundtrip",  # typed read-back of the XML file
                                  # landing (r13; warm cost = the xml
                                  # scan — the landing itself is once

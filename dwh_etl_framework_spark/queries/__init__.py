@@ -693,6 +693,11 @@ ROTATION_QUEUE: dict[str, int] = {
     # SQL family (approx_top_k_accumulate/combine/estimate) turned LIVE
     # — productized as r59, the r53/r54/r58 precedent
     "r59_native_topk_sketch": 15,
+    # same probe wave: native HLL NDV (exact-audit ±3% band, the x84
+    # pattern for a non-portable sketch) and theta set algebra (exact
+    # below 2^20 nominal; the default-union downsampling trap pinned)
+    "r60_native_hll_ndv": 15,
+    "r61_theta_set_algebra": 15,
     # round-14 graph-tier depth (VERDICT r13 item 6): weighted label
     # propagation communities over the support-weighted co-purchase
     # graph, oracled via the bounded-rounds MATERIALIZED CTE chain

@@ -96,6 +96,130 @@ def r59_native_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+#: r60 — HLL lgConfigK: σ ≈ 1.04/√2^14 ≈ 0.81%, so the ±3% audit band
+#: is ≈ 3.7σ; below a few thousand distincts the sketch's sparse mode
+#: is near-exact anyway
+R60_LGK = 14
+#: r61 — theta lgNomEntries: 2^20 ≈ 1.05M nominal entries, far above
+#: the part-key set sizes at every tested SF (~190k at sf1), so every
+#: sketch AND every set-operation result stays in EXACT mode
+R61_LGK = 20
+
+_R60_ORACLE = """
+SELECT o_orderpriority AS grp,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
+"""
+
+
+@query("r60_native_hll_ndv", oracle=_R60_ORACLE)
+def r60_native_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 14): the native DataSketches HLL
+    family — ``hll_sketch_agg`` per group, ``hll_union_agg`` across the
+    group states (the distributed merge), ``hll_sketch_estimate`` to
+    extract. HLL is never exact, so this uses the x84 exact-audit
+    pattern adapted for a non-portable sketch: the checked columns are
+    the EXACT per-group NDV plus ``hll_ok`` — the estimate within ±3%
+    (≈3.7σ at lgK={R60_LGK}) — and the oracle emits the exact counts
+    with TRUE. The estimate is deterministic for fixed input (hash-
+    based, no RNG), so the boolean is hash-stable; a real drift at any
+    SF flips it to FALSE and the driver goes red. Upgrades the NDV
+    tier's honest weakness (portable HLL at m=64, ±13% σ —
+    costing-grade) with an engine-native ±0.8% path.
+
+    Scale shape: per-group states are KB-sized; the union exchange
+    carries 5 sketch blobs; the exact audit is the only row-weight and
+    exists FOR the oracle (production uses the sketch alone)."""
+    fixtures(spark, sf_dir)
+    return spark.sql(f"""
+        WITH states AS (
+            SELECT o_orderpriority AS grp,
+                   hll_sketch_agg(o_custkey, {R60_LGK}) AS st,
+                   COUNT(DISTINCT o_custkey) AS n_exact
+            FROM orders GROUP BY o_orderpriority
+        ),
+        per AS (
+            SELECT grp, n_exact,
+                   CAST(hll_sketch_estimate(st) AS BIGINT) AS est
+            FROM states
+        ),
+        gl AS (
+            SELECT 'ALL' AS grp,
+                   (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_exact,
+                   CAST(hll_sketch_estimate(hll_union_agg(st, true))
+                        AS BIGINT) AS est
+            FROM states
+        )
+        SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+               (abs(est - n_exact) * 100 <= 3 * n_exact) AS hll_ok
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM gl)
+    """)
+
+
+_R61_ORACLE = """
+WITH flags AS (
+    SELECT l_partkey,
+           BOOL_OR(l_quantity <= 5) AS lo,
+           BOOL_OR(l_quantity >= 46) AS hi
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN lo OR hi THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+       CAST(SUM(CASE WHEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+       CAST(SUM(CASE WHEN lo AND NOT hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_only
+FROM flags
+"""
+
+
+@query("r61_theta_set_algebra", oracle=_R61_ORACLE)
+def r61_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 14): DataSketches THETA sketches —
+    the sketch family that supports SET ALGEBRA (union, intersection,
+    difference), which HLL cannot. One scan builds two part-key
+    sketches with FILTER clauses (low-quantity vs high-quantity
+    baskets); the report is |A|, |B|, |A∪B|, |A∩B|, |A−B| — all five
+    from the sketches, all EXACT because at lgNomEntries={R61_LGK}
+    (2^20 nominal) every sketch and every derived result stays below
+    capacity at every tested SF, so the driver hash against DuckDB's
+    exact per-key BOOL_OR flags certifies the whole algebra.
+
+    Trap pinned live (tests): ``theta_union(a, b)`` WITHOUT the
+    explicit lgNomEntries arg defaults to 2^12 nominal and silently
+    DOWNSAMPLES an exact 150k-row union into a ±estimate — the same
+    class of silent degradation as f44's DECIMAL rounding; the lgK
+    must ride every union call, not just the accumulators.
+
+    Scale shape: one pass, two KB..MB-sized states, zero row exchange;
+    set algebra over arbitrary predicates without re-scanning — the
+    capability the warehouse's overlap/containment audits want at
+    100 TB. Production accepts the estimate above capacity; the exact
+    regime here exists to make the surface hash-certifiable."""
+    fixtures(spark, sf_dir)
+    return spark.sql(f"""
+        WITH s AS (
+            SELECT theta_sketch_agg(l_partkey, {R61_LGK})
+                       FILTER (WHERE l_quantity <= 5) AS sa,
+                   theta_sketch_agg(l_partkey, {R61_LGK})
+                       FILTER (WHERE l_quantity >= 46) AS sb
+            FROM lineitem
+        )
+        SELECT CAST(theta_sketch_estimate(sa) AS BIGINT) AS n_low,
+               CAST(theta_sketch_estimate(sb) AS BIGINT) AS n_high,
+               CAST(theta_sketch_estimate(theta_union(sa, sb, {R61_LGK}))
+                    AS BIGINT) AS n_union,
+               CAST(theta_sketch_estimate(theta_intersection(sa, sb))
+                    AS BIGINT) AS n_inter,
+               CAST(theta_sketch_estimate(theta_difference(sa, sb))
+                    AS BIGINT) AS n_low_only
+        FROM s
+    """)
+
+
 X118_ROUNDS = 4
 
 

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from dwh_etl_framework_spark.queries.wave26 import cc_labels
 from dwh_etl_framework_spark.queries.wave28 import (
+    r60_native_hll_ndv,
+    r61_theta_set_algebra,
     R59_K,
     modularity_report,
     r59_native_topk_sketch,
@@ -158,6 +160,50 @@ def test_x119_fixture_consistency(spark):
     for r in rep:
         assert 2 * r["w_in"] <= r["d_c"]  # intra edges ≤ half degree mass
         assert r["size"] >= 1
+
+
+def test_theta_union_without_lgk_degrades(spark):
+    """The live trap r61 pins: theta_union WITHOUT the explicit
+    lgNomEntries arg defaults to 2^12 nominal and silently downsamples
+    a union that both input sketches hold exactly — the lgK must ride
+    every union call, not just the accumulators."""
+    q = """
+        SELECT CAST(theta_sketch_estimate(theta_union(a.s, b.s{arg}))
+               AS BIGINT) AS n
+        FROM (SELECT theta_sketch_agg(id, 20) s FROM range(100000)) a,
+             (SELECT theta_sketch_agg(id, 20) s
+              FROM range(50000, 150000)) b
+    """
+    exact = spark.sql(q.format(arg=", 20")).collect()[0]["n"]
+    assert exact == 150000  # explicit lgK: exact
+    degraded = spark.sql(q.format(arg="")).collect()[0]["n"]
+    assert degraded != 150000  # default union nominal: estimate mode
+
+
+def test_r61_set_identities_and_exactness(spark):
+    """Exact-mode invariants on the fixture: inclusion-exclusion and
+    difference identities hold EXACTLY (they would only approximately
+    hold if any sketch had crossed into estimate mode)."""
+    r = r61_theta_set_algebra(spark, SF_DIR).collect()[0]
+    assert r["n_union"] == r["n_low"] + r["n_high"] - r["n_inter"]
+    assert r["n_low_only"] == r["n_low"] - r["n_inter"]
+    assert 0 <= r["n_inter"] <= min(r["n_low"], r["n_high"])
+
+
+def test_r60_audit_row_shape_and_determinism(spark):
+    """The HLL audit: per-priority rows + the 'ALL' union row, every
+    band check green at fixture scale, and the estimate path is
+    deterministic (two runs, identical frames — hash-based sketch, no
+    RNG — the property that makes hll_ok oracle-safe)."""
+    a = {r["grp"]: r for r in r60_native_hll_ndv(spark, SF_DIR).collect()}
+    b = {r["grp"]: r for r in r60_native_hll_ndv(spark, SF_DIR).collect()}
+    assert a.keys() == b.keys() and "ALL" in a
+    for g in a:
+        assert a[g]["hll_ok"] is True
+        assert a[g]["n_exact"] == b[g]["n_exact"]
+    assert a["ALL"]["n_exact"] >= max(
+        r["n_exact"] for g, r in a.items() if g != "ALL"
+    )
 
 
 def test_r59_exact_mode_matches_groupby(spark):

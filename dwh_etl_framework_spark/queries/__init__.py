@@ -706,6 +706,10 @@ ROTATION_QUEUE: dict[str, int] = {
     # communities in exact integer terms (q_num/q_den — division never
     # performed; negative-Q division semantics differ across engines)
     "x119_community_modularity": 15,
+    # the Louvain phase-1 move-gain scan over the same communities
+    # (exact 2m²-scaled gains, stay option materialized, argmax total
+    # order) — the between-rounds audit of a community pipeline
+    "x120_louvain_move_gains": 15,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -463,6 +463,231 @@ def modularity_report(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     return comm.crossJoin(F.broadcast(glob))
 
 
+#: x120 — movers reported (size of the audit slice, the X113_TOPK rule)
+X120_TOPK = 20
+
+
+def _x120_oracle() -> str:
+    """x118's unrolled LP chain, then one Louvain move-gain scan over
+    the final labels, all denominators cleared to exact integers:
+    gain_units(i→C) = 2·m·w(i,C) − k_i·(d_C − k_i·[C = cur(i)]) — the
+    standard Louvain insertion gain ×2m² with node i removed from its
+    community first. The STAY option is materialized explicitly (a
+    node with zero intra-community edges has no (i, cur) candidate
+    row), best is argmax over (gain DESC, community ASC), and a mover
+    is a node whose best community differs with a strictly positive
+    relative gain."""
+    chain = _x118_oracle()
+    head = chain[: chain.index(",\ncomm AS (")]
+    L = f"l{X118_ROUNDS}"
+    return head + f""",
+deg AS MATERIALIZED (
+    SELECT node, CAST(SUM(w) AS BIGINT) AS k_i FROM (
+        SELECT u AS node, w FROM pairs UNION ALL SELECT v, w FROM pairs
+    ) GROUP BY node
+),
+dsum AS MATERIALIZED (
+    SELECT la.lbl, CAST(SUM(d.k_i) AS BIGINT) AS d_c
+    FROM {L} la JOIN deg d ON d.node = la.node GROUP BY la.lbl
+),
+mt AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM pairs),
+nw AS MATERIALIZED (
+    SELECT e.u AS node, l.lbl AS c, CAST(SUM(e.w) AS BIGINT) AS w_ic
+    FROM edges e JOIN {L} l ON l.node = e.v GROUP BY e.u, l.lbl
+),
+cand AS (
+    SELECT nw.node, la.lbl AS cur, d.k_i, nw.c,
+           2 * mt.m * nw.w_ic
+             - d.k_i * (ds.d_c
+                        - CASE WHEN nw.c = la.lbl THEN d.k_i ELSE 0 END)
+               AS gu
+    FROM nw
+    JOIN {L} la ON la.node = nw.node
+    JOIN deg d ON d.node = nw.node
+    JOIN dsum ds ON ds.lbl = nw.c
+    CROSS JOIN mt
+),
+stay AS (
+    SELECT la.node, la.lbl AS cur, d.k_i, la.lbl AS c,
+           2 * mt.m * COALESCE(nw.w_ic, 0)
+             - d.k_i * (ds.d_c - d.k_i) AS gu
+    FROM {L} la
+    JOIN deg d ON d.node = la.node
+    JOIN dsum ds ON ds.lbl = la.lbl
+    LEFT JOIN nw ON nw.node = la.node AND nw.c = la.lbl
+    CROSS JOIN mt
+),
+ranked AS (
+    SELECT node, cur, c, gu,
+           ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY gu DESC, c ASC
+           ) AS rn
+    FROM (SELECT node, cur, c, gu FROM cand WHERE c <> cur
+          UNION ALL SELECT node, cur, c, gu FROM stay)
+),
+best AS (
+    SELECT r.node, r.cur, r.c AS best_c, r.gu - s.gu AS rel_gain
+    FROM ranked r JOIN stay s ON s.node = r.node
+    WHERE r.rn = 1
+),
+movers AS (
+    SELECT CAST(node AS BIGINT) AS node, CAST(cur AS BIGINT) AS from_c,
+           CAST(best_c AS BIGINT) AS to_c, CAST(rel_gain AS BIGINT)
+               AS rel_gain
+    FROM best WHERE best_c <> cur AND rel_gain > 0
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_movers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {L}) AS n_nodes
+    FROM movers
+)
+SELECT mv.node, mv.from_c, mv.to_c, mv.rel_gain,
+       t.n_movers, t.n_nodes
+FROM movers mv CROSS JOIN totals t
+ORDER BY rel_gain DESC, node ASC
+LIMIT {X120_TOPK}"""
+
+
+_X120_ORACLE = _x120_oracle()
+
+
+@query("x120_louvain_move_gains", oracle=_X120_ORACLE)
+def x120_louvain_move_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics (round 14): one Louvain move-gain scan
+    (Blondel et al. 2008, phase-1 step) over the x118 communities —
+    for every node, the best community to move to and the EXACT
+    relative modularity gain, with all denominators cleared:
+    gain_units(i→C) = 2·m·w(i,C) − k_i·(d_C − k_i·[C = cur]) is the
+    insertion gain ×2m² after removing i from its own community, so
+    comparing gain_units IS comparing ΔQ — integer-exact, no float in
+    the driver hash (the x119 discipline). The STAY option is
+    materialized explicitly (a node with no intra-community edge has
+    no (i, cur) aggregate row), best = argmax(gain DESC, community
+    ASC) — a total order — and the report is the top-{X120_TOPK}
+    movers by relative gain with global totals. This is the audit a
+    scheduled community pipeline runs between LP rounds: a large
+    mover count with large gains means the labeling is far from a
+    local optimum.
+
+    Scale shape: ONE equi-join builds the (node, neighbor-community)
+    weight aggregate (O(edges) rows in, ≤ adjacency out), then
+    node-sized joins against the degree/community-mass tables; the
+    argmax is a per-node MIN over a (−gain, community) struct — map-
+    side combinable, no skew pivot (the x118 rule); m is one broadcast
+    scalar."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(li, support=X115_SUPPORT, keep_support=True)
+    labels = weighted_lp_labels(pairs, X118_ROUNDS)
+    return (
+        louvain_move_gains(pairs, labels)
+        .orderBy(F.col("rel_gain").desc(), F.col("node").asc())
+        .limit(X120_TOPK)
+    )
+
+
+def louvain_move_gains(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Core x120 plan over any weighted undirected edge list (u < v
+    distinct, weight column ``support``) and any (node, lbl) labeling:
+    one row per MOVER — (node, from_c, to_c, rel_gain) with global
+    (n_movers, n_nodes) replicated — where rel_gain is the exact
+    integer 2m²-scaled modularity gain of the best move vs staying."""
+    w = pairs.select("u", "v", F.col("support").alias("w"))
+    edges = w.unionAll(
+        w.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    deg = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").cast("long").alias("k_i"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("k_i").cast("long").alias("d_c"))
+    )
+    m = w.agg(F.sum("w").cast("long").alias("m"))
+    nw = (
+        edges.join(
+            labels.select(F.col("node").alias("v"), F.col("lbl").alias("c")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.sum("w").cast("long").alias("w_ic"))
+    )
+    base = (
+        labels.withColumnRenamed("lbl", "cur")
+        .join(deg, "node")
+        .crossJoin(F.broadcast(m))
+    )
+    cand = (
+        base.join(nw, "node")
+        .filter(F.col("c") != F.col("cur"))
+        .join(dsum.withColumnRenamed("lbl", "c"), "c")
+        .select(
+            "node", "cur",
+            F.col("c"),
+            (
+                2 * F.col("m") * F.col("w_ic")
+                - F.col("k_i") * F.col("d_c")
+            ).cast("long").alias("gu"),
+        )
+    )
+    stay = (
+        base.join(dsum.withColumnRenamed("lbl", "cur"), "cur")
+        .join(
+            nw.withColumnRenamed("c", "cur").withColumnRenamed(
+                "w_ic", "w_cur"
+            ),
+            ["node", "cur"],
+            "left",
+        )
+        .select(
+            "node", "cur",
+            F.col("cur").alias("c"),
+            (
+                2 * F.col("m") * F.coalesce(F.col("w_cur"), F.lit(0))
+                - F.col("k_i") * (F.col("d_c") - F.col("k_i"))
+            ).cast("long").alias("gu"),
+        )
+    )
+    best = (
+        cand.unionByName(stay)
+        .groupBy("node", "cur")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gu")).alias("neg_gu"), F.col("c").alias("c")
+                )
+            ).alias("b")
+        )
+        .select(
+            "node", "cur",
+            F.col("b.c").alias("best_c"),
+            (-F.col("b.neg_gu")).alias("gu_best"),
+        )
+    )
+    rel = (
+        best.join(stay.select("node", F.col("gu").alias("gu_stay")), "node")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("cur").cast("long").alias("from_c"),
+            F.col("best_c").cast("long").alias("to_c"),
+            (F.col("gu_best") - F.col("gu_stay"))
+            .cast("long")
+            .alias("rel_gain"),
+        )
+        .filter((F.col("to_c") != F.col("from_c")) & (F.col("rel_gain") > 0))
+    )
+    totals = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_movers")
+    ).crossJoin(
+        F.broadcast(
+            labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+    )
+    return rel.crossJoin(F.broadcast(totals))
+
+
 def weighted_lp_labels(pairs: DataFrame, rounds: int) -> DataFrame:
     """Core x118 plan over any weighted undirected edge list
     (u < v distinct, weight column ``support``): ``rounds`` synchronous

@@ -162,6 +162,46 @@ def test_x119_fixture_consistency(spark):
         assert r["size"] >= 1
 
 
+def test_louvain_gain_hand_computed_mislabeled_barbell(spark):
+    """Barbell with node 9 mislabeled into the left community: the
+    move-gain scan must flag EXACTLY node 9, moving to community 7,
+    with the hand-computed 2m²-scaled relative gain 464 — and applying
+    the move must raise exact-integer modularity (222 → 1150)."""
+    from dwh_etl_framework_spark.queries.wave28 import louvain_move_gains
+
+    left = [(1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    right = [(7, 8, 4), (7, 9, 4), (8, 9, 4)]
+    bridge = [(3, 7, 1)]
+    wp = _wpairs(spark, left + right + bridge)
+    mislabeled = _labels_df(spark, {1: 1, 2: 1, 3: 1, 9: 1, 7: 7, 8: 7})
+    movers = louvain_move_gains(wp, mislabeled).collect()
+    assert len(movers) == 1
+    mv = movers[0]
+    # k_9=8, cur=1: stay = 2·25·0 − 8·(33−8) = −200;
+    # move to 7 = 2·25·8 − 8·17 = 264; rel = 464
+    assert (mv["node"], mv["from_c"], mv["to_c"]) == (9, 1, 7)
+    assert mv["rel_gain"] == 464
+    assert mv["n_movers"] == 1 and mv["n_nodes"] == 6
+    q_before = modularity_report(wp, mislabeled).collect()[0]["q_num"]
+    fixed = _labels_df(spark, {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7})
+    q_after = modularity_report(wp, fixed).collect()[0]["q_num"]
+    assert (q_before, q_after) == (222, 1150) and q_after > q_before
+
+
+def test_louvain_local_optimum_has_no_movers(spark):
+    """The correctly-split barbell is a local optimum of one-node
+    moves: zero movers — including node 3, whose bridge candidate must
+    lose to its hand-computed stay gain (256 vs −175)."""
+    from dwh_etl_framework_spark.queries.wave28 import louvain_move_gains
+
+    left = [(1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    right = [(7, 8, 4), (7, 9, 4), (8, 9, 4)]
+    bridge = [(3, 7, 1)]
+    wp = _wpairs(spark, left + right + bridge)
+    split = _labels_df(spark, {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7})
+    assert louvain_move_gains(wp, split).collect() == []
+
+
 def test_theta_union_without_lgk_degrades(spark):
     """The live trap r61 pins: theta_union WITHOUT the explicit
     lgNomEntries arg defaults to 2^12 nominal and silently downsamples

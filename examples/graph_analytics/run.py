@@ -50,6 +50,7 @@ from dwh_etl_framework_spark.queries.wave26 import (  # noqa: E402
 )
 from dwh_etl_framework_spark.queries.wave28 import (  # noqa: E402
     X118_ROUNDS,
+    louvain_move_gains,
     modularity_report,
     weighted_lp_labels,
 )
@@ -90,6 +91,15 @@ def main() -> int:
     for r in rows[:5]:
         print(f"  community {r['community']:>6}  size {r['size']:>4}"
               f"  w_in {r['w_in']:>5}  degree-mass {r['d_c']:>5}")
+
+    # 4b. Louvain move-gain audit: how far is LP from a local optimum?
+    movers = louvain_move_gains(pairs, labels).collect()
+    if movers:
+        print(f"move-gain audit: {movers[0]['n_movers']} profitable "
+              f"single-node moves remain (best: node "
+              f"{max(movers, key=lambda r: r['rel_gain'])['node']})")
+    else:
+        print("move-gain audit: local optimum — no profitable move")
 
     # 5. native sketch profile of the assignment (engine-side, no rows)
     prof = labels.agg(

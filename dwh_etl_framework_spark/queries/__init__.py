@@ -710,6 +710,10 @@ ROTATION_QUEUE: dict[str, int] = {
     # (exact 2m²-scaled gains, stay option materialized, argmax total
     # order) — the between-rounds audit of a community pipeline
     "x120_louvain_move_gains": 15,
+    # SQL session variables + EXECUTE IMMEDIATE (round-14 probe wave):
+    # the in-engine param-template counterpart (F10), both binding
+    # paths certified under one hash via the path column
+    "r62_session_variables": 15,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -463,6 +463,65 @@ def modularity_report(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     return comm.crossJoin(F.broadcast(glob))
 
 
+_R62_ORACLE = """
+SELECT path, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+CROSS JOIN (SELECT 'exec' AS path UNION ALL SELECT 'var') p
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY path, o_orderpriority
+"""
+
+
+@query("r62_session_variables", oracle=_R62_ORACLE)
+def r62_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface probe (round 14): SQL session variables
+    (``DECLARE [OR REPLACE] VARIABLE`` / ``SET VAR``) and ``EXECUTE
+    IMMEDIATE ... USING`` — the IN-ENGINE counterpart of the
+    reference's param-template family (F10, ``airflow_etl.py``
+    renders parameters into SQL text OUTSIDE the engine; here the
+    engine owns declaration, typing, and binding). The same filtered
+    report runs through BOTH mechanisms — direct variable references
+    in the predicate, and the identical query text bound via
+    EXECUTE IMMEDIATE positional USING args — tagged with a ``path``
+    column; the oracle emits every row under both tags, so one driver
+    hash certifies variable resolution ≡ immediate binding ≡ literal
+    inlining. ``DECLARE OR REPLACE`` keeps the query re-runnable in a
+    shared session (registry queries must be idempotent).
+
+    Scale shape: variables are session-scoped scalars resolved at
+    analysis time — the bound plan is byte-identical to the literal
+    plan (filter pushdown, codegen unchanged); nothing about the
+    mechanism touches the distributed path."""
+    fixtures(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE r62_min_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR r62_min_price = 50000.0")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE r62_status STRING DEFAULT 'F'"
+    )
+    report = """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = {status} AND o_totalprice >= {minp}
+        GROUP BY o_orderpriority
+    """
+    via_var = spark.sql(
+        report.format(status="r62_status", minp="r62_min_price")
+    ).withColumn("path", F.lit("var"))
+    exec_sql = report.format(status="?", minp="?").replace("'", "\\'")
+    via_exec = spark.sql(
+        f"EXECUTE IMMEDIATE '{exec_sql}' USING 'F', 50000.0"
+    ).withColumn("path", F.lit("exec"))
+    return via_var.unionByName(via_exec)
+
+
 #: x120 — movers reported (size of the audit slice, the X113_TOPK rule)
 X120_TOPK = 20
 

@@ -202,6 +202,25 @@ def test_louvain_local_optimum_has_no_movers(spark):
     assert louvain_move_gains(wp, split).collect() == []
 
 
+def test_r62_both_paths_agree_and_rerun_is_idempotent(spark):
+    """Session variables: the var-bound and EXECUTE-IMMEDIATE-bound
+    reports must be row-identical, and a second run in the SAME session
+    (DECLARE OR REPLACE) must work and agree — the registry idempotency
+    contract."""
+    from dwh_etl_framework_spark.queries.wave28 import r62_session_variables
+
+    first = r62_session_variables(spark, SF_DIR).collect()
+    by_path = {}
+    for r in first:
+        by_path.setdefault(r["path"], set()).add(
+            (r["priority"], r["n"], r["cents"])
+        )
+    assert set(by_path) == {"var", "exec"}
+    assert by_path["var"] == by_path["exec"]
+    second = r62_session_variables(spark, SF_DIR).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 def test_theta_union_without_lgk_degrades(spark):
     """The live trap r61 pins: theta_union WITHOUT the explicit
     lgNomEntries arg defaults to 2^12 nominal and silently downsamples

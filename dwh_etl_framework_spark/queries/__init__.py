@@ -714,6 +714,10 @@ ROTATION_QUEUE: dict[str, int] = {
     # the in-engine param-template counterpart (F10), both binding
     # paths certified under one hash via the path column
     "r62_session_variables": 15,
+    # bounded-round BFS: k-hop reachability profile from a
+    # deterministic max-degree seed (the distance layering x116's
+    # component labels can't express)
+    "x121_khop_reach": 15,
 }
 
 #: Oracled never-windowed queries that deliberately stay OUT of the

@@ -747,6 +747,120 @@ def louvain_move_gains(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     return rel.crossJoin(F.broadcast(totals))
 
 
+#: x121 — BFS rounds (bounded, the x114/x116 contract)
+X121_HOPS = 4
+
+
+def _x121_oracle() -> str:
+    """Thresholded edges, a DETERMINISTIC seed (max weighted degree,
+    ties to the smaller node id — a total order), then the reachable
+    set unrolled one MATERIALIZED CTE per hop; the report is one row
+    per hop with cumulative and newly-reached counts."""
+    chain = _x118_oracle()
+    head = chain[: chain.index(",\nl0 AS MATERIALIZED (")]
+    parts = [head + """,
+deg AS MATERIALIZED (
+    SELECT node, CAST(SUM(w) AS BIGINT) AS d FROM (
+        SELECT u AS node, w FROM pairs UNION ALL SELECT v, w FROM pairs
+    ) GROUP BY node
+),
+r0 AS MATERIALIZED (
+    SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1
+)"""]
+    for i in range(1, X121_HOPS + 1):
+        p = i - 1
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT node FROM r{p}
+        UNION ALL
+        SELECT e.v AS node FROM edges e JOIN r{p} ON r{p}.node = e.u
+    )
+)""")
+    counts = ", ".join(
+        f"(SELECT COUNT(*) FROM r{i}) AS c{i}"
+        for i in range(0, X121_HOPS + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS hop, CAST(c{i} AS BIGINT) AS n_reached, "
+        f"CAST(c{i} - c{i-1} AS BIGINT) AS n_new, "
+        f"(SELECT CAST(node AS BIGINT) FROM r0) AS seed FROM cts"
+        for i in range(1, X121_HOPS + 1)
+    )
+    parts.append(f""",
+cts AS (SELECT {counts})
+{rows}
+ORDER BY hop""")
+    return "".join(parts)
+
+
+_X121_ORACLE = _x121_oracle()
+
+
+@query("x121_khop_reach", oracle=_X121_ORACLE)
+def x121_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier graph analytics (round 14): bounded-round BFS — the
+    k-hop reachability profile from a DETERMINISTIC seed (the node of
+    maximum weighted degree, ties to the smaller id) over the
+    support-thresholded co-purchase graph. One row per hop 1..{X121_HOPS}
+    with cumulative and newly-reached counts — the distance LAYERING
+    that x116's component labels cannot give (a component says "same
+    island"; the profile says how fast the island is covered — the
+    hop-cost estimate a graph-walk planner or a dedup-cluster
+    expansion budget needs). Bounded rounds are the oracle contract
+    (the x114/x116 pattern): hop i is exactly "reachable within i
+    edges", deterministic at every SF, each hop one MATERIALIZED CTE.
+
+    Scale shape: each hop is ONE equi-join of the frontier set into
+    the adjacency plus ONE distinct — node-set-sized exchanges only,
+    no fan-out past the adjacency list; the reached frame is
+    localCheckpointed per hop (the x77 discipline); the seed pick is
+    one TakeOrdered over the degree aggregate. The REPORT is
+    count-only, so nothing node-sized ever reaches the driver."""
+    t = fixtures(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(li, support=X115_SUPPORT, keep_support=True)
+    return khop_profile(spark, pairs, X121_HOPS)
+
+
+def khop_profile(
+    spark: SparkSession, pairs: DataFrame, hops: int
+) -> DataFrame:
+    """Core x121 plan over any weighted undirected edge list (u < v
+    distinct, weight column ``support``): seed = max weighted degree
+    (ties → smaller id), then ``hops`` frontier expansions; returns one
+    row per hop — (hop, n_reached, n_new, seed). Driver traffic is one
+    scalar count per hop plus the seed id (the x77/x116 discipline)."""
+    w = pairs.select("u", "v", F.col("support").alias("w"))
+    edges = w.unionAll(
+        w.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").cast("long").alias("d")
+    )
+    seed = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1)
+    reached = seed.select("node").localCheckpoint(eager=False)
+    counts = [reached.count()]
+    for _ in range(hops):
+        frontier = edges.join(
+            reached.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"))
+        reached = (
+            reached.unionAll(frontier)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        counts.append(reached.count())
+    seed_id = seed.collect()[0]["node"]
+    rows = [
+        (i, counts[i], counts[i] - counts[i - 1], seed_id)
+        for i in range(1, hops + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "hop INT, n_reached BIGINT, n_new BIGINT, seed BIGINT"
+    ).orderBy("hop")
+
+
 def weighted_lp_labels(pairs: DataFrame, rounds: int) -> DataFrame:
     """Core x118 plan over any weighted undirected edge list
     (u < v distinct, weight column ``support``): ``rounds`` synchronous

@@ -221,6 +221,36 @@ def test_r62_both_paths_agree_and_rerun_is_idempotent(spark):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
+def test_khop_path_graph_layering(spark):
+    """A weighted path 1-2-3-4-5 with node 3 the heaviest: seed = 3,
+    and the frontier grows by exactly two nodes per hop until the path
+    is covered, then saturates (n_new = 0)."""
+    from dwh_etl_framework_spark.queries.wave28 import khop_profile
+
+    path = [(1, 2, 1), (2, 3, 5), (3, 4, 5), (4, 5, 1)]
+    rep = {r["hop"]: r for r in khop_profile(
+        spark, _wpairs(spark, path), 3
+    ).collect()}
+    assert all(r["seed"] == 3 for r in rep.values())
+    assert (rep[1]["n_reached"], rep[1]["n_new"]) == (3, 2)  # {3}+{2,4}
+    assert (rep[2]["n_reached"], rep[2]["n_new"]) == (5, 2)  # +{1,5}
+    assert (rep[3]["n_reached"], rep[3]["n_new"]) == (5, 0)  # saturated
+
+
+def test_khop_seed_tiebreak_and_disconnection(spark):
+    """Equal degrees tie to the smaller node id, and a disconnected
+    component is never reached at any hop."""
+    from dwh_etl_framework_spark.queries.wave28 import khop_profile
+
+    two_islands = [(1, 2, 3), (8, 9, 3)]  # equal degree mass everywhere
+    rep = {r["hop"]: r for r in khop_profile(
+        spark, _wpairs(spark, two_islands), 2
+    ).collect()}
+    assert all(r["seed"] == 1 for r in rep.values())  # tie -> smallest
+    assert rep[1]["n_reached"] == 2  # {1, 2}
+    assert rep[2]["n_reached"] == 2  # island {8, 9} stays unreachable
+
+
 def test_theta_union_without_lgk_degrades(spark):
     """The live trap r61 pins: theta_union WITHOUT the explicit
     lgNomEntries arg defaults to 2^12 nominal and silently downsamples

@@ -442,11 +442,17 @@ def main() -> None:
          if n not in errors and med >= ADAPTIVE_CUTOFF_SEC),
         key=lambda n: timings[n],
     )
+    # Per-rep budget gate (ADVICE r14): a rep only starts when the
+    # remaining budget covers the query's own last-known cost, so the
+    # wall-time bound is respected within one rep instead of overshot
+    # by up to a full per-run cost (a 100 s query with 1 s of budget
+    # left used to run anyway). The estimate tracks the latest sample.
+    est_cost = {n: timings[n] for n in expensive}
     for name in expensive:  # pass 1: reach the CI minimum
         while (
             name not in errors
             and len(samples[name]) < 1 + EXPENSIVE_MIN_WARM
-            and exp_budget > 0
+            and exp_budget >= est_cost[name]
         ):
             try:
                 t = run(name)
@@ -454,6 +460,7 @@ def main() -> None:
                 record_error(name, exc)
                 break
             samples[name].append(t)
+            est_cost[name] = t
             exp_budget -= t
             gc.collect()
     for _ in range(4):  # pass 2: bounded refinement, noisiest-first
@@ -469,7 +476,7 @@ def main() -> None:
             break
         noisy.sort(key=lambda n: -(median_ci_pct(samples[n]) or 0.0))
         for name in noisy:
-            if exp_budget <= 0 or name in errors:
+            if exp_budget < est_cost[name] or name in errors:
                 continue
             try:
                 t = run(name)
@@ -477,6 +484,7 @@ def main() -> None:
                 record_error(name, exc)
                 continue
             samples[name].append(t)
+            est_cost[name] = t
             exp_budget -= t
             gc.collect()
     for name in expensive:

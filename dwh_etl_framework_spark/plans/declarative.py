@@ -457,7 +457,17 @@ def _materialize(
                         f"{land}/_spark_metadata"
                     )
                     lfs = jland.getFileSystem(hconf)
+                    # ADVICE r14: an EXISTING-but-empty landing dir has no
+                    # batch rows a commit log could hide — only raise when
+                    # actual data files (non-marker entries) are present.
+                    has_batch_files = False
                     if lfs.exists(jland) and not lfs.exists(jmeta):
+                        for st in lfs.listStatus(jland):
+                            name = st.getPath().getName()
+                            if not name.startswith(("_", ".")):
+                                has_batch_files = True
+                                break
+                    if has_batch_files:
                         raise TypeError(
                             f"flow {flow.name!r} is streaming but its "
                             f"landing {land!r} was produced by a batch "

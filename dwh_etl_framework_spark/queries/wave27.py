@@ -177,7 +177,15 @@ def f44_xml_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 os.rename(tmp, dest)
             except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)  # racer won dest
+                # ADVICE r14: only a racer that actually COMMITTED dest
+                # justifies discarding this session's completed landing;
+                # any other rename failure (permissions, FS error) must
+                # propagate, or the later read fails with a confusing
+                # missing-path Spark error instead of the real cause.
+                if os.path.exists(os.path.join(dest, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)  # racer won dest
+                else:
+                    raise
         _F44_DONE[key] = dest
     back = (
         spark.read.format("xml")

@@ -65,8 +65,9 @@ def r59_native_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-surface probe (round 14): the native DataSketches
     frequent-items aggregate, exercised through its DISTRIBUTED form —
     ``approx_top_k_accumulate`` builds one partial state per p_type
-    group (map-side partials), ``approx_top_k_combine`` merges the six
-    states (the exchange step), ``approx_top_k_estimate`` extracts the
+    group (map-side partials; p_type has ~150 distinct values in TPC-H
+    part, so ~150 states), ``approx_top_k_combine`` merges those states
+    (the exchange step), ``approx_top_k_estimate`` extracts the
     item/count pairs. With ``maxItemsTracked``={R59_MAX_TRACKED} ≫
     NDV(p_brand)=25 the sketch never evicts, so the estimate is exact
     and the driver hash against a plain GROUP BY certifies the whole
@@ -839,6 +840,14 @@ def khop_profile(
         F.sum("w").cast("long").alias("d")
     )
     seed = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1)
+    seed_rows = seed.collect()
+    if not seed_rows:
+        # ADVICE r14: a support-thresholded graph can be EMPTY at some
+        # SF — return the empty profile (schema unchanged) instead of
+        # IndexError-ing on the seed collect below.
+        return spark.createDataFrame(
+            [], "hop INT, n_reached BIGINT, n_new BIGINT, seed BIGINT"
+        )
     reached = seed.select("node").localCheckpoint(eager=False)
     counts = [reached.count()]
     for _ in range(hops):
@@ -851,7 +860,7 @@ def khop_profile(
             .localCheckpoint(eager=False)
         )
         counts.append(reached.count())
-    seed_id = seed.collect()[0]["node"]
+    seed_id = seed_rows[0]["node"]
     rows = [
         (i, counts[i], counts[i] - counts[i - 1], seed_id)
         for i in range(1, hops + 1)

@@ -85,9 +85,15 @@ def main() -> int:
     labels = weighted_lp_labels(pairs, X118_ROUNDS)
     rep = modularity_report(pairs, labels)
     rows = rep.orderBy(F.col("size").desc(), F.col("community")).collect()
+    if not rows:
+        # ADVICE r14: a support-thresholded graph can be empty at small
+        # SFs — report and bail instead of ZeroDivisionError below.
+        print("FAIL: thresholded graph is empty — nothing to audit")
+        spark.stop()
+        return 1
     q_num, q_den = rows[0]["q_num"], rows[0]["q_den"]
-    print(f"communities: {len(rows)};  Q = {q_num}/{q_den}"
-          f" = {q_num / q_den:+.4f}")
+    q_str = f"{q_num / q_den:+.4f}" if q_den else "undefined (q_den=0)"
+    print(f"communities: {len(rows)};  Q = {q_num}/{q_den} = {q_str}")
     for r in rows[:5]:
         print(f"  community {r['community']:>6}  size {r['size']:>4}"
               f"  w_in {r['w_in']:>5}  degree-mass {r['d_c']:>5}")

@@ -177,13 +177,22 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
 
-    # verify side: per-doc sorted digest arrays (16 B per shingle — the
-    # only place whole documents travel, and they travel as digests).
+    # verify side: per-doc sorted digest arrays (the only place whole
+    # documents travel, and they travel as digests). Elements are HEX
+    # STRINGS of the digest, not the 16-byte binary (round-15, guide
+    # §1.2 "per-task work"): ``array_intersect`` takes its hash-set
+    # O(|a|+|b|) fast path only for element types with proper equals —
+    # BinaryType is excluded, so binary arrays fall back to the
+    # quadratic interpreted nested loop, measured 5.3× slower per pair
+    # at sf0.1 (the verify stage dropped 5.8 s → 1.1 s). The 2× element
+    # width is confined to this checkpointed table; every candidate-
+    # generation exchange keeps the 16-byte binary key. Hex preserves
+    # byte order and equality, so n_common is unchanged.
     # Materialized once: it feeds BOTH sides of the candidate join
     # (doc_a and doc_b), and without the cut the shuffle+collect_set
     # aggregate over the full digest table is planned per side.
     sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("__g")).alias("__set"),
+        F.sort_array(F.collect_set(F.hex("__g"))).alias("__set"),
         F.count(F.lit(1)).alias("__n"),
     ).localCheckpoint(eager=True)
 

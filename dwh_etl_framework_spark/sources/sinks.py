@@ -524,11 +524,9 @@ def read_table_ndv(spark, path: str, col: str) -> int:
     Refuses loudly while the key carries an erasure tombstone or the
     table a pending-write marker: MAX registers can't subtract, so a
     post-erasure NDV needs a full rebuild first."""
-    import math
-
     from pyspark.sql import functions as F
 
-    from dwh_etl_framework_spark.operators.sketch import HLL_M, hll_estimate
+    from dwh_etl_framework_spark.operators.sketch import hll_estimate
 
     _refuse_if_pending(spark, path)
     _, tombstones = _sketch_markers(spark, path)
@@ -546,16 +544,110 @@ def read_table_ndv(spark, path: str, col: str) -> int:
     )
     merged = raw.groupBy("bucket").agg(F.max("reg").alias("reg"))
     row = hll_estimate(merged, []).first()
-    est = int(row["hll_estimate"])
-    # Flajolet's small-range (linear counting) correction: the raw
-    # estimator is biased below ~2.5m; with empty registers, m·ln(m/V)
-    # is the better estimate. Driver-side float math is fine here — the
-    # NDV is a costing statistic, not an oracle value (the oracled x84
-    # twin pins the integer-only raw formula instead).
-    empty = HLL_M - int(row["n_buckets_used"])
+    # Flajolet's small-range (linear counting) correction: driver-side
+    # float math is fine here — the NDV is a costing statistic, not an
+    # oracle value (the oracled x84 twin pins the integer-only raw
+    # formula instead).
+    return _ndv_linear_correct(int(row["hll_estimate"]), int(row["n_buckets_used"]))
+
+
+def _ndv_linear_correct(est: int, n_buckets_used: int) -> int:
+    """Flajolet's small-range (linear counting) correction shared by
+    :func:`read_table_ndv` and the batched :func:`read_chain_stats` —
+    the raw estimator is biased below ~2.5m; with empty registers,
+    m·ln(m/V) is the better estimate."""
+    import math
+
+    from dwh_etl_framework_spark.operators.sketch import HLL_M
+
+    empty = HLL_M - n_buckets_used
     if est < 5 * HLL_M // 2 and empty > 0:
         return int(round(HLL_M * math.log(HLL_M / empty)))
     return est
+
+
+def read_chain_stats(
+    spark,
+    counts: list[tuple[str, str]],
+    ndvs: list[tuple[str, str]],
+) -> tuple[list[int], list[int]]:
+    """Batched metadata reads for the join-order planners (round 15,
+    guide §5 "the driver should do almost no data work"): the former
+    per-statistic ``read_table_sketch`` + ``cms_cardinality().first()``
+    and ``read_table_ndv`` calls each launched their own tiny Spark job
+    (scan + agg + collect over ≤ d·w counter / m register rows), so
+    planning a k-table chain cost ~2k driver round-trips dominated by
+    fixed per-job overhead — measured ~3 s per warm f40 call at sf0.1.
+    This reader unions every per-statistic single-row aggregate into ONE
+    plan and collects once; the statistics, the mixed-width guard and
+    the pending/tombstone refusals are unchanged (same arithmetic, same
+    error classes — the width check reads the same ``__cms_w`` values,
+    the NDV applies the same linear-counting correction driver-side).
+
+    ``counts``: (table_path, key) pairs → exact row counts from the CMS
+    tier. ``ndvs``: (table_path, key) pairs → HLL NDVs. Returns the two
+    result lists in input order."""
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.operators.sketch import CMS_D, hll_estimate
+
+    for path in {p for p, _ in counts} | {p for p, _ in ndvs}:
+        _refuse_if_pending(spark, path)
+    for path, col in ndvs:
+        _, tombstones = _sketch_markers(spark, path)
+        if f"{col}{HLL_TOMBSTONE_SUFFIX}" in tombstones:
+            raise IOError(
+                f"the NDV tier for {col!r} at {path!r} was invalidated by "
+                "a right-to-erasure rewrite (MAX registers cannot "
+                "subtract) — run rebuild_table_sketches() to rescan, or "
+                "overwrite the table with a fresh sketched write"
+            )
+
+    frames = []
+    for i, (path, col) in enumerate(counts):
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{path}/{SKETCH_DIR}/{col}"
+        )
+        frames.append(
+            raw.agg(
+                (F.sum("cnt") / F.lit(CMS_D)).cast("long").alias("n"),
+                F.collect_set("__cms_w").cast("array<long>").alias("aux"),
+            ).select(F.lit(f"c{i}").alias("tag"), "n", "aux")
+        )
+    for i, (path, col) in enumerate(ndvs):
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{path}/{SKETCH_DIR}/{col}__hll"
+        )
+        merged = raw.groupBy("bucket").agg(F.max("reg").alias("reg"))
+        frames.append(
+            hll_estimate(merged, []).select(
+                F.lit(f"d{i}").alias("tag"),
+                F.col("hll_estimate").cast("long").alias("n"),
+                F.array(F.col("n_buckets_used"))
+                .cast("array<long>")
+                .alias("aux"),
+            )
+        )
+    unioned = frames[0]
+    for f in frames[1:]:
+        unioned = unioned.unionByName(f)
+    rows = {r["tag"]: r for r in unioned.collect()}
+
+    ns: list[int] = []
+    for i, (path, col) in enumerate(counts):
+        r = rows[f"c{i}"]
+        widths = sorted(r["aux"])
+        if len(widths) != 1:
+            raise ValueError(
+                f"sketch fragments for {col!r} at {path!r} carry mixed "
+                f"widths {widths} — rewrite the sketch dir at one width"
+            )
+        ns.append(int(r["n"]))
+    ds: list[int] = []
+    for i, _ in enumerate(ndvs):
+        r = rows[f"d{i}"]
+        ds.append(_ndv_linear_correct(int(r["n"]), int(r["aux"][0])))
+    return ns, ds
 
 
 def ndv_join_estimate(
@@ -615,23 +707,20 @@ def choose_join_order_from_metadata(
     point has no 2^63 ceiling. Costing-tier caveat inherited from
     :func:`ndv_join_estimate`: the NDV estimate assumes per-key
     uniformity — use the CMS bound, not this, to SIZE exchanges."""
-    from dwh_etl_framework_spark.operators.sketch import cms_cardinality
-
     lp, k_lm = left
     mp, mk_lm, mk_mr = mid
     rp, k_mr = right
 
-    def _n(path: str, col: str) -> int:
-        sk, _ = read_table_sketch(spark, path, col)
-        return int(cms_cardinality(sk).first()["n_rows"])
-
-    n_l, n_m, n_r = _n(lp, k_lm), _n(mp, mk_lm), _n(rp, k_mr)
-    d_lm = max(
-        read_table_ndv(spark, lp, k_lm), read_table_ndv(spark, mp, mk_lm), 1
+    # one batched job for all 3 counts + 4 NDVs (round 15 — see
+    # read_chain_stats; formerly 7 sequential driver round-trips)
+    ns, raw_ds = read_chain_stats(
+        spark,
+        counts=[(lp, k_lm), (mp, mk_lm), (rp, k_mr)],
+        ndvs=[(lp, k_lm), (mp, mk_lm), (mp, mk_mr), (rp, k_mr)],
     )
-    d_mr = max(
-        read_table_ndv(spark, mp, mk_mr), read_table_ndv(spark, rp, k_mr), 1
-    )
+    n_l, n_m, n_r = ns
+    d_lm = max(raw_ds[0], raw_ds[1], 1)
+    d_mr = max(raw_ds[2], raw_ds[3], 1)
     est_lm = (n_l * n_m + d_lm - 1) // d_lm
     est_mr = (n_m * n_r + d_mr - 1) // d_mr
     est_final = (est_lm * n_r + d_mr - 1) // d_mr
@@ -666,10 +755,7 @@ def choose_chain_join_order_from_metadata(spark, tables: list[tuple]) -> dict:
     Costing-tier caveat inherited from :func:`ndv_join_estimate`: the
     NDV estimate assumes per-key uniformity — use the CMS bound, not
     this, to SIZE exchanges."""
-    from dwh_etl_framework_spark.operators.sketch import (
-        chain_join_order,
-        cms_cardinality,
-    )
+    from dwh_etl_framework_spark.operators.sketch import chain_join_order
 
     k = len(tables)
     if k < 2:
@@ -683,22 +769,22 @@ def choose_chain_join_order_from_metadata(spark, tables: list[tuple]) -> dict:
             return t[1], None
         return t[1], t[2]
 
-    ns: list[int] = []
+    # one batched job for the k counts + 2(k-1) edge NDVs (round 15 —
+    # see read_chain_stats; formerly ~3k sequential driver round-trips)
+    count_specs = []
     for idx, t in enumerate(tables):
         lk, rk = _keys(idx)
-        sk, _ = read_table_sketch(spark, t[0], lk or rk)
-        ns.append(int(cms_cardinality(sk).first()["n_rows"]))
-    ds: list[int] = []
+        count_specs.append((t[0], lk or rk))
+    ndv_specs = []
     for idx in range(k - 1):
         _, rk = _keys(idx)
         lk, _ = _keys(idx + 1)
-        ds.append(
-            max(
-                read_table_ndv(spark, tables[idx][0], rk),
-                read_table_ndv(spark, tables[idx + 1][0], lk),
-                1,
-            )
-        )
+        ndv_specs.append((tables[idx][0], rk))
+        ndv_specs.append((tables[idx + 1][0], lk))
+    ns, raw_ds = read_chain_stats(spark, counts=count_specs, ndvs=ndv_specs)
+    ds: list[int] = [
+        max(raw_ds[2 * i], raw_ds[2 * i + 1], 1) for i in range(k - 1)
+    ]
     out = chain_join_order(ns, ds)
     out["paths"] = [t[0] for t in tables]
     out["n_rows"] = ns

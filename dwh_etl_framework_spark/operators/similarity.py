@@ -559,7 +559,16 @@ def nearest_centroid(
     tie-break without the full-table hash Exchange a window would insert.
     At scale this is the ingest-time pass that decides a table's centroid
     partitioning; it must stay embarrassingly parallel. ``centroids`` is
-    (centroid_id, centroid_vec). Returns ``df`` + ``centroid_id``."""
+    (centroid_id, centroid_vec). Returns ``df`` + ``centroid_id``.
+
+    ``_spread`` (round 15): fixture-scale single-file inputs otherwise
+    evaluate EVERY per-row argmax (k interpreted fixed-point cosines per
+    row) on one task; at corpus scale inputs already arrive in many
+    splits and the repartition is a no-op. Row order never reaches a
+    result: every consumer ranks/aggregates by explicit keys."""
+    from dwh_etl_framework_spark.operators.dedup import _spread
+
+    df = _spread(df)
     cent_arr = F.broadcast(
         centroids.agg(
             F.collect_list(

@@ -186,9 +186,14 @@ def lsh_jaccard_cascade(
     bands/rows_per_band, tested in tests/test_dedup.py).
     """
     sigs = minhash_signatures(df, text_col, id_col, n, k)
+    # cands feeds THREE consumers (both halves of the cand_ids union +
+    # the verify join) — without the cut Catalyst clones the whole
+    # banding + est-filter pipeline per consumer (round-15 plan audit:
+    # the candidate subtree appeared 3×; lazy checkpoint cut the x02b
+    # write phase 1.37 s → 0.36 s at sf0.1, rows identical)
     cands = lsh_candidate_pairs(
         sigs, id_col, bands, rows_per_band, est_threshold
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     # verify tier sees only docs that appear in some candidate pair
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))

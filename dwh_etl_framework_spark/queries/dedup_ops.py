@@ -327,8 +327,21 @@ def x50_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    sig_c = dedup.minhash_signatures_portable(corpus, "text", "doc_id", n=3, k=64)
-    sig_b = dedup.minhash_signatures_portable(batch, "text", "doc_id", n=3, k=64)
+    # ONE signature pass over the whole corpus, split afterwards (round
+    # 15): signatures are a pure per-doc function, so computing them on
+    # the pre-split table and filtering by the same md5-prefix predicate
+    # yields bit-identical sig_c/sig_b while the shingle explode + 64
+    # md5-minima pipeline — the dominant cost — runs once instead of
+    # once per side. Checkpoint BEFORE the split: the two filters would
+    # otherwise each re-execute the shared plan (the x87 fan-out rule).
+    sig_all = dedup.minhash_signatures_portable(
+        docs.select("doc_id", "text"), "text", "doc_id", n=3, k=64
+    ).localCheckpoint(eager=True)
+    sig_pfx = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    sig_c = sig_all.filter(sig_pfx < "cc")
+    sig_b = sig_all.filter(sig_pfx >= "cc")
     near_ids = (
         dedup.lsh_candidate_pairs_cross(
             sig_c, sig_b, "doc_id", bands=16, rows_per_band=4,

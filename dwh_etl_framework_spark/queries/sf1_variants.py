@@ -482,12 +482,15 @@ def x50s_incremental_dedup16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    sig_c = dedup.minhash_signatures_portable(
-        corpus, "text", "doc_id", n=3, k=K16
-    )
-    sig_b = dedup.minhash_signatures_portable(
-        batch, "text", "doc_id", n=3, k=K16
-    )
+    # one signature pass + split (round 15 — the x50 reshape: signatures
+    # are per-doc pure, so computing once and filtering by the same
+    # md5-prefix predicate is bit-identical; checkpoint before the split
+    # so the two filters share one execution)
+    sig_all = dedup.minhash_signatures_portable(
+        docs.select("doc_id", "text"), "text", "doc_id", n=3, k=K16
+    ).localCheckpoint(eager=True)
+    sig_c = sig_all.filter(pfx < "cc")
+    sig_b = sig_all.filter(pfx >= "cc")
     near_ids = (
         dedup.lsh_candidate_pairs_cross(
             sig_c, sig_b, "doc_id", bands=BANDS4, rows_per_band=ROWS4,

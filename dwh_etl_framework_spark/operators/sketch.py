@@ -313,9 +313,23 @@ def cms_estimate(
     that cell's count is 0 — so a never-seen key must return est_count =
     0 (MIN picks the absent cell), not silently vanish from the output
     (inner join) or over-estimate from only its present cells."""
-    probes = keys.selectExpr(
-        "*", f"explode(sequence(0, {CMS_D - 1})) AS r"
-    ).selectExpr("*", cms_col_expr(SPARK_HEX_AT, value_expr) + " AS col")
+    # md5 hoisted above the d-explode, as in cms_sketch (round 15): one
+    # hash per probe key instead of one per (key, r)
+    probes = (
+        keys.selectExpr(
+            "*", f"md5('cms:' || CAST({value_expr} AS STRING)) AS __h"
+        )
+        .selectExpr("*", f"explode(sequence(0, {CMS_D - 1})) AS r")
+        .selectExpr(
+            "*",
+            "CAST("
+            + SPARK_HEX_AT.format(
+                expr="__h", start="CAST(1 + r * 8 AS INT)", n=8
+            )
+            + f" % {CMS_W} AS BIGINT) AS col",
+        )
+        .drop("__h")
+    )
     key_cols = [c for c in keys.columns]
     return (
         probes.join(F.broadcast(sketch_df), on=["r", "col"], how="left")

@@ -80,6 +80,13 @@ def _synth_then(decoder):
     executor boundary as an Arrow binary column between them."""
 
     def run(docs, synth, schema):
+        # _spread (round 15): a single-split fixture scan would run BOTH
+        # Python stages on one worker — the whole synth+decode serial.
+        # Only doc_id shuffles (a few KB); at corpus scale inputs arrive
+        # in many splits and this is a no-op.
+        from dwh_etl_framework_spark.operators.dedup import _spread
+
+        docs = _spread(docs)
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 yield pd.DataFrame(

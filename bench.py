@@ -39,11 +39,15 @@ Cross-harness adjudication (VERDICT r13 #2: the same commit measured
 58.88 s officially and 63.22 s in the driver capture — a 7.4% spread
 with no way to tell load from regression): every run times a fixed
 pure-CPU calibration probe (``spark.range`` sum, no IO, no registry
-code) and records its median as ``calib_sec`` in BOTH the stdout
-summary (the driver-consumed artifact) and BENCH_local.json. Two
-artifacts are comparable only after normalizing by their calib ratio;
-a loaded run is visible as an inflated ``calib_sec`` instead of
-masquerading as a code regression. The stdout line also carries a
+code; 250M rows × 5 reps since round 15 — VERDICT r14 #2 found the
+old 50M×3 probe too short to adjudicate) and records its warm median
+as ``calib_sec`` plus its own CI as ``calib_ci_pct`` in BOTH the
+stdout summary (the driver-consumed artifact) and BENCH_local.json.
+Two artifacts are comparable only after normalizing by their calib
+ratio, and only when both probes' CIs are tight (≲10%); a loaded run
+is visible as an inflated ``calib_sec`` instead of masquerading as a
+code regression. (Probe values are ~5× rounds ≤14 — same-definition
+ratios only.) The stdout line also carries a
 compact ``ci`` summary (max / weighted-avg / null-count of the
 per-query CIs) so the adjudication rule can be applied to any driver
 capture without cross-referencing builder notes.
@@ -294,13 +298,30 @@ def main() -> None:
     # run's machine-speed fingerprint: two artifacts (official vs driver
     # capture, round N vs N+1) are load-comparable via their calib
     # ratio, so harness/load variance stops masquerading as regression.
+    # VERDICT r14 #2: at 50M rows / 3 reps the probe was too short and
+    # noisy to adjudicate cross-harness deltas (the two round-14
+    # artifacts inverted its intended reading). 5× the range and 5 reps
+    # make the median stable, and the probe's own spread ships beside it
+    # (calib_ci_pct, same notched-CI formula as the queries) so a reader
+    # can tell a load-skewed probe from a load-skewed suite.
+    # Adjudication rule: two artifacts are comparable only after
+    # normalizing by calib_sec, and ONLY when both runs' calib_ci_pct is
+    # small (≲10%) — a wide probe CI means the machine was unstable and
+    # the ratio itself is unreliable. NOTE: probe values are ~5× rounds
+    # ≤14 (the range change); cross-round ratios remain valid because
+    # both sides of any comparison use the same probe definition from
+    # round 15 on.
     def calib_run() -> float:
-        df = spark.range(50_000_000).selectExpr("sum(id * 2) AS s")
+        df = spark.range(250_000_000).selectExpr("sum(id * 2) AS s")
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    calib_sec = round(statistics.median(calib_run() for _ in range(3)), 4)
+    calib_samples = [calib_run() for _ in range(5)]
+    calib_sec = round(statistics.median(calib_samples[1:]), 4)
+    # same warm-sample convention as the queries: the first rep is the
+    # cold pass and is dropped by median_ci_pct's len>=3 rule
+    calib_ci_pct = median_ci_pct(calib_samples)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -523,6 +544,8 @@ def main() -> None:
             n: median_ci_pct(v) for n, v in samples.items() if v
         },
         "calib_sec": calib_sec,
+        "calib_ci_pct": calib_ci_pct,
+        "calib_samples": [round(x, 4) for x in calib_samples],
         "noise_model": (
             "median_ci_pct = 100*1.58*IQR/sqrt(n_warm)/median over warm "
             "samples (~95% notched-boxplot CI of the median); a round-"
@@ -546,6 +569,7 @@ def main() -> None:
             sf,
             len(HEADLINE),
             calib_sec=calib_sec,
+            calib_ci_pct=calib_ci_pct,
             ci_by_query={
                 n: median_ci_pct(v) for n, v in samples.items()
                 if v and n in timings
@@ -599,6 +623,7 @@ def summary_line(
     budget: int = 1900,
     calib_sec: float | None = None,
     ci_by_query: dict[str, float | None] | None = None,
+    calib_ci_pct: float | None = None,
 ) -> str:
     """Compact stdout line, guaranteed under ``budget`` chars.
 
@@ -626,6 +651,8 @@ def summary_line(
     }
     if calib_sec is not None:
         summary["calib_sec"] = calib_sec
+    if calib_ci_pct is not None:
+        summary["calib_ci_pct"] = calib_ci_pct
     if ci_by_query:
         known = {
             n: c for n, c in ci_by_query.items()

@@ -80,13 +80,15 @@ def _synth_then(decoder):
     executor boundary as an Arrow binary column between them."""
 
     def run(docs, synth, schema):
-        # _spread (round 15): a single-split fixture scan would run BOTH
-        # Python stages on one worker — the whole synth+decode serial.
-        # Only doc_id shuffles (a few KB); at corpus scale inputs arrive
-        # in many splits and this is a no-op.
-        from dwh_etl_framework_spark.operators.dedup import _spread
-
-        docs = _spread(docs)
+        # NO _spread here (round-15 A/B, reverted): repartitioning the
+        # single-split fixture scan to 32 tasks parallelizes the two
+        # Python stages when workers are warm (0.96 → 0.64 s isolated),
+        # but at bench cadence the idle Python workers are reaped
+        # between reps and every run respawns 32 of them — the timed
+        # median went BIMODAL (0.64 s warm / 2-7 s respawn, bench
+        # median 1.36 s vs 0.96 s before). At corpus scale inputs
+        # arrive pre-split, so the local repartition is the only case
+        # the change affected — and it lost. (OPTIMIZATION_r15.md)
         def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 yield pd.DataFrame(

@@ -86,8 +86,14 @@ def test_merge_delta_correct_under_hot_pk(spark):
     assert len(rows) == 2_001  # 2000 journal cold keys + hot key 0
 
 
-def test_latest_per_key_plans_window_group_limit(spark):
-    """The shuffle-side skew mitigation: map-partition-local top-1 pruning."""
+def test_latest_per_key_plans_partial_aggregate(spark):
+    """The shuffle-side skew mitigation, round-15 form: the latest-row
+    pick is an argmax-by-struct AGGREGATE, so the map side collapses a
+    hot PK's versions to ONE candidate per task before the exchange
+    (partial_max below the shuffle) — strictly stronger than the former
+    window plan's WindowGroupLimit top-1 pruning, which still shuffled
+    one row per (task, key) AND sorted each reduce partition. No window
+    operator remains in the plan."""
     journal = _skewed_journal(spark)
     plan = (
         latest_per_key(journal, SPEC)
@@ -95,7 +101,8 @@ def test_latest_per_key_plans_window_group_limit(spark):
         .executedPlan()
         .toString()
     )
-    assert "WindowGroupLimit" in plan
+    assert "partial_max" in plan  # map-side combine below the exchange
+    assert "Window" not in plan  # no WindowExec / WindowGroupLimit path
 
 
 def test_aqe_splits_skewed_join_partition(spark):

@@ -28,8 +28,8 @@ oracle hash proves it: DuckDB runs the naive text self-join).
 
 At 100 TB: df is one digest-keyed aggregate (map-side combinable, so
 hot shingles cost a counter per map task) joined back under AQE skew
-handling; prefix selection is two windows over doc-id partitions
-(bounded by doc size — no skew); the materialized prefix table keeps
+handling; prefix selection is one doc-keyed aggregate whose per-doc
+arrays are bounded by doc size — no skew; the materialized prefix table keeps
 the candidate self-join from re-planning that chain per side; the
 candidate join fans out on rare digests only; verification joins each
 candidate pair to two sorted digest arrays and intersects them in place
@@ -41,9 +41,10 @@ exact-AND-scalable middle. The reference has no prefix-filter tier.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from dwh_etl_framework_spark.operators.dedup import shingle_table
 
@@ -133,30 +134,81 @@ def prefix_filter_jaccard_pairs(
     # shape), and AQE's skew-join split handles a hot digest at runtime —
     # something a window partition can never be split out of.
     dfreq = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col)
-    ranked = (
+    # per-doc prefix selection as ONE doc-keyed aggregate (round 15,
+    # second pass; guide §2.4 "remove shuffles outright"): collect each
+    # doc's (df, digest) pairs, array_sort realizes the (df ASC, g ASC)
+    # total order per doc — struct fields compare lexicographically, so
+    # this IS the former ``row_number() OVER (PARTITION BY doc ORDER BY
+    # __df, __g)`` order — and ``slice(1, L)`` keeps exactly the L(d)
+    # smallest. Replaces Exchange(doc)+Sort(whole partition)+Window(count)
+    # +Window(row_number) with HashAggregate+Exchange(doc)+per-doc array
+    # sort: same exchange bytes, no partition-wide sort, one pass instead
+    # of two window evaluations. Measured 1.30 → 1.14 s at sf0.1 and
+    # asserted row-identical (133 971 prefix rows equal element-for-
+    # element). Per-doc arrays are bounded by doc size (no skew: the
+    # former window partitioned on the same key).
+    arr = (
         sh.join(dfreq, "__g")
-        .withColumn("__n", F.count(F.lit(1)).over(w_doc))
-        .withColumn(
-            "__pos", F.row_number().over(w_doc.orderBy("__df", "__g"))
-        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__a"))
     )
+    n_sh = F.size("__a")
     prefix_len = (
-        F.col("__n")
-        - F.ceil(F.lit(float(threshold)) * F.col("__n")).cast("int")
-        + F.lit(1)
+        n_sh - F.ceil(F.lit(float(threshold)) * n_sh).cast("int") + F.lit(1)
+    ).cast("int")
+    pref = arr.select(
+        id_col, F.explode(F.slice("__a", F.lit(1), prefix_len)).alias("__s")
+    ).select(
+        id_col, F.col("__s.__df").alias("__df"), F.col("__s.__g").alias("__g")
     )
-    pref = ranked.filter(F.col("__pos") <= prefix_len)
     if max_prefix_df is not None:
         pref = pref.filter(F.col("__df") <= max_prefix_df)
+
     # materialize the prefix table: the candidate join consumes it TWICE
     # (both sides of the self-join), and without the cut Spark plans the
-    # whole ranking chain — df aggregate, join, two windows — once per
-    # side (verified in the r8 plan). Prefixes are (id, digest) pairs,
-    # ~L(d) rows per doc: tiny relative to the shingle table, exactly the
-    # per-row-hashing-carrying subtree the PLANS.md lineage rule says to
-    # checkpoint.
-    pref = pref.select(id_col, "__g").localCheckpoint(eager=True)
+    # whole ranking chain — df aggregate, join, doc-keyed prefix
+    # aggregate — once per side (verified in the r8 plan). Prefixes are
+    # (id, digest) pairs, ~L(d) rows per doc: tiny relative to the
+    # shingle table, exactly the per-row-hashing-carrying subtree the
+    # PLANS.md lineage rule says to checkpoint.
+    pref_lazy = pref.select(id_col, "__g")
+
+    # verify side: per-doc sorted digest arrays (the only place whole
+    # documents travel, and they travel as digests). Elements are HEX
+    # STRINGS of the digest, not the 16-byte binary (round-15, guide
+    # §1.2 "per-task work"): ``array_intersect`` takes its hash-set
+    # O(|a|+|b|) fast path only for element types with proper equals —
+    # BinaryType is excluded, so binary arrays fall back to the
+    # quadratic interpreted nested loop, measured 5.3× slower per pair
+    # at sf0.1 (the verify stage dropped 5.8 s → 1.1 s). The 2× element
+    # width is confined to this checkpointed table; every candidate-
+    # generation exchange keeps the 16-byte binary key. Hex preserves
+    # byte order and equality, so n_common is unchanged.
+    # Materialized once: it feeds BOTH sides of the candidate join
+    # (doc_a and doc_b), and without the cut the shuffle+collect_set
+    # aggregate over the full digest table is planned per side.
+    sets_lazy = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(F.hex("__g"))).alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # the two materializations are INDEPENDENT jobs over the same
+    # checkpointed ``sh`` — submit them from two driver threads so the
+    # second job's tasks back-fill executors freed by the first one's
+    # tail (guide §2.6 "overlap independent jobs"; actions are only
+    # sequential because driver code calls them sequentially). Measured
+    # at sf0.1: the pref+sets phase drops ~0.3 s of pure tail idle;
+    # composed pipelines (x97) overlap their signature tier on top of
+    # this the same way. Job submission is thread-safe; FIFO scheduling
+    # gives exactly the back-fill behaviour wanted.
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fpref = _pool.submit(
+            lambda: pref_lazy.localCheckpoint(eager=True)
+        )
+        _fsets = _pool.submit(
+            lambda: sets_lazy.localCheckpoint(eager=True)
+        )
+        pref = _fpref.result()
+        sets = _fsets.result()
 
     # Candidate generation stays the bare pair-distinct. The textbook
     # candidate-time prunes (SSJoin length filter, PPJoin positional
@@ -176,25 +228,6 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-
-    # verify side: per-doc sorted digest arrays (the only place whole
-    # documents travel, and they travel as digests). Elements are HEX
-    # STRINGS of the digest, not the 16-byte binary (round-15, guide
-    # §1.2 "per-task work"): ``array_intersect`` takes its hash-set
-    # O(|a|+|b|) fast path only for element types with proper equals —
-    # BinaryType is excluded, so binary arrays fall back to the
-    # quadratic interpreted nested loop, measured 5.3× slower per pair
-    # at sf0.1 (the verify stage dropped 5.8 s → 1.1 s). The 2× element
-    # width is confined to this checkpointed table; every candidate-
-    # generation exchange keeps the 16-byte binary key. Hex preserves
-    # byte order and equality, so n_common is unchanged.
-    # Materialized once: it feeds BOTH sides of the candidate join
-    # (doc_a and doc_b), and without the cut the shuffle+collect_set
-    # aggregate over the full digest table is planned per side.
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(F.hex("__g"))).alias("__set"),
-        F.count(F.lit(1)).alias("__n"),
-    ).localCheckpoint(eager=True)
 
     # verify parallelism follows estimated WORK, not byte size: the
     # candidate table is a few MB of id pairs, so AQE's size-based

@@ -491,6 +491,7 @@ def lsh_candidate_pairs_cross(
     max_bucket_size: int | None = 5000,
     bucket_observation=None,
     batch_bucket_observation=None,
+    inputs_materialized: bool = False,
 ) -> DataFrame:
     """Incremental-ingest LSH: candidates ONLY between the existing corpus
 
@@ -510,9 +511,20 @@ def lsh_candidate_pairs_cross(
     the corpus index, ``batch_bucket_observation`` for the increment): a
     silent batch-side drop would hide exactly the degeneracy the cap
     exists to surface (ADVICE r5).
+
+    ``inputs_materialized=True`` skips the two defensive localCheckpoints
+    (round 15, guide §2.4 "strictly fewer executions"): callers that
+    derive both sides as narrow filters of ONE already-checkpointed
+    signature table (x50/x50s split a shared ``sig_all``) were paying two
+    extra eager materialization jobs that re-wrote the same rows — the
+    three downstream consumers per side (band explode + signature
+    join-back) re-apply only a cheap filter over the parent checkpoint.
+    Default False keeps the r6 safety for callers handing in raw,
+    expensive signature pipelines.
     """
-    corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
-    batch_sigs = batch_sigs.localCheckpoint(eager=True)
+    if not inputs_materialized:
+        corpus_sigs = corpus_sigs.localCheckpoint(eager=True)
+        batch_sigs = batch_sigs.localCheckpoint(eager=True)
     banded_c = _band_table(
         corpus_sigs, id_col, bands, rows_per_band, max_bucket_size,
         bucket_observation,

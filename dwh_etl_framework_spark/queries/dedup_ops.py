@@ -346,6 +346,9 @@ def x50_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.lsh_candidate_pairs_cross(
             sig_c, sig_b, "doc_id", bands=16, rows_per_band=4,
             est_threshold=0.5,
+            # sig_c/sig_b are narrow filters of the checkpointed sig_all:
+            # skip the operator's own per-side re-checkpoints (round 15)
+            inputs_materialized=True,
         )
         .select(F.col("doc_batch").alias("doc_id"))
         .distinct()

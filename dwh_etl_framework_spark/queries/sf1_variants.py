@@ -497,6 +497,8 @@ def x50s_incremental_dedup16(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_threshold=0.5,
             # uncapped: oracle twin rule (see x03s) — no cap in the oracle
             max_bucket_size=None,
+            # both sides filter the checkpointed sig_all (see x50)
+            inputs_materialized=True,
         )
         .select(F.col("doc_batch").alias("doc_id"))
         .distinct()

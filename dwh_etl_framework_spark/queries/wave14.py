@@ -21,6 +21,8 @@ ANSI SQL, so the driver hash-checks discovery AND proof in one row set
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -113,14 +115,31 @@ def x97_cascade_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs more than the explode it saves (sf0.1 warm 14.1 s -> 15.3 s,
     # first run 23.7 s). The hook stays for pipelines that already have
     # a persisted shingle/posting table. (PLANS.md x97 section.)
-    exact = setjoin.prefix_filter_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5
-    )
-    sigs = dedup.minhash_signatures_portable(docs, "text", "doc_id", n=3, k=64)
-    recalled = dedup.lsh_candidate_pairs(
-        sigs, "doc_id", bands=16, rows_per_band=4, est_threshold=0.5,
-        max_bucket_size=None,
-    ).select("doc_a", "doc_b", F.lit(True).alias("__hit"))
+    # The two tiers are INDEPENDENT until the final left join, and each
+    # runs eager driver-blocking jobs while being BUILT (the prefix
+    # tier's sh/pref/sets checkpoints + sizing collects, the LSH tier's
+    # signature checkpoint) — construct them from two driver threads so
+    # one tier's jobs back-fill the executor idle of the other's task
+    # tails (guide §2.6 "overlap independent jobs"; round 15). Job
+    # submission is thread-safe; plans and results are unchanged — only
+    # WHEN the same jobs run moves.
+    def _exact_tier() -> DataFrame:
+        return setjoin.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5
+        )
+
+    def _lsh_tier() -> DataFrame:
+        sigs = dedup.minhash_signatures_portable(
+            docs, "text", "doc_id", n=3, k=64
+        )
+        return dedup.lsh_candidate_pairs(
+            sigs, "doc_id", bands=16, rows_per_band=4, est_threshold=0.5,
+            max_bucket_size=None,
+        ).select("doc_a", "doc_b", F.lit(True).alias("__hit"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact, f_lsh = pool.submit(_exact_tier), pool.submit(_lsh_tier)
+        exact, recalled = f_exact.result(), f_lsh.result()
     return (
         exact.join(recalled, ["doc_a", "doc_b"], "left")
         .select(
@@ -195,18 +214,27 @@ def x97s_cascade_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     just its two halves separately."""
     t = fixtures(spark, sf_dir)
     docs = t.documents
-    exact = setjoin.prefix_filter_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5,
-        shingle_filter=_shingle_col_pred(),
-    )
-    sigs = dedup.minhash_signatures_portable(
-        docs, "text", "doc_id", n=3, k=K16,
-        shingle_filter=_shingle_col_pred(),
-    )
-    recalled = dedup.lsh_candidate_pairs(
-        sigs, "doc_id", bands=BANDS4, rows_per_band=ROWS4,
-        est_threshold=0.5, max_bucket_size=None,
-    ).select("doc_a", "doc_b", F.lit(True).alias("__hit"))
+    # same two-thread tier construction as x97 (independent tiers; only
+    # job SCHEDULING overlaps, plans unchanged)
+    def _exact_tier() -> DataFrame:
+        return setjoin.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5,
+            shingle_filter=_shingle_col_pred(),
+        )
+
+    def _lsh_tier() -> DataFrame:
+        sigs = dedup.minhash_signatures_portable(
+            docs, "text", "doc_id", n=3, k=K16,
+            shingle_filter=_shingle_col_pred(),
+        )
+        return dedup.lsh_candidate_pairs(
+            sigs, "doc_id", bands=BANDS4, rows_per_band=ROWS4,
+            est_threshold=0.5, max_bucket_size=None,
+        ).select("doc_a", "doc_b", F.lit(True).alias("__hit"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact, f_lsh = pool.submit(_exact_tier), pool.submit(_lsh_tier)
+        exact, recalled = f_exact.result(), f_lsh.result()
     return (
         exact.join(recalled, ["doc_a", "doc_b"], "left")
         .select(

@@ -77,6 +77,32 @@ def test_minhash_estimate_tracks_jaccard(spark, documents):
     assert diffs and max(diffs) < 0.25
 
 
+def test_cross_lsh_inputs_materialized_flag_is_value_neutral(spark, documents):
+    """``inputs_materialized=True`` (round-15: callers that split one
+    checkpointed signature table skip the operator's per-side
+    re-checkpoints) must yield the exact same pair set and estimates as
+    the default defensive path — the flag moves WHEN jobs run, never
+    what they compute."""
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    sig_all = dedup.minhash_signatures(
+        documents, "text", "doc_id", k=64
+    ).localCheckpoint(eager=True)
+    sig_c = sig_all.filter(pfx < "cc")
+    sig_b = sig_all.filter(pfx >= "cc")
+    got = {}
+    for flag in (False, True):
+        got[flag] = sorted(
+            (r.doc_corpus, r.doc_batch, r.est_jaccard)
+            for r in dedup.lsh_candidate_pairs_cross(
+                sig_c, sig_b, "doc_id", est_threshold=0.5,
+                inputs_materialized=flag,
+            ).collect()
+        )
+    assert got[True] == got[False]
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [

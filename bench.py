@@ -35,6 +35,28 @@ query's ``median_ci_pct`` in BOTH rounds' artifacts. Expensive queries
 the largest cross-round deltas yet carried no CI) so every ≥1 s query
 reports a non-null ``median_ci_pct`` too.
 
+Fn-phase visibility (VERDICT r15 #1): the timed region is the noop
+write ONLY — ``QUERIES[name].fn()`` (which may run eager
+localCheckpoints, sizing ``first()``s and planner metadata collects) is
+untimed, so PERF was structurally blind to roughly half of several
+queries' real per-run cost (x97: ~1.3 s timed vs ~5 s honest total).
+From round 16 both artifacts ADDITIVELY carry the fn phase next to the
+untouched timed value: ``fn_sec``/``total_sec`` per-query maps in
+BENCH_local.json, and in the stdout summary a compact ``fn_sec`` ARRAY
+aligned index-for-index with the ``queries`` map's key order (a second
+name-keyed map would blow the driver's ~2,000-char tail capture; the
+aligned array carries all entries in ~500 chars). The timed field's
+definition, the medians, the rep logic and the query set are UNCHANGED
+— the series stays comparable.
+
+Streaming micro-bench (VERDICT r15 #8): the streaming tier inherits its
+operators' optimizations but had no bench to demonstrate them. After
+the headline loop (so it cannot perturb the timed medians), one
+availableNow file-stream run of ``stream_ingest_dedup`` over two
+fixture-derived document slices is timed end-to-end and reported as the
+additive ``stream_ingest_sec`` (median of 3; errors go to
+``stream_ingest_error`` and never null the headline value).
+
 Cross-harness adjudication (VERDICT r13 #2: the same commit measured
 58.88 s officially and 63.22 s in the driver capture — a 7.4% spread
 with no way to tell load from regression): every run times a fixed
@@ -266,11 +288,16 @@ def main() -> None:
     spark = SessionFactory(app_name="dwh-etl-framework-spark-bench").build()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run(name: str) -> tuple[float, float]:
+        """(fn_sec, write_sec). The TIMED value (the bench series) is the
+        write span only, unchanged since r12; fn_sec is the additive
+        VERDICT r15 #1 surface for the eager build phase."""
+        t_fn = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
+        fn_sec = time.perf_counter() - t_fn
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        return fn_sec, time.perf_counter() - t0
 
     # Warm-up (untimed): diverse NON-headline plans exercise the whole-stage
     # codegen compiler (Janino itself needs JVM JIT warm-up), parquet footer
@@ -325,6 +352,9 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # untimed-build-phase samples, index-aligned with ``samples`` (VERDICT
+    # r15 #1); medians reported additively, never part of the timed value
+    fn_samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # Per-query error isolation: one broken plan must never zero the whole
     # artifact (round 4 lost its bench to a single AnalysisException). A
     # query that errors is dropped from further rounds and reported in
@@ -348,7 +378,9 @@ def main() -> None:
             if name in errors:
                 continue
             try:
-                samples[name].append(run(name))
+                f, w = run(name)
+                fn_samples[name].append(f)
+                samples[name].append(w)
             except Exception as exc:  # noqa: BLE001 — isolate, report, go on
                 record_error(name, exc)
             # Release the finished plan's Python refs NOW: several queries
@@ -394,7 +426,9 @@ def main() -> None:
     for name in retimed:
         for _ in range(3):
             try:
-                samples[name].append(run(name))
+                f, w = run(name)
+                fn_samples[name].append(f)
+                samples[name].append(w)
             except Exception as exc:  # noqa: BLE001 — same isolation rule
                 record_error(name, exc)
                 break
@@ -438,7 +472,9 @@ def main() -> None:
                     continue
                 extra_budget -= 1
                 try:
-                    samples[name].append(run(name))
+                    f, w = run(name)
+                    fn_samples[name].append(f)
+                    samples[name].append(w)
                 except Exception as exc:  # noqa: BLE001 — same isolation
                     record_error(name, exc)
                 gc.collect()
@@ -476,10 +512,11 @@ def main() -> None:
             and exp_budget >= est_cost[name]
         ):
             try:
-                t = run(name)
+                f, t = run(name)
             except Exception as exc:  # noqa: BLE001 — same isolation
                 record_error(name, exc)
                 break
+            fn_samples[name].append(f)
             samples[name].append(t)
             est_cost[name] = t
             exp_budget -= t
@@ -500,10 +537,11 @@ def main() -> None:
             if exp_budget < est_cost[name] or name in errors:
                 continue
             try:
-                t = run(name)
+                f, t = run(name)
             except Exception as exc:  # noqa: BLE001 — same isolation
                 record_error(name, exc)
                 continue
+            fn_samples[name].append(f)
             samples[name].append(t)
             est_cost[name] = t
             exp_budget -= t
@@ -513,6 +551,27 @@ def main() -> None:
             timings[name] = round(warm_median(samples[name]), 4)
 
     cold = {n: round(v[0], 4) for n, v in samples.items() if v}
+
+    # fn-phase medians (VERDICT r15 #1, additive): same warm-median
+    # convention as the timed value; total = fn + write per query.
+    fn_med = {
+        n: round(warm_median(v), 4)
+        for n, v in fn_samples.items()
+        if v and n in timings
+    }
+    total_med = {
+        n: round(fn_med.get(n, 0.0) + t, 4) for n, t in timings.items()
+    }
+
+    # streaming micro-bench (VERDICT r15 #8, additive): AFTER the headline
+    # loop so it cannot perturb the timed medians. Errors are reported in
+    # their own field — they must never null the headline value.
+    stream_sec: float | None = None
+    stream_err: str | None = None
+    try:
+        stream_sec = _stream_ingest_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — additive metric, isolate
+        stream_err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
     # Per-query spread over the warm samples (VERDICT r10 #4): the r10
     # artifact drifted +10% with no code cause and single-shot numbers
@@ -558,6 +617,15 @@ def main() -> None:
         "retimed_outliers": retimed,
         "errors": errors,
         "raw_samples": {n: [round(x, 4) for x in v] for n, v in samples.items()},
+        # additive round-16 fields (VERDICT r15 #1/#8); the timed series
+        # above is untouched
+        "fn_sec": fn_med,
+        "total_sec": total_med,
+        "fn_raw_samples": {
+            n: [round(x, 4) for x in v] for n, v in fn_samples.items()
+        },
+        "stream_ingest_sec": stream_sec,
+        "stream_ingest_error": stream_err,
     }
     Path(__file__).resolve().parent.joinpath("BENCH_local.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -574,9 +642,72 @@ def main() -> None:
                 n: median_ci_pct(v) for n, v in samples.items()
                 if v and n in timings
             },
+            fn_by_query=fn_med,
+            stream_ingest_sec=stream_sec,
+            stream_ingest_error=stream_err,
         )
     )
     spark.stop()
+
+
+def _stream_ingest_bench(spark, sf_dir: str, reps: int = 3) -> float:
+    """Timed availableNow micro-batch run of ``stream_ingest_dedup`` over
+    two fixture-derived document slices (VERDICT r15 #8): 200 docs from
+    the sf corpus split into two parquet files, streamed one file per
+    micro-batch through the x50-shaped foreachBatch screen into a fresh
+    temp-dir state. Deterministic input; median of ``reps`` end-to-end
+    wall times (stream start → awaitTermination). Additive metric only —
+    runs after the headline loop and never touches the timed medians."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dwh_etl_framework_spark.streaming.ingest_dedup import (
+        DedupIngestConfig,
+        stream_ingest_dedup,
+    )
+    from dwh_etl_framework_spark.streaming.merge import StreamMasterState
+
+    base = tempfile.mkdtemp(prefix="bench_stream_ingest_")
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 200)
+        )
+        for i, half in enumerate((docs.filter(F.col("doc_id") < 100),
+                                  docs.filter(F.col("doc_id") >= 100))):
+            path = f"{base}/src/slice_{i}.parquet"
+            half.coalesce(1).write.mode("overwrite").parquet(path)
+            # FileStreamSource orders by modification time: pin it so
+            # micro-batch order == slice order on any filesystem
+            for root, _, files in os.walk(path):
+                for f_ in files:
+                    os.utime(
+                        os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i)
+                    )
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        times = []
+        for rep in range(reps):
+            rep_dir = f"{base}/rep_{rep}"
+            state = StreamMasterState(spark, f"{rep_dir}/corpus")
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", True)
+                .parquet(f"{base}/src")
+            )
+            t0 = time.perf_counter()
+            q = stream_ingest_dedup(
+                stream, state, f"{rep_dir}/ckpt", DedupIngestConfig()
+            )
+            q.awaitTermination(300)
+            times.append(time.perf_counter() - t0)
+            gc.collect()
+        return round(statistics.median(times), 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 #: adaptive-repetition thresholds (module docstring noise model)
@@ -624,6 +755,9 @@ def summary_line(
     calib_sec: float | None = None,
     ci_by_query: dict[str, float | None] | None = None,
     calib_ci_pct: float | None = None,
+    fn_by_query: dict[str, float] | None = None,
+    stream_ingest_sec: float | None = None,
+    stream_ingest_error: str | None = None,
 ) -> str:
     """Compact stdout line, guaranteed under ``budget`` chars.
 
@@ -667,6 +801,19 @@ def summary_line(
             ),
             "n_null": sum(1 for c in ci_by_query.values() if c is None),
         }
+    if stream_ingest_sec is not None:
+        summary["stream_ingest_sec"] = stream_ingest_sec
+    if stream_ingest_error is not None:
+        summary["stream_ingest_error"] = stream_ingest_error[:200]
+    if fn_by_query is not None:
+        # untimed fn phase for EVERY entry (VERDICT r15 #1) as an array
+        # aligned index-for-index with the ``queries`` map's key order — a
+        # second name-keyed map would overflow the driver's ~2,000-char
+        # tail capture; full name-keyed maps live in BENCH_local.json.
+        summary["fn_sec"] = [
+            round(fn_by_query.get(n, 0.0), 3) for n in timings
+        ]
+        summary["fn_keys"] = "aligned_to_queries"
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:
         summary["queries"] = {n: round(t, 2) for n, t in timings.items()}
@@ -688,6 +835,19 @@ def summary_line(
             summary["queries"] = short
             summary["query_keys"] = "opid"
             line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > budget and "fn_sec" in summary:
+        # degrade the ADDITIVE fn array before sacrificing the timed map:
+        # first to deciseconds, then a file pointer (full maps always in
+        # BENCH_local.json)
+        summary["fn_sec"] = [
+            round(fn_by_query.get(n, 0.0), 2) for n in timings
+        ]
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > budget and "fn_sec" in summary:
+        summary.pop("fn_sec", None)
+        summary.pop("fn_keys", None)
+        summary["fn_in"] = "BENCH_local.json"
+        line = json.dumps(summary, separators=(",", ":"))
     if len(line) > budget:
         summary.pop("queries", None)
         summary.pop("query_keys", None)

@@ -172,3 +172,49 @@ def test_median_ci_pct_noise_model():
     # the cold first pass is excluded: an enormous cold outlier does not
     # move the statistic
     assert median_ci_pct([99.0] + jitter) == few
+
+
+def test_fn_array_aligned_and_fits_budget():
+    # Round 16 (VERDICT r15 #1): the stdout line carries the untimed fn
+    # phase for EVERY entry as an array aligned with the queries map's
+    # key order, and the full line still fits the driver tail.
+    timings = {n: 12.3456 for n in HEADLINE}
+    fn = {n: 1.2345 for n in HEADLINE}
+    ci = {n: 5.0 for n in HEADLINE}
+    line = summary_line(
+        timings, {}, 0.1, len(HEADLINE),
+        calib_sec=0.17, calib_ci_pct=6.0, ci_by_query=ci,
+        fn_by_query=fn, stream_ingest_sec=4.5,
+    )
+    assert len(line) <= 1900, f"{len(line)} chars"
+    parsed = json.loads(line)
+    assert parsed["fn_keys"] == "aligned_to_queries"
+    assert len(parsed["fn_sec"]) == len(parsed["queries"])
+    assert parsed["fn_sec"][0] in (1.234, 1.23)
+    assert parsed["stream_ingest_sec"] == 4.5
+    # timed series untouched by the additive fields
+    assert parsed["queries"][HEADLINE[0].split("_", 1)[0]] == 12.346
+
+
+def test_fn_array_drops_before_queries_map():
+    # On overflow the fn array must degrade/drop BEFORE any timed-series
+    # field: with absurdly many entries the queries map survives (as
+    # opid keys or pointer) while fn_sec points to BENCH_local.json.
+    timings = {f"x{i:03d}_{'pad' * 30}": 1.2345 for i in range(150)}
+    fn = {n: 1.2345 for n in timings}
+    line = summary_line(timings, {}, 0.1, 150, fn_by_query=fn)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "fn_sec" not in parsed
+    assert parsed.get("fn_in") == "BENCH_local.json"
+
+
+def test_stream_ingest_error_reported_not_fatal():
+    timings = {n: 1.0 for n in HEADLINE[:10]}
+    line = summary_line(
+        timings, {}, 0.1, 10,
+        stream_ingest_error="RuntimeError: boom",
+    )
+    parsed = json.loads(line)
+    assert parsed["stream_ingest_error"].startswith("RuntimeError")
+    assert parsed["value"] is not None  # headline total unaffected

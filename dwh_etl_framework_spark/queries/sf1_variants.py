@@ -473,11 +473,16 @@ def x50s_incremental_dedup16(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.withColumn("__p", pfx)
     corpus = docs.filter(F.col("__p") < "cc").select("doc_id", "text")
     batch = docs.filter(F.col("__p") >= "cc").select("doc_id", "text")
+    # one shared fingerprint table feeds both exact-tier sides (the x50
+    # round-16 reshape: one text scan instead of two, digests travel)
+    fp_all = docs.select(
+        "doc_id", "__p", F.md5("text").alias("__h")
+    ).localCheckpoint(eager=False)
     exact_ids = (
-        batch.alias("b")
+        fp_all.filter(F.col("__p") >= "cc")
         .join(
-            corpus.select(F.md5("text").alias("__h")).distinct().alias("c"),
-            F.md5(F.col("b.text")) == F.col("c.__h"),
+            fp_all.filter(F.col("__p") < "cc").select("__h").distinct(),
+            "__h",
             "left_semi",
         )
         .select("doc_id")

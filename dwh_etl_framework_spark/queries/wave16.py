@@ -279,9 +279,21 @@ def phrase_matches(
         "phrase_id", "doc_id", (F.col("i") - F.col("widx") + 1).alias("start"),
         "widx",
     )
+    # coverage = COUNT(*), not COUNT(DISTINCT widx) (round 16): within a
+    # (phrase_id, doc_id, start) group each widx occurs AT MOST once —
+    # the postings table carries one term per (doc_id, i) (positional
+    # index contract: posexplode emits unique positions, and the
+    # streaming fold dedupes on redelivery) and ``words`` one row per
+    # (phrase_id, widx), so the hit for (start, widx) can only come from
+    # the single token at i = start + widx − 1. COUNT(DISTINCT) planned
+    # as Expand + a second exchange; the plain COUNT keeps one map-side-
+    # combinable aggregate. Measured at sf0.1: timed write 1.02 → 0.87 s
+    # (4/5 interleaved reps), rows identical; the ORACLE keeps its
+    # COUNT(DISTINCT h.widx) text, so the driver hash certifies the
+    # uniqueness argument at every SF.
     matches = (
         hits.groupBy("phrase_id", "doc_id", "start")
-        .agg(F.countDistinct("widx").alias("__cov"))
+        .agg(F.count(F.lit(1)).alias("__cov"))
         .join(F.broadcast(plen_df), "phrase_id")
         .filter(F.col("__cov") == F.col("n_words"))
     )
